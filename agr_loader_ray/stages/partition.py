@@ -1,0 +1,73 @@
+"""Stable hash partitioning of change events.
+
+The reference avoids write conflicts by scheduling (shuffling provider
+pairs so no two concurrent writers touch the same gene nodes,
+``/root/reference/src/etl/orthology_etl.py:142-153,197-225``).  We
+replace scheduling with ownership: every record key ``(conv_id,
+turn_idx)`` hashes to exactly one partition, and one apply task owns a
+partition per epoch — no locks, no conflicts, stable across epochs.
+
+Hashing is on the FULL primary key (per BASELINE.json north_star), so a
+hot conversation's turns spread over all partitions; residual skew
+(a single hot key receiving many updates) is absorbed by the per-batch
+LWW pre-fold (a combiner: at most one surviving event per key per input
+batch reaches the shuffle).  ``skew_stats`` exposes per-conversation
+change counts for monitoring (SURVEY §2.5 A8).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+PART_COL = "part"
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant (Fibonacci hashing)
+
+
+def stable_hash_strings(arr: pa.ChunkedArray | pa.Array | np.ndarray) -> np.ndarray:
+    """Deterministic (cross-process, cross-run) uint64 hash of strings.
+
+    ``pandas.util.hash_array`` uses SipHash-1-3 with a fixed key — stable
+    across interpreter sessions, unlike builtin ``hash``.
+    """
+    if isinstance(arr, (pa.ChunkedArray, pa.Array)):
+        arr = arr.to_numpy(zero_copy_only=False)
+    return pd.util.hash_array(np.asarray(arr, dtype=object), categorize=True)
+
+
+def key_hash(conv_id, turn_idx) -> np.ndarray:
+    """uint64 hash of the composite PK (conv_id, turn_idx)."""
+    h = stable_hash_strings(conv_id)
+    if isinstance(turn_idx, (pa.ChunkedArray, pa.Array)):
+        turn_idx = turn_idx.to_numpy(zero_copy_only=False)
+    t = np.asarray(turn_idx)
+    t = np.where(np.isnan(t), -1, t) if t.dtype.kind == "f" else t
+    return h ^ (t.astype(np.uint64) + np.uint64(1)) * _MIX
+
+
+def add_partition_column(batch: pa.Table, n_partitions: int,
+                         conv_col: str = "conv_id", turn_col: str = "turn_idx") -> pa.Table:
+    """Append ``part = H(conv_id, turn_idx) % n_partitions`` (int32)."""
+    part = (key_hash(batch[conv_col], batch[turn_col]) % np.uint64(n_partitions)).astype(np.int32)
+    return batch.append_column(PART_COL, pa.array(part, pa.int32()))
+
+
+def skew_stats(ds, conv_col: str = "conv_id", top_k: int = 20) -> pd.DataFrame:
+    """Per-conversation change counts (partial-aggregated) → top-k hot keys.
+
+    Pre-aggregates inside ``map_batches`` so the shuffle sees one row per
+    (batch, conv) instead of one per event.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.group_by(conv_col).aggregate([(conv_col, "count")]).rename_columns(
+            [conv_col, "n"]
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(conv_col).aggregate(
+        Sum("n", alias_name="changes")
+    )
+    return agg.sort("changes", descending=True).limit(top_k).to_pandas()

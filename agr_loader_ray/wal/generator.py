@@ -1,0 +1,238 @@
+"""Deterministic synthetic WAL generator (FIXTURES.md §2/§3).
+
+Produces ``wal_root/epoch=<e>/segment-<k>.parquet`` files of change
+events over conversation-transcript records.  Fully seeded and
+vectorized (numpy) so the same spec always yields byte-identical event
+streams — the engine-side analogue of the reference's fixed TEST_SET
+corpus (``/root/reference/src/test/test_object.py:12-413``): a known
+input whose final state the tests assert against.
+
+No external data; everything is synthesized from the seed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..schemas import WAL_SCHEMA
+
+_BASE_TS_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z, arbitrary fixed origin
+_ROLES = np.array(["user", "assistant", "system", "tool"])
+_TOOLS = np.array(["search", "python", "browser", "calculator"])
+
+
+@dataclass(frozen=True)
+class WalSpec:
+    """Parameters of one deterministic WAL (hashable → cacheable)."""
+
+    n_events: int = 5_000
+    n_convs: int = 200
+    n_epochs: int = 1
+    segments_per_epoch: int = 2
+    seed: int = 42
+    update_frac: float = 0.0
+    delete_frac: float = 0.0
+    #: Zipf exponent for conv_id frequency; None → uniform (t3-skew uses 1.2).
+    zipf_a: float | None = None
+    #: fraction of events whose ts is pushed far backwards (late data)
+    out_of_order_frac: float = 0.0
+    #: fraction of events whose ts collides with another event (offset tie-break)
+    dup_ts_frac: float = 0.0
+    max_turns: int = 64
+    text_len: int = 80
+    #: number of rows padded to ~64 KiB to exercise wide rows
+    wide_rows: int = 0
+    #: schema-change events: (position in [0,1) of the stream, JSON string)
+    schema_events: tuple[tuple[float, str], ...] = field(default_factory=tuple)
+
+
+# Fixture tiers (FIXTURES.md §3).  t4-resume replays t2 with a forced
+# kill between epochs — same WAL, different driver behavior (tests).
+T1_SMOKE = WalSpec(n_events=5_000, n_convs=200, n_epochs=1)
+T2_CORRECTNESS = WalSpec(
+    n_events=60_000,
+    n_convs=2_000,
+    n_epochs=8,
+    update_frac=0.20,
+    delete_frac=0.08,
+    out_of_order_frac=0.10,
+    dup_ts_frac=0.05,
+    schema_events=(
+        (0.4, json.dumps({"kind": "add_column", "name": "lang", "type": "string", "default": None})),
+        (0.7, json.dumps({"kind": "widen", "name": "turn_idx", "to": "int64"})),
+    ),
+)
+T3_SKEW = WalSpec(
+    n_events=600_000,
+    n_convs=20_000,
+    n_epochs=8,
+    update_frac=0.25,
+    delete_frac=0.05,
+    zipf_a=1.2,
+    out_of_order_frac=0.05,
+    dup_ts_frac=0.02,
+)
+
+
+def _zipf_conv_indices(rng: np.random.Generator, n: int, n_convs: int, a: float) -> np.ndarray:
+    """Zipf(a) draw truncated to [0, n_convs); index 0 is the hot key."""
+    ranks = rng.zipf(a, size=n)
+    return np.minimum(ranks - 1, n_convs - 1).astype(np.int64)
+
+
+def build_events(spec: WalSpec) -> pa.Table:
+    """Build the full event stream as one Arrow table (offset-ordered)."""
+    rng = np.random.default_rng(spec.seed)
+    n = spec.n_events
+
+    if spec.zipf_a is not None:
+        conv_idx = _zipf_conv_indices(rng, n, spec.n_convs, spec.zipf_a)
+    else:
+        conv_idx = rng.integers(0, spec.n_convs, size=n)
+    turn_idx = rng.integers(0, spec.max_turns, size=n).astype(np.int32)
+
+    p = rng.random(n)
+    op = np.where(p < spec.delete_frac, "D", np.where(p < spec.delete_frac + spec.update_frac, "U", "I"))
+
+    # ts: monotone-ish in offset with jitter; late/duplicate fractions
+    ts = _BASE_TS_US + np.arange(n, dtype=np.int64) * 1_000 + rng.integers(0, 500, size=n)
+    late = rng.random(n) < spec.out_of_order_frac
+    ts[late] -= rng.integers(10_000_000, 100_000_000, size=int(late.sum()))
+    dup = rng.random(n) < spec.dup_ts_frac
+    ts[dup] = (ts[dup] // 1_000_000) * 1_000_000  # coarse-rounded → collisions
+
+    role = _ROLES[rng.integers(0, len(_ROLES), size=n)]
+    tool = np.where(role == "tool", _TOOLS[rng.integers(0, len(_TOOLS), size=n)], "")
+
+    conv_str = np.char.add("conv-", np.char.zfill(conv_idx.astype("U8"), 8))
+    offs = np.arange(n, dtype=np.int64)
+    text = np.char.add(
+        np.char.add(np.char.add("turn ", turn_idx.astype("U6")), " of "),
+        np.char.add(conv_str, np.char.add(" @", offs.astype("U12"))),
+    )
+    if spec.text_len > 40:
+        pad = "".join(rng.choice(list("abcdefgh ij klmnop qrstu vwxyz"), size=spec.text_len - 30))
+        text = np.char.add(text, " " + pad)
+
+    tbl_cols: dict[str, pa.Array] = {
+        "offset": pa.array(offs, pa.int64()),
+        "epoch": pa.array(np.zeros(n, np.int32)),  # assigned below
+        "op": pa.array(op.astype(object), pa.string()),
+        "conv_id": pa.array(conv_str.astype(object), pa.string()),
+        "turn_idx": pa.array(turn_idx, pa.int32()),
+        "role": pa.array(role.astype(object), pa.string()),
+        "text": pa.array(text.astype(object), pa.string()),
+        "tool": pa.array(tool.astype(object), pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "schema_change": pa.array([""] * n, pa.string()),
+    }
+    tbl = pa.table(tbl_cols, schema=WAL_SCHEMA)
+
+    # Null out payloads for deletes (D carries only key + ts).
+    import pyarrow.compute as pc
+
+    is_d = pc.equal(tbl["op"], "D")
+    for col in ("role", "text", "tool"):
+        idx = tbl.schema.get_field_index(col)
+        tbl = tbl.set_column(idx, col, pc.if_else(is_d, pa.scalar(None, pa.string()), tbl[col]))
+
+    # Wide rows: pad selected texts to ~64 KiB (FIXTURES.md: a few ≥64KiB).
+    if spec.wide_rows:
+        import pandas as pd
+
+        wide_pos = rng.choice(n, size=min(spec.wide_rows, n), replace=False)
+        texts = tbl["text"].to_pandas()
+        blob = "W" * 65_536
+        for i in wide_pos:
+            if texts.iloc[i] is not None:
+                texts.iloc[i] = texts.iloc[i] + blob
+        idx = tbl.schema.get_field_index("text")
+        tbl = tbl.set_column(idx, "text", pa.Array.from_pandas(texts, type=pa.string()))
+
+    # Inject schema-change events at their stream positions, renumber offsets.
+    if spec.schema_events:
+        parts, cursor = [], 0
+        total = n + len(spec.schema_events)
+        for pos, change in sorted(spec.schema_events):
+            at = min(int(pos * n), n)
+            parts.append(tbl.slice(cursor, at - cursor))
+            s_row = pa.table(
+                {
+                    "offset": pa.array([0], pa.int64()),
+                    "epoch": pa.array([0], pa.int32()),
+                    "op": pa.array(["S"]),
+                    "conv_id": pa.array([None], pa.string()),
+                    "turn_idx": pa.array([None], pa.int32()),
+                    "role": pa.array([None], pa.string()),
+                    "text": pa.array([None], pa.string()),
+                    "tool": pa.array([None], pa.string()),
+                    "ts": pa.array([_BASE_TS_US + at * 1_000], pa.timestamp("us")),
+                    "schema_change": pa.array([change]),
+                },
+                schema=WAL_SCHEMA,
+            )
+            parts.append(s_row)
+            cursor = at
+        parts.append(tbl.slice(cursor))
+        tbl = pa.concat_tables(parts)
+        idx = tbl.schema.get_field_index("offset")
+        tbl = tbl.set_column(idx, "offset", pa.array(np.arange(total, dtype=np.int64)))
+
+    # Epoch = contiguous offset ranges (micro-batch windows, SURVEY §2.9).
+    total = tbl.num_rows
+    per = -(-total // spec.n_epochs)
+    epoch = (np.arange(total, dtype=np.int64) // per).astype(np.int32)
+    idx = tbl.schema.get_field_index("epoch")
+    tbl = tbl.set_column(idx, "epoch", pa.array(epoch, pa.int32()))
+    return tbl
+
+
+def generate_wal(out_dir: str, spec: WalSpec = T1_SMOKE, overwrite: bool = False) -> dict:
+    """Write the WAL to ``out_dir/epoch=<e>/segment-<k>.parquet``.
+
+    Returns a small metadata dict.  Idempotent: if ``out_dir`` already
+    holds a ``_WAL_META.json`` matching the spec, generation is skipped
+    (reference analogue: skip-if-downloaded,
+    ``/root/reference/src/files/download.py:44-46``).
+    """
+    meta_path = os.path.join(out_dir, "_WAL_META.json")
+    spec_key = json.dumps(spec.__dict__, default=str, sort_keys=True)
+    if not overwrite and os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if meta.get("spec_key") == spec_key:
+            return meta
+
+    tbl = build_events(spec)
+    os.makedirs(out_dir, exist_ok=True)
+    epochs = tbl["epoch"].to_numpy(zero_copy_only=False)
+    n_epochs = int(epochs.max()) + 1
+    for e in range(n_epochs):
+        edir = os.path.join(out_dir, f"epoch={e}")
+        os.makedirs(edir, exist_ok=True)
+        lo, hi = np.searchsorted(epochs, [e, e + 1])
+        etbl = tbl.slice(lo, hi - lo)
+        k = max(1, spec.segments_per_epoch)
+        per = -(-etbl.num_rows // k)
+        for s in range(k):
+            seg = etbl.slice(s * per, per)
+            if seg.num_rows == 0 and s > 0:
+                continue
+            pq.write_table(seg, os.path.join(edir, f"segment-{s:04d}.parquet"))
+
+    meta = {
+        "spec_key": spec_key,
+        "n_events": tbl.num_rows,
+        "n_epochs": n_epochs,
+        "out_dir": out_dir,
+    }
+    with open(meta_path + ".tmp", "w") as fh:
+        json.dump(meta, fh)
+    os.replace(meta_path + ".tmp", meta_path)
+    return meta

@@ -1,0 +1,149 @@
+"""End-to-end engine tests: WAL replay → lake → export == oracle.
+
+Mirrors the reference's post-load invariant strategy (SURVEY §5): load a
+fixed deterministic corpus, then assert final-state equality and
+invariants against an independent single-threaded oracle.
+"""
+
+import pandas as pd
+import pyarrow.dataset as pads
+
+from agr_loader_ray.oracle import oracle_reduce
+from agr_loader_ray.pipelines.engine import CdcEngine
+from agr_loader_ray.pipelines.export import export_sorted, read_lake
+from agr_loader_ray.wal.generator import T1_SMOKE, T2_CORRECTNESS, WalSpec, generate_wal
+
+
+def _wal_df(wal_root: str) -> pd.DataFrame:
+    return pads.dataset(wal_root, partitioning="hive").to_table().to_pandas()
+
+
+def _export_df(lake_root: str) -> pd.DataFrame:
+    return export_sorted(lake_root).to_pandas().reset_index(drop=True)
+
+
+def _assert_equals_oracle(lake_root: str, wal_root: str, upto_epoch=None):
+    got = _export_df(lake_root)
+    want = oracle_reduce(_wal_df(wal_root), upto_epoch=upto_epoch).reset_index(drop=True)
+    got = got[want.columns.tolist()]
+    # normalize pandas nullable dtypes for comparison
+    for c in want.columns:
+        want[c] = want[c].astype(got[c].dtype)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_t1_smoke_insert_only(tmp_lake, tmp_wal):
+    generate_wal(tmp_wal, T1_SMOKE)
+    eng = CdcEngine(tmp_lake, n_partitions=8)
+    stats = eng.replay(tmp_wal)
+    assert stats["events_applied"] == T1_SMOKE.n_events
+    _assert_equals_oracle(tmp_lake, tmp_wal)
+
+
+def test_t2_correctness_lww_tombstones_schema(tmp_lake, tmp_wal):
+    spec = WalSpec(**{**T2_CORRECTNESS.__dict__, "n_events": 20_000, "n_convs": 800})
+    generate_wal(tmp_wal, spec)
+    eng = CdcEngine(tmp_lake, n_partitions=8)
+    eng.replay(tmp_wal)
+    got = _export_df(tmp_lake)
+
+    # schema evolution: lang column added, turn_idx widened to int64
+    assert "lang" in got.columns
+    assert str(got["turn_idx"].dtype) == "int64"
+    # PK uniqueness invariant (reference: uuid-duplication test, SURVEY D5)
+    assert not got.duplicated(["conv_id", "turn_idx"]).any()
+    # stable ordering
+    assert got[["conv_id", "turn_idx"]].equals(
+        got[["conv_id", "turn_idx"]].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    _assert_equals_oracle(tmp_lake, tmp_wal)
+
+
+def test_epoch_replay_is_idempotent(tmp_lake, tmp_wal):
+    generate_wal(tmp_wal, WalSpec(n_events=2_000, n_convs=100, n_epochs=2, update_frac=0.3, delete_frac=0.1))
+    eng = CdcEngine(tmp_lake, n_partitions=4)
+    eng.replay(tmp_wal)
+    before = _export_df(tmp_lake)
+    # re-apply everything: committed epochs must be skipped
+    stats = eng.replay(tmp_wal)
+    assert all(s["skipped"] for s in stats["epochs"])
+    pd.testing.assert_frame_equal(before, _export_df(tmp_lake))
+
+
+def test_resume_after_mid_replay_crash(tmp_lake, tmp_wal):
+    """t4-resume: stop between epochs, restart with a NEW engine, final
+    state must equal the uninterrupted run (exactly-once)."""
+    spec = WalSpec(n_events=8_000, n_convs=300, n_epochs=6, update_frac=0.25, delete_frac=0.1,
+                   out_of_order_frac=0.1, dup_ts_frac=0.05)
+    generate_wal(tmp_wal, spec)
+    eng1 = CdcEngine(tmp_lake, n_partitions=8)
+    eng1.replay(tmp_wal, upto_epoch=2)  # "crash" after epoch 2
+    eng2 = CdcEngine(tmp_lake, n_partitions=8)  # fresh process analogue
+    stats = eng2.replay(tmp_wal)
+    assert [s["epoch"] for s in stats["epochs"] if s["skipped"]] == [0, 1, 2]
+    _assert_equals_oracle(tmp_lake, tmp_wal)
+
+
+def test_partial_epoch_staged_resume(tmp_lake, tmp_wal):
+    """Crash mid-epoch: staged partition manifests let the re-applied
+    epoch skip finished partitions and still commit correctly."""
+    spec = WalSpec(n_events=3_000, n_convs=100, n_epochs=2, update_frac=0.3, delete_frac=0.1)
+    generate_wal(tmp_wal, spec)
+    eng = CdcEngine(tmp_lake, n_partitions=4)
+    eng.apply_epoch(tmp_wal, 0)
+
+    # simulate a crash during epoch 1: stage some partitions by hand
+    # (run the apply, then delete the epoch manifest → uncommitted)
+    eng.apply_epoch(tmp_wal, 1)
+    import os
+    os.remove(eng.manifest.epoch_manifest_path(1))
+
+    eng2 = CdcEngine(tmp_lake, n_partitions=4)
+    stats = eng2.replay(tmp_wal)
+    assert [s["epoch"] for s in stats["epochs"] if not s["skipped"]] == [1]
+    _assert_equals_oracle(tmp_lake, tmp_wal)
+
+
+def test_manifest_lineage_counts(tmp_lake, tmp_wal):
+    generate_wal(tmp_wal, WalSpec(n_events=2_000, n_convs=100, n_epochs=2, delete_frac=0.1))
+    eng = CdcEngine(tmp_lake, n_partitions=4)
+    eng.replay(tmp_wal)
+    m = eng.manifest.read_epoch(eng.manifest.last_committed_epoch())
+    live = sum(info["live_rows"] for info in m["partitions"].values())
+    assert live == read_lake(tmp_lake).count()
+    assert all("checksum" in info for info in m["partitions"].values())
+
+
+def test_tombstone_blocks_late_resurrection(tmp_lake, tmp_wal):
+    """A late event (earlier ts) arriving after a delete must NOT
+    resurrect the key — tombstones carry the delete's (ts, offset)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+    from agr_loader_ray.schemas import WAL_SCHEMA
+
+    def row(offset, epoch, op, ts, text):
+        return {
+            "offset": offset, "epoch": epoch, "op": op, "conv_id": "c1",
+            "turn_idx": 0, "role": None if op == "D" else "user",
+            "text": None if op == "D" else text, "tool": "" if op != "D" else None,
+            "ts": ts, "schema_change": "",
+        }
+
+    events = [
+        row(0, 0, "I", 1_000, "v1"),
+        row(1, 0, "D", 5_000, None),      # delete at ts=5000
+    ]
+    late = [row(2, 1, "U", 3_000, "late")]  # older ts, later epoch
+    for e, rows in [(0, events), (1, late)]:
+        d = os.path.join(tmp_wal, f"epoch={e}")
+        os.makedirs(d, exist_ok=True)
+        t = pa.Table.from_pylist(rows, schema=WAL_SCHEMA.remove_metadata())
+        t = t.set_column(t.schema.get_field_index("ts"), "ts",
+                         pa.array(np.array([r["ts"] for r in rows], dtype="datetime64[us]")))
+        pq.write_table(t, os.path.join(d, "segment-0000.parquet"))
+
+    eng = CdcEngine(tmp_lake, n_partitions=2)
+    eng.replay(tmp_wal)
+    assert read_lake(tmp_lake).count() == 0
