@@ -1,44 +1,49 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module, so
+nothing here (or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship CDC pipeline — deterministic synthetic WAL
+  replay through the partitioned LWW upsert engine into a Parquet lake,
+  returning the sorted final table (smoke scale).
+- ``queries()``: one entry per implemented operator (SURVEY.md §2 +
+  training-data ops), each taking ``sf_dir``.
+- ``oracle_sql()``: DuckDB oracles for the SQL-expressible subset;
+  sketch-based ops (MinHash/SimHash/LSH-ANN, fingerprints) are
+  rows-only and verified against exact baselines in tests/.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: replay the t1 WAL (5k events) → lake → sorted export."""
+    from agr_loader_ray.pipelines.engine import CdcEngine
+    from agr_loader_ray.pipelines.export import export_sorted
+    from agr_loader_ray.wal.generator import T1_SMOKE, generate_wal
+
+    wal_root = os.path.join(tempfile.gettempdir(), "agr_entry_wal")
+    generate_wal(wal_root, T1_SMOKE)
+    lake_root = tempfile.mkdtemp(prefix="agr_entry_lake_")
+    eng = CdcEngine(lake_root, n_partitions=16)
+    eng.replay(wal_root)
+    return export_sorted(lake_root)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import agr_loader_ray.pipelines.text_queries  # noqa: F401 (registers)
+    from agr_loader_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    import agr_loader_ray.pipelines.text_queries  # noqa: F401 (registers)
+    from agr_loader_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -194,8 +194,14 @@ class CdcEngine:
             registry.apply(json.loads(change))
         registry_dict = registry.to_dict()
 
+        # event count from parquet footers (cheap) — never a full read
+        n_events = sum(
+            pq.read_metadata(os.path.join(epoch_dir, f)).num_rows
+            for f in os.listdir(epoch_dir)
+            if f.endswith(".parquet")
+        )
+
         ds = ray.data.read_parquet(epoch_dir)
-        n_events = ds.count()
         ds = ds.map_batches(
             _PreFoldPartition(self.n_partitions),
             batch_format="pyarrow",

@@ -1,0 +1,675 @@
+"""Operator-level query pipelines over the driver testdata (SURVEY §2).
+
+Every entry here is an operator family from the reference re-expressed
+Ray-Data-first, paired with an equivalent DuckDB SQL oracle
+(``ORACLE_SQL``) run by the driver at sf0.01.  Column names match
+between the Ray result and the SQL exactly; monetary aggregates use
+exact integer cents arithmetic on both sides so value hashes are
+float-order-independent.
+
+Reference citations are per query (file:line into /root/reference).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions.tables import read_small, read_table
+from ..stages.fold import lww_last_per_key
+from ..stages.partition import PART_COL, add_partition_column
+
+QUERIES: dict[str, Callable[[str], Any]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+    return deco
+
+
+def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Exact integer cents from a 2-dp double column."""
+    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+
+
+from ..functions.pools import join_parts as _join_parts  # noqa: E402
+from ..functions.pools import pool as _pool  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# cdc_lww_upsert — the flagship operator: keyed LWW upsert with deletes.
+# Reference: MERGE-on-primaryKey idempotent upsert + DETACH DELETE
+# (src/etl/bgi_etl.py:99-116, src/etl/disease_etl.py:242-248), SURVEY J8/D2.
+# Events table stands in for the WAL: key=(user_id, event_id%50),
+# op=D when event_type='error', LWW on (ts, event_id).
+# ---------------------------------------------------------------------------
+@query(
+    "cdc_lww_upsert",
+    """
+    SELECT user_id, turn_idx, event_type, value, ts, event_id FROM (
+      SELECT user_id, event_id % 50 AS turn_idx, event_type, value, ts, event_id,
+             row_number() OVER (PARTITION BY user_id, event_id % 50
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_lww_upsert(sf_dir: str):
+    ds = read_table(sf_dir, "events")
+
+    def prefold(t: pa.Table) -> pa.Table:
+        turn = t["event_id"].to_numpy(zero_copy_only=False) % 50
+        t = t.append_column("turn_idx", pa.array(turn, pa.int64()))
+        t = lww_last_per_key(t, ["user_id", "turn_idx"], ["ts", "event_id"])
+        return add_partition_column(t, 16, conv_col="user_id", turn_col="turn_idx")
+
+    def final_fold(g: pa.Table) -> pa.Table:
+        g = lww_last_per_key(g, ["user_id", "turn_idx"], ["ts", "event_id"])
+        g = g.filter(pc.not_equal(g["event_type"], "error"))  # tombstones out
+        return g.select(["user_id", "turn_idx", "event_type", "value", "ts", "event_id"])
+
+    return (
+        ds.map_batches(prefold, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(PART_COL)
+        .map_groups(final_fold, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q1_agg_pushdown — grouped aggregate with per-batch partial aggregation
+# (combiner) before the shuffle.  Reference: per-label counts / grouped
+# stats (SURVEY A1/A5); pattern: pre-aggregate inside map_batches.
+# ---------------------------------------------------------------------------
+@query(
+    "q1_agg_pushdown",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_rev_e4,
+           count(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_agg_pushdown(sf_dir: str):
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty_c = _cents(t["l_quantity"])
+        base_c = _cents(t["l_extendedprice"])
+        disc_bp = _cents(t["l_discount"])
+        rev_e4 = pc.multiply(base_c, pc.subtract(pa.scalar(100, pa.int64()), disc_bp))
+        t2 = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": qty_c,
+                "base_c": base_c,
+                "rev_e4": rev_e4,
+            }
+        )
+        return t2.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("base_c", "sum"), ("rev_e4", "sum"), ("qty_c", "count")]
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c_sum", alias_name="sum_qty_c"),
+            Sum("base_c_sum", alias_name="sum_base_c"),
+            Sum("rev_e4_sum", alias_name="sum_rev_e4"),
+            Sum("qty_c_count", alias_name="count_order"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# filter_project_revenue — predicate + vectorized projection
+# (SURVEY M1/M4: record→row projection, predicate skip-rules).
+# ---------------------------------------------------------------------------
+@query(
+    "filter_project_revenue",
+    """
+    SELECT l_orderkey,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_e4,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_quantity > 10
+    GROUP BY l_orderkey
+    """,
+)
+def filter_project_revenue(sf_dir: str):
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+    )
+
+    lo = pa.scalar(np.datetime64("1995-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+
+    def transform(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)),
+            pc.greater(t["l_quantity"], 10.0),
+        )
+        t = t.filter(mask)
+        base_c = _cents(t["l_extendedprice"])
+        disc_bp = _cents(t["l_discount"])
+        rev = pc.multiply(base_c, pc.subtract(pa.scalar(100, pa.int64()), disc_bp))
+        t2 = pa.table({"l_orderkey": t["l_orderkey"], "rev_e4": rev})
+        return t2.group_by("l_orderkey").aggregate([("rev_e4", "sum"), ("rev_e4", "count")])
+
+    return (
+        ds.map_batches(transform, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_e4_sum", alias_name="rev_e4"), Sum("rev_e4_count", alias_name="n_items"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# broadcast_join_nation_revenue — broadcast-dict lookup join of a big fact
+# against small dims (SURVEY J2/T3/T4: master-gene-set broadcast resolution,
+# src/etl/molecular_interaction_etl.py:308-405).  No shuffle for the join.
+# ---------------------------------------------------------------------------
+@query(
+    "broadcast_join_nation_revenue",
+    """
+    SELECT n.n_name,
+           sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_c,
+           count(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def broadcast_join_nation_revenue(sf_dir: str):
+    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nat = read_small(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nation_of = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    # custkey -> nation name, composed driver-side; broadcast once via ray.put
+    cust_nation = {
+        k: nation_of[v]
+        for k, v in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    }
+    ref = ray.put(cust_nation)
+
+    class Enrich:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)  # once per actor (SURVEY T1 pattern)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+            lk = self.lookup
+            names = np.array([lk[k] for k in keys.tolist()], dtype=object)
+            t2 = pa.table(
+                {"n_name": pa.array(names, pa.string()), "total_c": _cents(t["o_totalprice"])}
+            )
+            return t2.group_by("n_name").aggregate([("total_c", "sum"), ("total_c", "count")])
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    return (
+        ds.map_batches(Enrich, fn_constructor_args=(ref,), batch_format="pyarrow",
+                       zero_copy_batch=True, concurrency=_pool())
+        .groupby("n_name")
+        .aggregate(Sum("total_c_sum", alias_name="total_c"), Sum("total_c_count", alias_name="n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# hash_join_priority_revenue — big×big hash-partitioned join
+# (SURVEY J4: multi-way graph join → Dataset.join), dim via broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "hash_join_priority_revenue",
+    """
+    SELECT c.c_mktsegment, o.o_orderpriority,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS rev_e4,
+           count(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderdate < TIMESTAMP '1995-06-01'
+    GROUP BY c.c_mktsegment, o.o_orderpriority
+    """,
+)
+def hash_join_priority_revenue(sf_dir: str):
+    cutoff = pa.scalar(np.datetime64("1995-06-01", "us"), pa.timestamp("us"))
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], cutoff)).drop_columns(["o_orderdate"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    joined = li.join(orders, join_type="inner", num_partitions=_join_parts(),
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    seg_of = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    ref = ray.put(seg_of)
+
+    class SegAgg:
+        def __init__(self, ref):
+            self.seg = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            seg = np.array([self.seg[k] for k in t["o_custkey"].to_numpy(zero_copy_only=False).tolist()],
+                           dtype=object)
+            base_c = _cents(t["l_extendedprice"])
+            disc_bp = _cents(t["l_discount"])
+            rev = pc.multiply(base_c, pc.subtract(pa.scalar(100, pa.int64()), disc_bp))
+            t2 = pa.table(
+                {
+                    "c_mktsegment": pa.array(seg, pa.string()),
+                    "o_orderpriority": t["o_orderpriority"],
+                    "rev_e4": rev,
+                }
+            )
+            return t2.group_by(["c_mktsegment", "o_orderpriority"]).aggregate(
+                [("rev_e4", "sum"), ("rev_e4", "count")]
+            )
+
+    return (
+        joined.map_batches(SegAgg, fn_constructor_args=(ref,), batch_format="pyarrow",
+                           concurrency=_pool())
+        .groupby(["c_mktsegment", "o_orderpriority"])
+        .aggregate(Sum("rev_e4_sum", alias_name="rev_e4"), Sum("rev_e4_count", alias_name="n_items"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# semi_join_open_orders — semi join: keep fact rows whose key exists in the
+# filtered other side (SURVEY J1: MATCH-drop semantics; J7 IN-list semi join).
+# ---------------------------------------------------------------------------
+@query(
+    "semi_join_open_orders",
+    """
+    SELECT l_returnflag,
+           sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O')
+    GROUP BY l_returnflag
+    """,
+)
+def semi_join_open_orders(sf_dir: str):
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_quantity"])
+    open_orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "O")).select(["o_orderkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    kept = li.join(open_orders, join_type="left_semi", num_partitions=_join_parts(),
+                   on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table({"l_returnflag": t["l_returnflag"], "qty_c": _cents(t["l_quantity"])})
+        return t2.group_by("l_returnflag").aggregate([("qty_c", "sum"), ("qty_c", "count")])
+
+    return (
+        kept.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(Sum("qty_c_sum", alias_name="sum_qty_c"), Sum("qty_c_count", alias_name="n_items"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# anti_join_inactive_customers — anti join via broadcast key set
+# (SURVEY D4: genes NOT having ribbon terms, expression_ribbon_other_etl.py:17-21).
+# ---------------------------------------------------------------------------
+@query(
+    "anti_join_inactive_customers",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers,
+           sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_c
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    GROUP BY c_mktsegment
+    """,
+)
+def anti_join_inactive_customers(sf_dir: str):
+    with_p = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "P")).select(["o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    # distinct custkeys of the filtered order fact — bounded by |customer|,
+    # so a broadcastable small side even at scale (semi/anti via broadcast set)
+    keyset = set()
+    for b in with_p.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        keyset.update(pc.unique(b["o_custkey"]).to_pylist())
+    ref = ray.put(np.fromiter(keyset, dtype=np.int64))
+
+    class AntiFilter:
+        def __init__(self, ref):
+            self.keys = pa.array(ray.get(ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pc.invert(pc.is_in(t["c_custkey"], value_set=self.keys))
+            t = t.filter(mask)
+            t2 = pa.table({"c_mktsegment": t["c_mktsegment"], "bal_c": _cents(t["c_acctbal"])})
+            return t2.group_by("c_mktsegment").aggregate([("bal_c", "count"), ("bal_c", "sum")])
+
+    return (
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+        .map_batches(AntiFilter, fn_constructor_args=(ref,), batch_format="pyarrow",
+                     concurrency=_pool())
+        .groupby("c_mktsegment")
+        .aggregate(Sum("bal_c_count", alias_name="n_customers"), Sum("bal_c_sum", alias_name="bal_c"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# explode_tokens_topk — child-list explode + grouped count + top-k
+# (SURVEY M2: secondaryIds/synonyms explode, bgi_etl.py:252-424; O3 top-k).
+# ---------------------------------------------------------------------------
+@query(
+    "explode_tokens_topk",
+    """
+    SELECT token, count(*) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+    WHERE token <> ''
+    GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def explode_tokens_topk(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def explode_count(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        return pa.table({"token": toks}).group_by("token").aggregate([("token", "count")])
+
+    agg = (
+        ds.map_batches(explode_count, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("token_count", alias_name="n"))
+    )
+    top = agg.sort(["n", "token"], descending=[True, False]).limit(20)
+    return top
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact_text — exact dedup by normalized content hash, first-writer
+# survives (SURVEY D1: chromosomes{} dict dedup, bgi_etl.py:392-393; and the
+# dedup family required for training-data pipelines).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact_text",
+    """
+    SELECT lang, count(*) AS n_docs, sum(len) AS total_chars FROM (
+      SELECT lang, length(text) AS len,
+             row_number() OVER (PARTITION BY lower(trim(text)), lang ORDER BY doc_id) AS rn
+      FROM documents) t
+    WHERE rn = 1 GROUP BY lang
+    """,
+)
+def dedup_exact_text(sf_dir: str):
+    from ..stages.partition import stable_hash_strings
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def norm_hash(t: pa.Table) -> pa.Table:
+        norm = pc.utf8_lower(pc.utf8_trim_whitespace(t["text"]))
+        h = stable_hash_strings(norm.combine_chunks())
+        return pa.table(
+            {
+                "h": pa.array(h.astype(np.int64)),
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "len": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        )
+
+    survivors = (
+        ds.map_batches(norm_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .map_groups(
+            lambda g: g.sort_values("doc_id").head(1)[["lang", "len"]],
+            batch_format="pandas",
+        )
+    )
+    return survivors.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("len", alias_name="total_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# topk_orders_per_customer — per-group top-k (SURVEY O3/A2: best-ortholog
+# argmax per gene, gene_descriptions_etl.py:500-521).
+# ---------------------------------------------------------------------------
+@query(
+    "topk_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def topk_orders_per_customer(sf_dir: str):
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(3)
+        g["price_c"] = (g["o_totalprice"] * 100).round().astype(np.int64)
+        return g[["o_custkey", "o_orderkey", "price_c"]]
+
+    return ds.groupby("o_custkey").map_groups(top3, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# global_top10_lineitems — global sort + limit (SURVEY O5: stable export
+# ordering; sort is the cold-path shuffle).
+# ---------------------------------------------------------------------------
+@query(
+    "global_top10_lineitems",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10
+    """,
+)
+def global_top10_lineitems(sf_dir: str):
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    top = ds.sort(
+        ["l_extendedprice", "l_orderkey", "l_linenumber"], descending=[True, False, False]
+    ).limit(10)
+    return top.map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "price_c": _cents(t["l_extendedprice"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionize_events — stateful per-key windowing over an ordered log
+# (SURVEY §2.9: session windows via groupby(key).map_groups over sorted
+# group; the reference's ordering barriers generalized).
+# ---------------------------------------------------------------------------
+@query(
+    "sessionize_events",
+    """
+    SELECT user_id,
+           1 + sum(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
+           count(*) AS n_events
+    FROM (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events) t
+    GROUP BY user_id
+    """,
+)
+def sessionize_events(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].astype("int64").diff()
+        n_sessions = int(1 + (gaps > 1_800_000_000).sum())
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions], "n_events": [len(g)]}
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# date_normalize_daily — timestamp normalization to ISO-8601 Z + daily agg
+# (SURVEY M8: multi-format date normalization, etl_helper.py:302-340).
+# ---------------------------------------------------------------------------
+@query(
+    "date_normalize_daily",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%dT%H:%M:%SZ') AS first_iso
+    FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+    """,
+)
+def date_normalize_daily(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        t2 = pa.table({"day": day, "ts": t["ts"]})
+        return t2.group_by("day").aggregate([("ts", "count"), ("ts", "min")])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(Sum("ts_count", alias_name="n_events"), Min("ts_min", alias_name="first_ts"))
+    )
+
+    def fmt(t: pa.Table) -> pa.Table:
+        # arrow's %S carries fractional seconds — truncate to seconds first
+        secs = pc.floor_temporal(t["first_ts"], unit="second").cast(pa.timestamp("s"))
+        iso = pc.strftime(secs, format="%Y-%m-%dT%H:%M:%SZ")
+        return pa.table({"day": t["day"], "n_events": t["n_events"], "first_iso": iso})
+
+    return agg.map_batches(fmt, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# prefix_split_parts — curie-style split/normalize on ':'-like separators
+# (SURVEY M5: split_identifier, resource_descriptor_helper_2.py:203-230).
+# ---------------------------------------------------------------------------
+@query(
+    "prefix_split_parts",
+    """
+    SELECT string_split(p_type, ' ')[1] AS prefix, count(*) AS n_parts,
+           sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS price_c
+    FROM part GROUP BY string_split(p_type, ' ')[1]
+    """,
+)
+def prefix_split_parts(sf_dir: str):
+    ds = read_table(sf_dir, "part", columns=["p_type", "p_retailprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        prefix = pc.list_element(pc.split_pattern(t["p_type"], " "), 0)
+        t2 = pa.table({"prefix": prefix, "price_c": _cents(t["p_retailprice"])})
+        return t2.group_by("prefix").aggregate([("price_c", "count"), ("price_c", "sum")])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("prefix")
+        .aggregate(Sum("price_c_count", alias_name="n_parts"), Sum("price_c_sum", alias_name="price_c"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# regex_priority_extract — regex field extraction / validation
+# (SURVEY M13: VEP `pred(score)` regex parse, vep_etl.py:81-142; M6
+# gid_pattern validation).
+# ---------------------------------------------------------------------------
+@query(
+    "regex_priority_extract",
+    """
+    SELECT CAST(regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS BIGINT) AS prio_num,
+           count(*) AS n_orders
+    FROM orders GROUP BY prio_num
+    """,
+)
+def regex_priority_extract(sf_dir: str):
+    ds = read_table(sf_dir, "orders", columns=["o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["o_orderpriority"], pattern=r"^(?P<num>[0-9]+)")
+        num = pc.cast(pc.struct_field(ex, "num"), pa.int64())
+        return pa.table({"prio_num": num}).group_by("prio_num").aggregate([("prio_num", "count")])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("prio_num")
+        .aggregate(Sum("prio_num_count", alias_name="n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# transitive_closure_ancestors — iterated closure over a DAG
+# (SURVEY A7: IS_A_PART_OF_CLOSURE, closure_etl.py:28-30; computed as
+# in-task BFS over a broadcast edge map — ontologies are small sides).
+# Synthetic DAG: parent(k) = k // 2 over part keys.
+# ---------------------------------------------------------------------------
+@query(
+    "transitive_closure_ancestors",
+    """
+    WITH RECURSIVE anc AS (
+      SELECT p_partkey AS node, p_partkey // 2 AS ancestor FROM part WHERE p_partkey >= 2
+      UNION ALL
+      SELECT node, ancestor // 2 FROM anc WHERE ancestor >= 2
+    )
+    SELECT node, ancestor FROM anc
+    """,
+)
+def transitive_closure_ancestors(sf_dir: str):
+    ds = read_table(sf_dir, "part", columns=["p_partkey"])
+
+    def closure(t: pa.Table) -> pa.Table:
+        nodes = t["p_partkey"].to_numpy(zero_copy_only=False)
+        nodes = nodes[nodes >= 2]
+        out_node, out_anc = [], []
+        anc = nodes // 2
+        cur = nodes
+        while len(cur):
+            out_node.append(cur)
+            out_anc.append(anc)
+            keep = anc >= 2
+            cur, anc = cur[keep], anc[keep] // 2
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate(out_node), pa.int64()),
+                "ancestor": pa.array(np.concatenate(out_anc), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(closure, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,144 @@
+"""Training-data operator queries: text analysis, dedup, similarity.
+
+Registered into the same QUERIES/ORACLE_SQL registries as
+``pipelines/queries.py``.  SQL-expressible ops get DuckDB oracles; the
+sketch-based ops (MinHash-LSH, SimHash, LSH-ANN) are verified in
+``tests/`` against exact baselines instead and appear here as rows-only
+checks (driver records the weaker gate; SURVEY §5 strategy).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..functions.tables import read_small, read_table
+from ..stages.dedup import minhash_lsh_candidates, simhash_near_dup_pairs
+from ..stages.similarity import brute_force_topk, lsh_bucketed_topk
+from ..stages.text import LangId, fingerprint_batch, token_quality_batch
+from .queries import _pool, query
+
+
+# ---------------------------------------------------------------------------
+# text_quality_scores — token counting + quality scoring (stopword ratio)
+# ---------------------------------------------------------------------------
+@query(
+    "text_quality_scores",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars_calc,
+           len(list_filter(string_split(text, ' '),
+                           x -> x IN ('a','data','table','row','value'))) AS stop_hits
+    FROM documents
+    """,
+)
+def text_quality_scores(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(token_quality_batch, batch_format="pyarrow",
+                          zero_copy_batch=True).select_columns(
+        ["doc_id", "n_tokens", "n_chars_calc", "stop_hits"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# lang_id_counts — n-gram/stopword language-ID heuristic (actor pool:
+# regex compiled once per actor), aggregated per predicted language.
+# ---------------------------------------------------------------------------
+@query(
+    "lang_id_counts",
+    """
+    SELECT CASE WHEN en_ratio > 0.05 THEN 'en' ELSE 'other' END AS pred_lang,
+           count(*) AS n_docs
+    FROM (
+      SELECT CAST(len(list_filter(
+                 regexp_extract_all(lower(text), '[a-z'']+'),
+                 x -> x IN ('the','a','an','and','or','of','to','in','is','are',
+                            'was','be','on','at','it','this','that','with','for','as')))
+             AS DOUBLE)
+             / greatest(1, len(regexp_extract_all(lower(text), '[a-z'']+'))) AS en_ratio
+      FROM documents) t
+    GROUP BY 1
+    """,
+)
+def lang_id_counts(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    scored = ds.map_batches(LangId, batch_format="pandas", concurrency=_pool())
+    return scored.groupby("pred_lang").aggregate(Count(alias_name="n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# doc_fingerprints — rolling-hash content fingerprint per document
+# (deterministic polynomial hash; SQL cannot express it → rows-only gate,
+# exactness is asserted in tests/test_text_tests.py instead).
+# ---------------------------------------------------------------------------
+@query("doc_fingerprints")
+def doc_fingerprints(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow",
+                          zero_copy_batch=True).select_columns(["doc_id", "fingerprint"])
+
+
+# ---------------------------------------------------------------------------
+# ann_cosine_topk — exact brute-force cosine top-k similarity search
+# (numpy matmul per batch against a broadcast query vector).
+# ---------------------------------------------------------------------------
+@query(
+    "ann_cosine_topk",
+    """
+    SELECT vec_id, round(list_cosine_similarity(
+             CAST(embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
+    FROM embeddings
+    WHERE vec_id <> 0
+    ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+)
+def ann_cosine_topk(sf_dir: str):
+    q_tbl = read_small(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qvec = np.asarray(
+        q_tbl.filter(pc.equal(q_tbl["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64
+    )
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        lambda t: t.filter(pc.not_equal(t["vec_id"], 0)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return brute_force_topk(ds, qvec, k=10)
+
+
+# ---------------------------------------------------------------------------
+# ann_lsh_topk — LSH-bucketed approximate variant (the 100 TB scale path);
+# recall vs the exact result is asserted in tests → rows-only gate here.
+# ---------------------------------------------------------------------------
+@query("ann_lsh_topk")
+def ann_lsh_topk(sf_dir: str):
+    q_tbl = read_small(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qvec = np.asarray(
+        q_tbl.filter(pc.equal(q_tbl["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64
+    )
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        lambda t: t.filter(pc.not_equal(t["vec_id"], 0)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return lsh_bucketed_topk(ds, qvec, k=10, n_planes=6, probe_hamming=2)
+
+
+# ---------------------------------------------------------------------------
+# minhash_near_dup / simhash_near_dup — sketch-based near-dup candidate
+# pairs (rows-only gate; exactness vs brute-force Jaccard in tests).
+# ---------------------------------------------------------------------------
+@query("minhash_near_dup")
+def minhash_near_dup(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_candidates(ds, num_perm=64, bands=16, k=5)
+
+
+@query("simhash_near_dup")
+def simhash_near_dup(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_near_dup_pairs(ds, max_hamming=3)

@@ -1,0 +1,204 @@
+"""Deduplication family for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash and n-gram-Jaccard near-dup — each expressed
+Ray-Data-first:
+
+- **exact**: content-hash per batch (vectorized) → hash-partitioned
+  ``groupby(hash).map_groups(first)`` — the reference's dict-dedup
+  (``/root/reference/src/etl/bgi_etl.py:392-393``) at scale (SURVEY D1).
+- **MinHash+LSH**: shingle → minhash signature per batch → explode to
+  (band_id, band_hash, doc_id) rows → ``groupby(band)`` buckets →
+  candidate pairs → exact-Jaccard verify.  The only shuffle moves tiny
+  (band_hash, doc_id) rows, never the documents.
+- **SimHash**: 64-bit signature; near-dup via banded grouping on 16-bit
+  chunks (hamming ≤ 3 ⇒ at least one of 4 chunks equal).
+- duplicate-group resolution: min-doc_id label via union-find over the
+  verified pair list (candidate pairs are a tiny side; documented
+  assumption — at 100 TB run label propagation rounds instead).
+
+All signature math is numpy-vectorized over Arrow batches; documents
+themselves never shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.pools import pool
+from .partition import stable_hash_strings
+
+_PRIME = np.uint64((1 << 61) - 1)
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """uint64 hashes of the k-char shingles of a document."""
+    if text is None or len(text) < k:
+        return np.array([stable_hash_strings(np.array([text or ""], dtype=object))[0]],
+                        dtype=np.uint64)
+    b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    if len(b) < k:
+        return np.array([b.astype(np.uint64).sum()], dtype=np.uint64)
+    # rolling window view → hash each k-byte window (vectorized dot)
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    mult = np.power(np.uint64(1099511628211), np.arange(k, dtype=np.uint64))
+    with np.errstate(over="ignore"):
+        return (win * mult).sum(axis=1, dtype=np.uint64)
+
+
+class MinHasher:
+    """Actor-pool stage: doc → minhash signature (num_perm × uint64).
+
+    Permutation parameters are derived once per actor in ``__init__``
+    (SURVEY §2.3: stateful setup once per worker).
+    """
+
+    def __init__(self, num_perm: int = 64, k: int = 5, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _PRIME, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _PRIME, size=num_perm, dtype=np.uint64)
+        self.k = k
+        self.num_perm = num_perm
+
+    def signature(self, text: str) -> np.ndarray:
+        h = _shingle_hashes(text, self.k) % _PRIME
+        with np.errstate(over="ignore"):
+            # (num_perm, n_shingles) permuted hashes → min over shingles
+            perm = (np.outer(self.a, h) + self.b[:, None]) % _PRIME
+        return perm.min(axis=1)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack([self.signature(t) for t in batch["text"]])
+        batch["minhash"] = list(sigs)
+        return batch
+
+
+def minhash_lsh_candidates(ds: "ray.data.Dataset", num_perm: int = 64, bands: int = 16,
+                           k: int = 5, id_col: str = "doc_id") -> "ray.data.Dataset":
+    """docs(text) → candidate near-dup pairs via banded LSH.
+
+    bands=16 over 64 perms (r=4 rows/band) targets Jaccard ≳ 0.5.
+    Returns a Dataset of {id_a, id_b} with id_a < id_b (deduped).
+    """
+    rows_per_band = num_perm // bands
+
+    class BandExplode(MinHasher):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out_ids, out_band, out_hash = [], [], []
+            for did, text in zip(batch[id_col], batch["text"]):
+                sig = self.signature(text)
+                for b in range(bands):
+                    chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                    with np.errstate(over="ignore"):
+                        bh = np.uint64(0)
+                        for v in chunk:
+                            bh = bh * np.uint64(1099511628211) ^ np.uint64(v)
+                    out_ids.append(did)
+                    out_band.append(b)
+                    out_hash.append(np.int64(bh.astype(np.int64)))
+            return pd.DataFrame({id_col: out_ids, "band": out_band, "bhash": out_hash})
+
+    banded = ds.map_batches(
+        BandExplode, fn_constructor_kwargs={"num_perm": num_perm, "k": k},
+        batch_format="pandas", concurrency=pool(),
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+
+    cand = banded.groupby(["band", "bhash"]).map_groups(pairs, batch_format="pandas")
+    # dedup identical pairs found by multiple bands
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def jaccard_ngram(a: str, b: str, k: int = 5) -> float:
+    """Exact k-shingle Jaccard similarity (the verify step)."""
+    sa, sb = set(_shingle_hashes(a, k).tolist()), set(_shingle_hashes(b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+class SimHasher:
+    """64-bit SimHash over token hashes (stateless math, actor-cached params)."""
+
+    def __init__(self, k: int = 5):
+        self.k = k
+
+    def signature(self, text: str) -> np.int64:
+        h = _shingle_hashes(text, self.k)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for i in np.nonzero(v > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(i)
+        return sig.astype(np.int64)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["simhash"] = [self.signature(t) for t in batch["text"]]
+        return batch
+
+
+def simhash_near_dup_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                           max_hamming: int = 3) -> "ray.data.Dataset":
+    """Near-dup pairs by SimHash banding: 4 chunks of 16 bits — any pair
+    within hamming ≤ 3 must share at least one exact chunk (pigeonhole)."""
+    def explode_chunks(batch: pd.DataFrame) -> pd.DataFrame:
+        sh = SimHasher()
+        rows = {"chunk": [], "chash": [], id_col: [], "simhash": []}
+        for did, text in zip(batch[id_col], batch["text"]):
+            sig = np.uint64(sh.signature(text))
+            for c in range(4):
+                rows["chunk"].append(c)
+                rows["chash"].append(int((sig >> np.uint64(16 * c)) & np.uint64(0xFFFF)))
+                rows[id_col].append(did)
+                rows["simhash"].append(np.int64(sig.astype(np.int64)))
+        return pd.DataFrame(rows)
+
+    banded = ds.map_batches(explode_chunks, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).drop_duplicates(id_col)
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64),
+                                 "hamming": pd.Series(dtype=np.int64)})
+        ids = g[id_col].to_numpy()
+        sigs = g["simhash"].to_numpy().astype(np.uint64)
+        a, b = np.triu_indices(len(ids), k=1)
+        ham = np.array([bin(int(sigs[i] ^ sigs[j])).count("1") for i, j in zip(a, b)])
+        keep = ham <= max_hamming
+        return pd.DataFrame({"id_a": ids[a][keep], "id_b": ids[b][keep], "hamming": ham[keep]})
+
+    cand = banded.groupby(["chunk", "chash"]).map_groups(pairs, batch_format="pandas")
+    return cand.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+
+
+def resolve_duplicate_groups(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find → {doc_id: group_min_id}.  Driver-side; assumes the
+    verified pair set is small (documented LSH-scale assumption)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    seen: set[int] = set()
+    for a, b in pairs:
+        seen.update((a, b))
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in seen}

@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (``list<float>``).
+
+- ``brute_force_topk``: exact cosine top-k — numpy matmul per Arrow
+  batch against a broadcast query matrix (``ray.put`` once, read in
+  each task), per-batch local top-k then a tiny global merge.  The
+  baseline at any scale: no shuffle, one pass over the embeddings.
+- ``lsh_bucketed_topk``: random-hyperplane LSH variant — the scale
+  path: embeddings are bucketed by sign-pattern once, and a query only
+  scans its own (and neighboring-hamming) buckets.
+
+Both normalize in float64 for deterministic scoring (round 6 dp matches
+the DuckDB ``list_cosine_similarity`` oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..functions.pools import pool
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    """(n, d) float64 matrix from a list<float> column — zero-copy flatten."""
+    import pyarrow.compute as pc
+
+    arr = batch[col].combine_chunks()
+    flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def cosine_scores(mat: np.ndarray, query: np.ndarray) -> np.ndarray:
+    """Cosine similarity of each row of ``mat`` against 1-D ``query``."""
+    qn = query / np.linalg.norm(query)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return (mat @ qn) / norms
+
+
+def brute_force_topk(ds: "ray.data.Dataset", query_vec: np.ndarray, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> "ray.data.Dataset":
+    """Exact cosine top-k: per-batch scoring + local top-k, global merge."""
+    qref = ray.put(np.asarray(query_vec, dtype=np.float64))
+
+    class Score:
+        def __init__(self, qref, k):
+            self.q = ray.get(qref)  # broadcast once per actor
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _batch_matrix(batch, vec_col)
+            sims = np.round(cosine_scores(mat, self.q), 6)
+            # local top-k prune: only k rows per batch reach the merge
+            order = np.lexsort((batch[id_col].to_numpy(zero_copy_only=False), -sims))[: self.k]
+            return pa.table(
+                {
+                    id_col: pa.array(batch[id_col].take(pa.array(order))),
+                    "sim": pa.array(sims[order], pa.float64()),
+                }
+            )
+
+    scored = ds.map_batches(Score, fn_constructor_args=(qref, k),
+                            batch_format="pyarrow", zero_copy_batch=True, concurrency=pool())
+    return scored.sort(["sim", id_col], descending=[True, False]).limit(k)
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signatures: bucket id = sign pattern (n_planes bits).
+
+    Stateful stage — the plane matrix is drawn once per actor from the
+    seed (identical across actors ⇒ consistent bucketing).
+    """
+
+    def __init__(self, dim: int, n_planes: int = 8, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes))
+
+    def bucket_of(self, mat: np.ndarray) -> np.ndarray:
+        signs = (mat @ self.planes) > 0
+        return (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _batch_matrix(batch, "embedding")
+        return batch.append_column("bucket", pa.array(self.bucket_of(mat)))
+
+
+def lsh_bucketed_topk(ds: "ray.data.Dataset", query_vec: np.ndarray, k: int = 10,
+                      n_planes: int = 8, probe_hamming: int = 1, seed: int = 42,
+                      id_col: str = "vec_id") -> "ray.data.Dataset":
+    """Approximate top-k: scan only buckets within ``probe_hamming`` of the
+    query's bucket.  At 100 TB the bucketed table is written partitioned
+    by ``bucket`` so a query reads ~(probed/2^n_planes) of the data."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    dim = len(q)
+    lsh = HyperplaneLSH(dim, n_planes, seed)
+    qb = int(lsh.bucket_of(q.reshape(1, -1))[0])
+    probe = [b for b in range(1 << n_planes)
+             if bin(b ^ qb).count("1") <= probe_hamming]
+    probe_arr = pa.array(np.array(probe, dtype=np.int64))
+
+    bucketed = ds.map_batches(HyperplaneLSH, fn_constructor_args=(dim, n_planes, seed),
+                              batch_format="pyarrow", zero_copy_batch=True, concurrency=pool())
+
+    import pyarrow.compute as pc
+
+    pruned = bucketed.map_batches(
+        lambda t: t.filter(pc.is_in(t["bucket"], value_set=probe_arr)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return brute_force_topk(pruned, q, k=k, id_col=id_col)
+
+
+def knn_recall(approx: pd.DataFrame, exact: pd.DataFrame, id_col: str = "vec_id") -> float:
+    """Recall@k of the approximate result vs the exact one (bench metric)."""
+    return len(set(approx[id_col]) & set(exact[id_col])) / max(1, len(exact))

@@ -1,0 +1,104 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+Vectorized per-batch kernels over a ``text`` column: token counting,
+quality scoring, language-ID heuristic, and rolling-hash document
+fingerprinting.  All are stateless ``map_batches`` transforms except
+LangId, which compiles its token regex once per actor (the reference's
+pattern of loading helper state once per worker — SURVEY §2.3 T1).
+
+Reference analogues: HTML-strip / text cleanup
+(``/root/reference/src/etl/helpers/text_processing_helper.py:8-17``) and
+regex field extraction (``/root/reference/src/etl/vep_etl.py:81-142``) —
+generalized to the text operators a 100 TB document pipeline needs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: tiny embedded stopword list for the heuristic scorers (deterministic,
+#: matched exactly by the DuckDB oracles in pipelines/queries.py)
+STOPWORDS = ("a", "data", "table", "row", "value")
+
+_ENGLISH_MARKERS = frozenset(
+    "the a an and or of to in is are was be on at it this that with for as".split()
+)
+
+
+def token_quality_batch(t: pa.Table, text_col: str = "text",
+                        stopwords: tuple[str, ...] = STOPWORDS) -> pa.Table:
+    """Per-doc token count, char count and stopword ratio (quality score).
+
+    Tokenization = split on single space (mirrors the SQL oracle's
+    ``string_split(text, ' ')`` exactly, empty tokens kept in the count).
+    """
+    toks = pc.split_pattern(t[text_col], " ")
+    n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
+    flat = pc.list_flatten(toks)
+    is_stop = pc.is_in(flat, value_set=pa.array(stopwords))
+    # per-row stop counts: reduce the flattened mask by list offsets
+    counts = np.asarray(is_stop.cast(pa.int64()).to_numpy(zero_copy_only=False))
+    lengths = np.asarray(n_tokens.to_numpy(zero_copy_only=False))
+    ends = np.cumsum(lengths)
+    csum = np.concatenate([[0], np.cumsum(counts)])
+    stops = csum[ends] - csum[ends - lengths]
+    out = {name: t[name] for name in t.column_names}
+    out["n_tokens"] = n_tokens
+    out["n_chars_calc"] = pc.cast(pc.utf8_length(t[text_col]), pa.int64())
+    # exact integer hit count (a rounded ratio ties at half-ulp and then
+    # differs between numpy banker's rounding and SQL half-away rounding)
+    out["stop_hits"] = pa.array(stops.astype(np.int64))
+    out["stop_ratio"] = pa.array(stops / np.maximum(lengths, 1), pa.float64())
+    return pa.table(out)
+
+
+class LangId:
+    """Heuristic language ID: ratio of English-marker tokens.
+
+    Actor-pool stage (``map_batches(LangId, concurrency=N)``): the token
+    regex is compiled once per actor in ``__init__``.
+    """
+
+    def __init__(self, threshold: float = 0.05):
+        import re
+
+        self.word = re.compile(r"[a-z']+")
+        self.threshold = threshold
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(self.word)
+        ratio = toks.map(
+            lambda ws: sum(w in _ENGLISH_MARKERS for w in ws) / max(1, len(ws))
+        )
+        # unrounded: identical int inputs → identical double → identical
+        # threshold compare on the SQL-oracle side
+        batch["en_ratio"] = ratio.to_numpy()
+        batch["pred_lang"] = np.where(batch["en_ratio"] > self.threshold, "en", "other")
+        return batch
+
+
+def fingerprint_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit polynomial rolling-hash fingerprint per document.
+
+    ``h = sum(byte[i] * B^(n-1-i)) mod 2^64`` with B=257 — deterministic
+    across processes, vectorized per row over the raw UTF-8 bytes.
+    """
+    texts = t[text_col].to_pandas()
+    B = np.uint64(257)
+    max_len = int(texts.str.len().max() or 0) * 4 + 1  # utf-8 worst case
+    with np.errstate(over="ignore"):
+        pows = np.empty(max_len, dtype=np.uint64)
+        pows[0] = 1
+        np.multiply.accumulate(np.full(max_len - 1, B), out=pows[1:], dtype=np.uint64)
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for i, s in enumerate(texts):
+            if s is None:
+                continue
+            b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            out[i] = (b * pows[len(b) - 1 :: -1]).sum(dtype=np.uint64)
+    res = {name: t[name] for name in t.column_names}
+    res["fingerprint"] = pa.array(out.astype(np.int64))
+    return pa.table(res)

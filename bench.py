@@ -1,0 +1,153 @@
+"""Benchmark harness (driver-run per round → BENCH_r{N}.json).
+
+Headline: CDC WAL replay — change-events/sec applied end-to-end through
+the partitioned LWW upsert engine (the BASELINE.json target metric) on
+a deterministic skewed WAL sized to the sf tier, plus wall times of the
+headline operator queries over $GRAFT_SF_DIR tables.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "events_per_sec": ...}
+
+``--scaling``: runs the identical job in two fresh processes at
+num_cpus=8 and num_cpus=32 and reports both throughputs + scaling
+efficiency (sandbox stand-in for the N vs 4N-node cluster criterion —
+see BASELINE.md §3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+#: WAL sizes per sf tier (events); skewed (zipf) like t3
+_WAL_EVENTS = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 2_000_000}
+
+BENCH_QUERIES = [
+    "cdc_lww_upsert",
+    "q1_agg_pushdown",
+    "hash_join_priority_revenue",
+    "ann_cosine_topk",
+    "minhash_near_dup",
+]
+
+
+def _sf_name() -> str:
+    return os.path.basename(os.path.normpath(SF_DIR))
+
+
+def _consume(result) -> int:
+    """Force execution of a query result, return row count."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        n = 0
+        for b in result.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            n += b.num_rows
+        return n
+    if isinstance(result, (pa.Table, pd.DataFrame)):
+        return len(result)
+    return 0
+
+
+def run_bench() -> dict:
+    import ray
+    from ray.data import DataContext
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import agr_loader_ray.pipelines.text_queries  # noqa: F401
+    from agr_loader_ray.pipelines.engine import CdcEngine
+    from agr_loader_ray.pipelines.queries import QUERIES
+    from agr_loader_ray.wal.generator import WalSpec, generate_wal
+
+    sf = _sf_name()
+    n_events = _WAL_EVENTS.get(sf, 200_000)
+    spec = WalSpec(
+        n_events=n_events, n_convs=max(200, n_events // 30), n_epochs=8,
+        segments_per_epoch=max(4, NUM_CPUS // 2),
+        update_frac=0.25, delete_frac=0.05, zipf_a=1.2,
+        out_of_order_frac=0.05, dup_ts_frac=0.02,
+    )
+    wal_root = os.path.join(tempfile.gettempdir(), f"graft_bench_wal_{sf}_{n_events}")
+    generate_wal(wal_root, spec)  # cached across runs (deterministic)
+
+    # warm OS page cache so both scaling levels measure compute+shuffle
+    for root, _, files in os.walk(wal_root):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+
+    lake_root = tempfile.mkdtemp(prefix="graft_bench_lake_")
+    try:
+        eng = CdcEngine(lake_root, n_partitions=max(64, 2 * NUM_CPUS))
+        t0 = time.perf_counter()
+        stats = eng.replay(wal_root)
+        wal_sec = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(lake_root, ignore_errors=True)
+
+    queries: dict[str, float] = {"wal_replay": round(wal_sec, 3)}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _consume(QUERIES[name](SF_DIR))
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "cdc_wal_replay_sec (change-events/sec end-to-end, skewed WAL)",
+        "value": round(wal_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "wal_events": stats["events_applied"],
+        "events_per_sec": round(stats["events_applied"] / wal_sec, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eps_lo, eps_hi = lo["events_per_sec"], hi["events_per_sec"]
+    eff = (eps_hi / eps_lo) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency (events/sec at 8 vs 32 CPUs, same input)",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "events_per_sec_8": eps_lo,
+        "events_per_sec_32": eps_hi,
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"],
+        "wal_events": lo["wal_events"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

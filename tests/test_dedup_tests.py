@@ -1,0 +1,79 @@
+"""Sketch-op verification against exact baselines (rows-only driver gate
+is backed by these exactness/recall tests — SURVEY §5 strategy)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from agr_loader_ray.stages.dedup import (
+    MinHasher,
+    SimHasher,
+    _shingle_hashes,
+    jaccard_ngram,
+    minhash_lsh_candidates,
+    resolve_duplicate_groups,
+    simhash_near_dup_pairs,
+)
+
+
+def _docs():
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running through the field "
+        "until it reaches the river bank where it stops to drink some water quietly"
+    )
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base.replace("quick", "swift")},          # near-dup of 0
+        {"doc_id": 2, "text": base},                                     # exact dup of 0
+        {"doc_id": 3, "text": "completely different content about spark ray data pipelines and arrow batches in distributed execution engines with backpressure"},
+        {"doc_id": 4, "text": "another unrelated document mentioning parquet manifests epochs tombstones and schema evolution in lake architectures"},
+    ]
+    return rows
+
+
+def test_shingle_hashes_deterministic():
+    a = _shingle_hashes("hello world", 5)
+    b = _shingle_hashes("hello world", 5)
+    assert (a == b).all()
+    assert len(a) == len("hello world".encode()) - 4
+
+
+def test_minhash_estimates_jaccard():
+    rows = _docs()
+    mh = MinHasher(num_perm=128)
+    s0, s1 = mh.signature(rows[0]["text"]), mh.signature(rows[1]["text"])
+    est = (s0 == s1).mean()
+    true = jaccard_ngram(rows[0]["text"], rows[1]["text"])
+    assert abs(est - true) < 0.15
+    s3 = mh.signature(rows[3]["text"])
+    assert (s0 == s3).mean() < 0.2
+
+
+def test_minhash_lsh_finds_near_dups():
+    ds = ray.data.from_items(_docs())
+    pairs = minhash_lsh_candidates(ds, num_perm=64, bands=16).to_pandas()
+    got = {tuple(r) for r in pairs[["id_a", "id_b"]].to_numpy()}
+    assert (0, 2) in got          # exact dup always found
+    assert (0, 1) in got or (1, 2) in got   # near-dup found
+    assert (0, 3) not in got and (3, 4) not in got
+
+
+def test_simhash_near_dup_pairs():
+    ds = ray.data.from_items(_docs())
+    pairs = simhash_near_dup_pairs(ds, max_hamming=3).to_pandas()
+    got = {tuple(r) for r in pairs[["id_a", "id_b"]].to_numpy()}
+    assert (0, 2) in got          # identical docs: hamming 0
+    assert (3, 4) not in got
+
+
+def test_simhash_identical_same_sig():
+    sh = SimHasher()
+    assert sh.signature("same text here") == sh.signature("same text here")
+
+
+def test_resolve_duplicate_groups_union_find():
+    labels = resolve_duplicate_groups([(1, 2), (2, 3), (10, 11)])
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[10] == labels[11] == 10

@@ -1,0 +1,57 @@
+"""Ray pipeline vs DuckDB oracle equality for every registered query.
+
+Mirrors the driver's correctness gate: run QUERIES[name](sf_dir) and
+ORACLE_SQL[name] on the same parquet tables, compare row count, schema
+(column names) and values order-insensitively.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import agr_loader_ray.pipelines.text_queries  # noqa: F401  (registers queries)
+from agr_loader_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def duck_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con.sql(sql).df()
+
+
+def compare(got: pd.DataFrame, want: pd.DataFrame):
+    got = got[sorted(got.columns)].reset_index(drop=True)
+    want = want[sorted(want.columns)].reset_index(drop=True)
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    key = list(got.columns)
+    got = got.sort_values(key, kind="mergesort").reset_index(drop=True)
+    want = want.sort_values(key, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) & set(ORACLE_SQL)))
+def test_query_matches_oracle(name):
+    got = _to_pandas(QUERIES[name](SF_DIR))
+    want = duck_oracle(ORACLE_SQL[name], SF_DIR)
+    compare(got, want)
+
+
+def test_every_query_has_callable():
+    for name, fn in QUERIES.items():
+        assert callable(fn), name

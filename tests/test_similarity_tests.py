@@ -1,0 +1,41 @@
+"""Similarity-search tests: brute-force exactness vs numpy oracle, LSH recall."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from agr_loader_ray.stages.similarity import (
+    brute_force_topk,
+    cosine_scores,
+    knn_recall,
+    lsh_bucketed_topk,
+)
+
+
+def _embeddings(n=200, d=16, seed=3):
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    flat = pa.array(mat.reshape(-1), pa.float32())
+    col = pa.FixedSizeListArray.from_arrays(flat, d).cast(pa.list_(pa.float32()))
+    return pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)), "embedding": col}), mat
+
+
+def test_brute_force_matches_numpy_oracle():
+    tbl, mat = _embeddings()
+    q = mat[0].astype(np.float64)
+    ds = ray.data.from_arrow(tbl)
+    got = brute_force_topk(ds, q, k=10).to_pandas()
+    sims = np.round(cosine_scores(mat.astype(np.float64), q), 6)
+    order = np.lexsort((np.arange(len(sims)), -sims))[:10]
+    assert got["vec_id"].tolist() == order.tolist()
+    np.testing.assert_allclose(got["sim"].to_numpy(), sims[order], atol=1e-9)
+
+
+def test_lsh_topk_recall():
+    tbl, mat = _embeddings(n=500)
+    q = mat[1].astype(np.float64)
+    ds = ray.data.from_arrow(tbl)
+    exact = brute_force_topk(ds, q, k=10).to_pandas()
+    approx = lsh_bucketed_topk(ds, q, k=10, n_planes=6, probe_hamming=2).to_pandas()
+    assert knn_recall(approx, exact) >= 0.5  # probed ~22% of buckets
