@@ -74,17 +74,24 @@ def _live_checksum(tbl: pa.Table) -> str:
 
 class _PreFoldPartition:
     """map_batches stage: drop S rows, LWW-prefold within the block,
-    normalize to lake layout, add the partition column."""
+    normalize to lake layout, add the partition column.
 
-    def __init__(self, n_partitions: int):
+    ``keep_epoch=True`` (catch-up mode) folds within ``(key, epoch)``
+    so per-epoch intermediate lake states stay byte-identical to
+    sequential application."""
+
+    def __init__(self, n_partitions: int, keep_epoch: bool = False):
         self.n = n_partitions
+        self.keep_epoch = keep_epoch
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.not_equal(batch["op"], "S"))
+        key = ["conv_id", "turn_idx"] + (["epoch"] if self.keep_epoch else [])
         if batch.num_rows:
-            batch = lww_last_per_key(batch, ["conv_id", "turn_idx"], ["ts", "offset"])
+            batch = lww_last_per_key(batch, key, ["ts", "offset"])
         deleted = pc.equal(batch["op"], "D")
-        batch = batch.drop_columns(["op", "epoch"]).append_column(DELETED_COL, deleted)
+        drop = ["op"] if self.keep_epoch else ["op", "epoch"]
+        batch = batch.drop_columns(drop).append_column(DELETED_COL, deleted)
         batch = batch.rename_columns(
             [OFFSET_COL if c == "offset" else c for c in batch.column_names]
         )
@@ -140,6 +147,79 @@ def _make_merge_apply(lake_root: str, epoch: int, registry_dict: dict,
         }
         manifest.write_staged(epoch, part, info)
         return pa.Table.from_pylist([info])
+
+    return merge_apply
+
+
+def _make_catchup_apply(lake_root: str, epochs: list[int],
+                        registries_by_epoch: dict[int, dict],
+                        prev_files: dict[int, str | None]):
+    """Catch-up merge-apply: one shuffle for a whole epoch backlog.
+
+    The group holds ALL events of partition ``part`` for ``epochs``
+    (epoch column retained; pre-folded within (key, epoch) only), and
+    applies them epoch by epoch — writing the same per-epoch
+    copy-on-write file + staged manifest a sequential replay would, so
+    lineage, resume points and final bytes are identical while the
+    all-to-all exchange is paid once per backlog instead of once per
+    epoch (8 pending epochs ⇒ 8× fewer shuffles).
+    """
+    manifest = LakeManifest(lake_root)
+
+    def merge_apply(group: pa.Table) -> pa.Table:
+        part = int(group[PART_COL][0].as_py())
+        group = group.drop_columns([PART_COL])
+        epoch_np = group["epoch"].to_numpy(zero_copy_only=False)
+
+        cur_file = prev_files.get(part)
+        base: pa.Table | None = None  # in-memory state (avoids re-reading)
+        out_rows: list[dict] = []
+        for e in epochs:
+            staged = manifest.read_staged(e, part)
+            if staged is not None and os.path.exists(manifest.abspath(staged["path"])):
+                out_rows.append(staged)
+                cur_file, base = staged["path"], None
+                continue
+            ev = group.filter(pa.array(epoch_np == e)).drop_columns(["epoch"])
+            if ev.num_rows == 0:
+                continue  # partition untouched this epoch: carry forward
+            registry = SchemaRegistry.from_dict(registries_by_epoch[e])
+            ev = registry.conform(ev, _EXTRA_FIELDS)
+            if base is None and cur_file:
+                base = pq.read_table(manifest.abspath(cur_file))
+            if base is not None:
+                merged = pa.concat_tables(
+                    [registry.conform(base, _EXTRA_FIELDS), ev]
+                )
+            else:
+                merged = ev
+            merged = lww_last_per_key(merged, ["conv_id", "turn_idx"], ["ts", OFFSET_COL])
+
+            rel = manifest.partition_file(part, e)
+            abspath = manifest.abspath(rel)
+            os.makedirs(os.path.dirname(abspath), exist_ok=True)
+            tmp = f"{abspath}.tmp.{os.getpid()}"
+            pq.write_table(merged, tmp)
+            os.replace(tmp, abspath)
+
+            live = merged.filter(pc.equal(merged[DELETED_COL], False))
+            info = {
+                "part": part,
+                "path": rel,
+                "rows": merged.num_rows,
+                "live_rows": live.num_rows,
+                "checksum": _live_checksum(live),
+                "max_offset": int(pc.max(merged[OFFSET_COL]).as_py()),
+                "epoch": e,
+            }
+            manifest.write_staged(e, part, info)
+            out_rows.append(info)
+            cur_file, base = rel, merged
+        if not out_rows:
+            return pa.Table.from_pylist(
+                [], schema=pa.schema([pa.field("part", pa.int64())])
+            )
+        return pa.Table.from_pylist(out_rows)
 
     return merge_apply
 
@@ -228,20 +308,112 @@ class CdcEngine:
             "touched_partitions": len(rows),
         }
 
-    def replay(self, wal_root: str, upto_epoch: int | None = None) -> dict:
+    def _epoch_schema_events(self, wal_root: str, epoch: int) -> list[dict]:
+        """S-event payloads of one epoch, in offset order (driver-side,
+        predicate+column pushdown — tiny)."""
+        epoch_dir = os.path.join(wal_root, f"epoch={epoch}")
+        s_tbl = pads.dataset(epoch_dir).to_table(
+            filter=pc.equal(pc.field("op"), "S"), columns=["offset", "schema_change"]
+        ).sort_by("offset")
+        return [json.loads(c) for c in s_tbl["schema_change"].to_pylist()]
+
+    def apply_epochs(self, wal_root: str, epochs: list[int]) -> dict:
+        """Catch-up apply: a contiguous backlog of epochs in ONE shuffle.
+
+        Produces byte-identical per-epoch lake files and manifests as
+        sequential ``apply_epoch`` calls (verified by tests) — only the
+        number of all-to-all exchanges changes.  Commits epoch manifests
+        in order at the end; a crash before commit resumes instantly
+        from the staged per-partition manifests.
+        """
+        t0 = time.perf_counter()
+        epochs = [e for e in epochs
+                  if not os.path.exists(self.manifest.epoch_manifest_path(e))]
+        if not epochs:
+            return {"epochs": [], "events": 0, "sec": 0.0}
+
+        registry = self._load_registry()
+        prev_parts = self.manifest.current_partitions()
+        prev_files = {p: info.get("path") for p, info in prev_parts.items()}
+
+        registries_by_epoch: dict[int, dict] = {}
+        n_events = 0
+        epoch_dirs = []
+        for e in epochs:
+            for ch in self._epoch_schema_events(wal_root, e):
+                registry.apply(ch)
+            registries_by_epoch[e] = registry.to_dict()
+            d = os.path.join(wal_root, f"epoch={e}")
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".parquet"):
+                    path = os.path.join(d, f)
+                    epoch_dirs.append(path)
+                    n_events += pq.read_metadata(path).num_rows
+
+        ds = ray.data.read_parquet(epoch_dirs)
+        ds = ds.map_batches(
+            _PreFoldPartition(self.n_partitions, keep_epoch=True),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        apply_fn = _make_catchup_apply(
+            self.manifest.lake_root, epochs, registries_by_epoch, prev_files
+        )
+        rows = [
+            r for r in
+            ds.groupby(PART_COL).map_groups(apply_fn, batch_format="pyarrow").take_all()
+            if r.get("path")
+        ]
+
+        # Commit each epoch in order (carry forward untouched partitions).
+        parts = dict(prev_parts)
+        stats = []
+        for e in epochs:
+            erows = [r for r in rows if r["epoch"] == e]
+            for r in erows:
+                parts[r["part"]] = {
+                    k: r[k] for k in ("path", "rows", "live_rows", "checksum", "max_offset", "epoch")
+                }
+            max_off = max((r["max_offset"] for r in erows), default=None)
+            self.manifest.commit_epoch(
+                e, registries_by_epoch[e], parts,
+                (None, max_off) if max_off is not None else None,
+            )
+            stats.append({"epoch": e, "skipped": False, "touched_partitions": len(erows)})
+        return {"epochs": stats, "events": n_events, "sec": time.perf_counter() - t0}
+
+    def replay(self, wal_root: str, upto_epoch: int | None = None,
+               catchup: bool = True, max_catchup: int = 64) -> dict:
         """Replay all WAL epochs not yet committed (resumable).
 
-        On restart after a crash, committed epochs are skipped via their
-        manifests and a partially-applied epoch resumes from its staged
+        ``catchup=True`` (default) applies the pending backlog in batched
+        shuffles of up to ``max_catchup`` epochs; ``catchup=False`` forces
+        one shuffle per epoch (same bytes, more exchanges).  On restart
+        after a crash, committed epochs are skipped via their manifests
+        and a partially-applied epoch resumes from its staged
         per-partition manifests — the exactly-once path (SURVEY §7.5.1).
         """
         t0 = time.perf_counter()
-        stats = []
-        for e in self.wal_epochs(wal_root):
-            if upto_epoch is not None and e > upto_epoch:
-                break
-            stats.append(self.apply_epoch(wal_root, e))
-        events = sum(s["events"] for s in stats)
+        pending = [
+            e for e in self.wal_epochs(wal_root)
+            if (upto_epoch is None or e <= upto_epoch)
+        ]
+        stats: list[dict] = []
+        events = 0
+        if catchup:
+            todo = [e for e in pending
+                    if not os.path.exists(self.manifest.epoch_manifest_path(e))]
+            stats.extend(
+                {"epoch": e, "skipped": True, "sec": 0.0} for e in pending if e not in todo
+            )
+            for i in range(0, len(todo), max_catchup):
+                r = self.apply_epochs(wal_root, todo[i : i + max_catchup])
+                stats.extend(r["epochs"])
+                events += r["events"]
+        else:
+            for e in pending:
+                s = self.apply_epoch(wal_root, e)
+                stats.append(s)
+                events += s["events"]
         sec = time.perf_counter() - t0
         return {
             "epochs": stats,

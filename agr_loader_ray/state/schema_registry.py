@@ -126,7 +126,9 @@ class SchemaRegistry:
         return {
             "version": self.version,
             "fields": [[f.name, type_to_name(f.type)] for f in self.schema],
-            "defaults": self.defaults,
+            # copy: to_dict() snapshots must not alias live mutable state
+            # (apply_epochs snapshots the registry once per epoch)
+            "defaults": dict(self.defaults),
         }
 
     @classmethod

@@ -147,3 +147,48 @@ def test_tombstone_blocks_late_resurrection(tmp_lake, tmp_wal):
     eng = CdcEngine(tmp_lake, n_partitions=2)
     eng.replay(tmp_wal)
     assert read_lake(tmp_lake).count() == 0
+
+
+def test_catchup_equals_sequential(tmp_path):
+    """Batched catch-up replay must produce byte-identical per-epoch
+    manifests (counts + checksums) and the same final state as
+    one-shuffle-per-epoch sequential replay."""
+    wal = str(tmp_path / "wal")
+    spec = WalSpec(n_events=10_000, n_convs=400, n_epochs=5, update_frac=0.25,
+                   delete_frac=0.08, out_of_order_frac=0.1, dup_ts_frac=0.05,
+                   schema_events=((0.5, '{"kind": "add_column", "name": "lang", "type": "string", "default": null}'),))
+    generate_wal(wal, spec)
+
+    lake_seq = str(tmp_path / "lake_seq")
+    lake_cat = str(tmp_path / "lake_cat")
+    eng_seq = CdcEngine(lake_seq, n_partitions=8)
+    eng_seq.replay(wal, catchup=False)
+    eng_cat = CdcEngine(lake_cat, n_partitions=8)
+    eng_cat.replay(wal, catchup=True)
+
+    for e in eng_seq.manifest.committed_epochs():
+        ms = eng_seq.manifest.read_epoch(e)
+        mc = eng_cat.manifest.read_epoch(e)
+        assert ms["partitions"] == mc["partitions"], f"epoch {e}"
+        assert ms["schema_registry"] == mc["schema_registry"]
+    _assert_equals_oracle(lake_cat, wal)
+
+
+def test_catchup_resume_mid_batch(tmp_path):
+    """Crash after the batched apply but before commits: staged
+    manifests let the rerun skip all the work and still commit."""
+    import os
+    wal = str(tmp_path / "wal")
+    spec = WalSpec(n_events=6_000, n_convs=200, n_epochs=4, update_frac=0.2, delete_frac=0.1)
+    generate_wal(wal, spec)
+    lake = str(tmp_path / "lake")
+    eng = CdcEngine(lake, n_partitions=4)
+    eng.replay(wal)
+    # simulate crash before the last two commits
+    os.remove(eng.manifest.epoch_manifest_path(2))
+    os.remove(eng.manifest.epoch_manifest_path(3))
+    eng2 = CdcEngine(lake, n_partitions=4)
+    stats = eng2.replay(wal)
+    applied = [s["epoch"] for s in stats["epochs"] if not s.get("skipped")]
+    assert applied == [2, 3]
+    _assert_equals_oracle(lake, wal)
