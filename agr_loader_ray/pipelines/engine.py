@@ -72,6 +72,31 @@ def _live_checksum(tbl: pa.Table) -> str:
         return format(int(h.sum(dtype=np.uint64)), "x")
 
 
+def _count_u_on_missing(events: pa.Table, base: pa.Table | None) -> int:
+    """Count update events targeting keys absent from the partition base.
+
+    The reference's ``MATCH (x {primaryKey}) MERGE …`` silently drops
+    rows whose key is missing (SURVEY J1); our policy is upsert-anyway
+    plus this lineage counter (≙ resolution-statistics counters,
+    ``/root/reference/src/etl/molecular_interaction_etl.py:451-454``).
+    """
+    from ..stages.partition import key_hash
+
+    if "op" not in events.column_names or events.num_rows == 0:
+        return 0
+    # fold to one winner per key first so the count is invariant to how
+    # the pre-fold combiner split blocks (deterministic across replays)
+    winners = lww_last_per_key(events, ["conv_id", "turn_idx"], ["ts", OFFSET_COL])
+    is_u = pc.equal(winners["op"], "U").to_numpy(zero_copy_only=False)
+    if not is_u.any():
+        return 0
+    if base is None or base.num_rows == 0:
+        return int(is_u.sum())
+    ev_h = key_hash(winners["conv_id"], winners["turn_idx"])
+    base_h = key_hash(base["conv_id"], base["turn_idx"])
+    return int((is_u & ~np.isin(ev_h, base_h)).sum())
+
+
 class _PreFoldPartition:
     """map_batches stage: drop S rows, LWW-prefold within the block,
     normalize to lake layout, add the partition column.
@@ -90,8 +115,11 @@ class _PreFoldPartition:
         if batch.num_rows:
             batch = lww_last_per_key(batch, key, ["ts", "offset"])
         deleted = pc.equal(batch["op"], "D")
-        drop = ["op"] if self.keep_epoch else ["op", "epoch"]
-        batch = batch.drop_columns(drop).append_column(DELETED_COL, deleted)
+        # "op" survives to the merge for the update-on-missing-key metric
+        # (the reference's MATCH drops such rows silently — we count them
+        # into lineage instead, SURVEY §7.5.4 / A5); dropped before write.
+        drop = [] if self.keep_epoch else ["epoch"]
+        batch = (batch.drop_columns(drop) if drop else batch).append_column(DELETED_COL, deleted)
         batch = batch.rename_columns(
             [OFFSET_COL if c == "offset" else c for c in batch.column_names]
         )
@@ -116,13 +144,16 @@ def _make_merge_apply(lake_root: str, epoch: int, registry_dict: dict,
         if staged is not None and os.path.exists(manifest.abspath(staged["path"])):
             return pa.Table.from_pylist([staged])
 
-        events = registry.conform(group.drop_columns([PART_COL]), _EXTRA_FIELDS)
+        raw = group.drop_columns([PART_COL])
+        events = registry.conform(raw, _EXTRA_FIELDS)  # drops "op"
 
         base_rel = prev_files.get(part)
+        base = None
         if base_rel:
             base = pq.read_table(manifest.abspath(base_rel))
-            base = registry.conform(base, _EXTRA_FIELDS)
-            merged = pa.concat_tables([base, events])
+        u_on_missing = _count_u_on_missing(raw, base)
+        if base is not None:
+            merged = pa.concat_tables([registry.conform(base, _EXTRA_FIELDS), events])
         else:
             merged = events
 
@@ -143,6 +174,7 @@ def _make_merge_apply(lake_root: str, epoch: int, registry_dict: dict,
             "live_rows": live.num_rows,
             "checksum": _live_checksum(live),
             "max_offset": int(pc.max(merged[OFFSET_COL]).as_py()),
+            "u_on_missing": u_on_missing,
             "epoch": epoch,
         }
         manifest.write_staged(epoch, part, info)
@@ -180,13 +212,14 @@ def _make_catchup_apply(lake_root: str, epochs: list[int],
                 out_rows.append(staged)
                 cur_file, base = staged["path"], None
                 continue
-            ev = group.filter(pa.array(epoch_np == e)).drop_columns(["epoch"])
-            if ev.num_rows == 0:
+            raw = group.filter(pa.array(epoch_np == e)).drop_columns(["epoch"])
+            if raw.num_rows == 0:
                 continue  # partition untouched this epoch: carry forward
             registry = SchemaRegistry.from_dict(registries_by_epoch[e])
-            ev = registry.conform(ev, _EXTRA_FIELDS)
             if base is None and cur_file:
                 base = pq.read_table(manifest.abspath(cur_file))
+            u_on_missing = _count_u_on_missing(raw, base)
+            ev = registry.conform(raw, _EXTRA_FIELDS)  # drops "op"
             if base is not None:
                 merged = pa.concat_tables(
                     [registry.conform(base, _EXTRA_FIELDS), ev]
@@ -210,6 +243,7 @@ def _make_catchup_apply(lake_root: str, epochs: list[int],
                 "live_rows": live.num_rows,
                 "checksum": _live_checksum(live),
                 "max_offset": int(pc.max(merged[OFFSET_COL]).as_py()),
+                "u_on_missing": u_on_missing,
                 "epoch": e,
             }
             manifest.write_staged(e, part, info)
@@ -295,7 +329,7 @@ class CdcEngine:
         max_off = max((r["max_offset"] for r in rows), default=None)
         min_off = None
         for r in rows:
-            parts[r["part"]] = {k: r[k] for k in ("path", "rows", "live_rows", "checksum", "max_offset", "epoch")}
+            parts[r["part"]] = {k: r.get(k, 0) for k in ("path", "rows", "live_rows", "checksum", "max_offset", "u_on_missing", "epoch")}
         self.manifest.commit_epoch(
             epoch, registry_dict, parts,
             (min_off, max_off) if max_off is not None else None,
@@ -371,7 +405,8 @@ class CdcEngine:
             erows = [r for r in rows if r["epoch"] == e]
             for r in erows:
                 parts[r["part"]] = {
-                    k: r[k] for k in ("path", "rows", "live_rows", "checksum", "max_offset", "epoch")
+                    k: r.get(k, 0)
+                    for k in ("path", "rows", "live_rows", "checksum", "max_offset", "u_on_missing", "epoch")
                 }
             max_off = max((r["max_offset"] for r in erows), default=None)
             self.manifest.commit_epoch(

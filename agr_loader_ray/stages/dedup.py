@@ -70,9 +70,21 @@ class MinHasher:
             perm = (np.outer(self.a, h) + self.b[:, None]) % _PRIME
         return perm.min(axis=1)
 
+    def signatures_batch(self, texts) -> np.ndarray:
+        """(n_docs, num_perm) signatures, fully vectorized: concatenate
+        all docs' shingle hashes, permute once, segment-min per doc via
+        ``np.minimum.reduceat`` — no per-doc Python in the hot path."""
+        shingles = [_shingle_hashes(t, self.k) % _PRIME for t in texts]
+        lengths = np.array([len(s) for s in shingles], dtype=np.int64)
+        h_all = np.concatenate(shingles) if shingles else np.empty(0, np.uint64)
+        starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        with np.errstate(over="ignore"):
+            perm = (self.a[:, None] * h_all[None, :] + self.b[:, None]) % _PRIME
+        sig = np.minimum.reduceat(perm, starts, axis=1)  # (num_perm, n_docs)
+        return sig.T
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([self.signature(t) for t in batch["text"]])
-        batch["minhash"] = list(sigs)
+        batch["minhash"] = list(self.signatures_batch(batch["text"].tolist()))
         return batch
 
 
@@ -87,19 +99,21 @@ def minhash_lsh_candidates(ds: "ray.data.Dataset", num_perm: int = 64, bands: in
 
     class BandExplode(MinHasher):
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            out_ids, out_band, out_hash = [], [], []
-            for did, text in zip(batch[id_col], batch["text"]):
-                sig = self.signature(text)
-                for b in range(bands):
-                    chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                    with np.errstate(over="ignore"):
-                        bh = np.uint64(0)
-                        for v in chunk:
-                            bh = bh * np.uint64(1099511628211) ^ np.uint64(v)
-                    out_ids.append(did)
-                    out_band.append(b)
-                    out_hash.append(np.int64(bh.astype(np.int64)))
-            return pd.DataFrame({id_col: out_ids, "band": out_band, "bhash": out_hash})
+            sigs = self.signatures_batch(batch["text"].tolist())  # (n, num_perm)
+            n = sigs.shape[0]
+            # (n, bands, r): mix each band's r rows with an order-dependent
+            # xor-multiply — vectorized across docs and bands
+            chunks = sigs.reshape(n, bands, rows_per_band)
+            F = np.uint64(1099511628211)
+            with np.errstate(over="ignore"):
+                bh = np.zeros((n, bands), dtype=np.uint64)
+                for r in range(rows_per_band):
+                    bh = bh * F ^ chunks[:, :, r]
+            ids = np.repeat(np.asarray(batch[id_col]), bands)
+            band_ids = np.tile(np.arange(bands, dtype=np.int64), n)
+            return pd.DataFrame(
+                {id_col: ids, "band": band_ids, "bhash": bh.reshape(-1).astype(np.int64)}
+            )
 
     banded = ds.map_batches(
         BandExplode, fn_constructor_kwargs={"num_perm": num_perm, "k": k},

@@ -210,6 +210,11 @@ def generate_wal(out_dir: str, spec: WalSpec = T1_SMOKE, overwrite: bool = False
             return meta
 
     tbl = build_events(spec)
+    # a different spec may leave stale segment files behind — regenerate
+    # into a clean directory
+    if os.path.isdir(out_dir):
+        import shutil
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     epochs = tbl["epoch"].to_numpy(zero_copy_only=False)
     n_epochs = int(epochs.max()) + 1
