@@ -673,3 +673,120 @@ def transitive_closure_ancestors(sf_dir: str):
         )
 
     return ds.map_batches(closure, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# asof_join_purchase_view — as-of (ordering-sensitive) join: each purchase
+# matched to the user's most recent prior-or-equal view (SURVEY J8: the
+# reference has no time dimension; this is the CDC-era operator Ray Data
+# lacks natively — composed as groupby(key) + merge_asof per group).
+# Partitioning assumption: both sides fit per-key groups (bounded per user).
+# ---------------------------------------------------------------------------
+@query(
+    "asof_join_purchase_view",
+    """
+    SELECT p.event_id, p.user_id, v.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def asof_join_purchase_view(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"].sort_values("ts")
+        v = g[g["event_type"] == "view"].sort_values("ts")
+        if p.empty or v.empty:
+            return pd.DataFrame({"event_id": pd.Series(dtype=np.int64),
+                                 "user_id": pd.Series(dtype=np.int64),
+                                 "view_ts": pd.Series(dtype="datetime64[us]")})
+        m = pd.merge_asof(p[["event_id", "user_id", "ts"]], v[["ts"]],
+                          on="ts", direction="backward", suffixes=("", "_v"))
+        # merge_asof on one column: matched v.ts is the join key itself;
+        # re-derive it via searchsorted for the output column
+        idx = np.searchsorted(v["ts"].to_numpy(), p["ts"].to_numpy(), side="right") - 1
+        ok = idx >= 0
+        out = p.loc[ok, ["event_id", "user_id"]].copy()
+        out["view_ts"] = v["ts"].to_numpy()[idx[ok]]
+        return out
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# props_extract_sum — nested/JSON-ish field extraction from a string column
+# (SURVEY M13/M2: k=v attribute parsing, crossReferences flattening).
+# ---------------------------------------------------------------------------
+@query(
+    "props_extract_sum",
+    """
+    SELECT event_type,
+           sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def props_extract_sum(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["props"], pattern=r'"k": (?P<k>[0-9]+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        t2 = pa.table({"event_type": t["event_type"], "k": k})
+        return t2.group_by("event_type").aggregate([("k", "sum"), ("k", "count")])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("k_sum", alias_name="sum_k"), Sum("k_count", alias_name="n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# union_user_activity — union of per-source sub-loads into one table
+# (SURVEY D3: per-MOD sub-loads appended to one node label).
+# ---------------------------------------------------------------------------
+@query(
+    "union_user_activity",
+    """
+    SELECT user_id, count(*) AS n_events FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id FROM events WHERE event_type = 'purchase') t
+    GROUP BY user_id
+    """,
+)
+def union_user_activity(sf_dir: str):
+    def src(et: str):
+        return read_table(sf_dir, "events", columns=["user_id", "event_type"]).map_batches(
+            lambda t, et=et: t.filter(pc.equal(t["event_type"], et)).select(["user_id"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    unioned = src("click").union(src("purchase"))
+    return unioned.groupby("user_id").aggregate(Count(alias_name="n_events"))
+
+
+# ---------------------------------------------------------------------------
+# running_value_per_user — sort-within-group running aggregate
+# (SURVEY O1: ORDER BY within grouped assembly, protein_sequence_etl.py:125-142).
+# ---------------------------------------------------------------------------
+@query(
+    "running_value_per_user",
+    """
+    SELECT event_id,
+           sum(CAST(round(value * 100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cum_value_c
+    FROM events
+    """,
+)
+def running_value_per_user(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "value", "ts"])
+
+    def cumsum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        cents = (g["value"] * 100).round().astype(np.int64)
+        return pd.DataFrame({"event_id": g["event_id"], "cum_value_c": cents.cumsum()})
+
+    return ds.groupby("user_id").map_groups(cumsum, batch_format="pandas")

@@ -81,9 +81,12 @@ T3_SKEW = WalSpec(
 
 
 def _zipf_conv_indices(rng: np.random.Generator, n: int, n_convs: int, a: float) -> np.ndarray:
-    """Zipf(a) draw truncated to [0, n_convs); index 0 is the hot key."""
+    """Zipf(a) draw folded into [0, n_convs); index 0 is the hot key.
+
+    Overflow ranks wrap with modulo (NOT clamp-to-last — clamping would
+    concentrate the whole tail mass on one synthetic hotspot)."""
     ranks = rng.zipf(a, size=n)
-    return np.minimum(ranks - 1, n_convs - 1).astype(np.int64)
+    return ((ranks - 1) % n_convs).astype(np.int64)
 
 
 def build_events(spec: WalSpec) -> pa.Table:

@@ -1,0 +1,54 @@
+"""Skew handling: Zipf-distributed conversations (t3 tier, scaled down).
+
+The engine's skew mechanism is structural (SURVEY A8 / §7.4): the
+partition key is the FULL primary key (conv_id, turn_idx), so a hot
+conversation's turns spread over all partitions, and the per-batch LWW
+pre-fold collapses repeated updates to one survivor per key per block
+before the shuffle.  These tests assert (a) correctness under skew and
+(b) that the hot conversation's rows actually spread across partitions.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow.dataset as pads
+
+import ray.data
+
+from agr_loader_ray.oracle import oracle_reduce
+from agr_loader_ray.pipelines.engine import CdcEngine
+from agr_loader_ray.pipelines.export import export_sorted
+from agr_loader_ray.stages.partition import skew_stats
+from agr_loader_ray.wal.generator import WalSpec, generate_wal
+
+SPEC = WalSpec(n_events=30_000, n_convs=1_000, n_epochs=4, update_frac=0.25,
+               delete_frac=0.05, zipf_a=1.2, out_of_order_frac=0.05, dup_ts_frac=0.02)
+
+
+def test_skewed_replay_matches_oracle(tmp_lake, tmp_wal):
+    generate_wal(tmp_wal, SPEC)
+    eng = CdcEngine(tmp_lake, n_partitions=8)
+    eng.replay(tmp_wal)
+    got = export_sorted(tmp_lake).to_pandas().reset_index(drop=True)
+    want = oracle_reduce(
+        pads.dataset(tmp_wal, partitioning="hive").to_table().to_pandas()
+    ).reset_index(drop=True)
+    got = got[want.columns.tolist()]
+    for c in want.columns:
+        want[c] = want[c].astype(got[c].dtype)
+    pd.testing.assert_frame_equal(got, want)
+
+    # hot conversation (zipf rank 1 = conv-00000000) spreads over partitions
+    m = eng.manifest.read_epoch(eng.manifest.last_committed_epoch())
+    rows_per_part = [info["rows"] for info in m["partitions"].values()]
+    assert max(rows_per_part) < 3 * (sum(rows_per_part) / len(rows_per_part)), (
+        "partition sizes too skewed — full-PK hashing should balance them"
+    )
+
+
+def test_skew_stats_finds_hot_conversation(tmp_wal):
+    generate_wal(tmp_wal, SPEC)
+    ds = ray.data.read_parquet(tmp_wal)
+    top = skew_stats(ds, conv_col="conv_id", top_k=5)
+    assert top.iloc[0]["conv_id"] == "conv-00000000"  # zipf head
+    total = SPEC.n_events
+    assert top.iloc[0]["changes"] > 0.01 * total  # genuinely hot
