@@ -40,6 +40,7 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
+import ray
 import ray.data
 
 from ..schemas import DELETED_COL, OFFSET_COL, TRANSCRIPT_SCHEMA
@@ -70,6 +71,20 @@ def _live_checksum(tbl: pa.Table) -> str:
     h = h ^ (t.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
     with np.errstate(over="ignore"):
         return format(int(h.sum(dtype=np.uint64)), "x")
+
+
+def _shuffle_blocks(total_bytes: int) -> int:
+    """Input block count for the partition exchange.
+
+    The sort-based shuffle's cost grows with map-blocks × reduce-blocks
+    object transfers (200×200 small blocks measured 24 s wall for 20 s
+    of CPU on one node); coalescing the read to ~1 block per CPU with a
+    256 MiB floor made the same exchange 5× faster.  Scales with both
+    cluster size and data volume.
+    """
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    by_bytes = -(-total_bytes // (256 << 20))
+    return max(ncpu, by_bytes)
 
 
 def _count_u_on_missing(events: pa.Table, base: pa.Table | None) -> int:
@@ -315,7 +330,14 @@ class CdcEngine:
             if f.endswith(".parquet")
         )
 
-        ds = ray.data.read_parquet(epoch_dir)
+        seg_files = [
+            os.path.join(epoch_dir, f)
+            for f in sorted(os.listdir(epoch_dir)) if f.endswith(".parquet")
+        ]
+        total_bytes = sum(os.path.getsize(p) for p in seg_files)
+        ds = ray.data.read_parquet(
+            seg_files, override_num_blocks=min(len(seg_files), _shuffle_blocks(total_bytes))
+        )
         ds = ds.map_batches(
             _PreFoldPartition(self.n_partitions),
             batch_format="pyarrow",
@@ -383,8 +405,11 @@ class CdcEngine:
                     path = os.path.join(d, f)
                     epoch_dirs.append(path)
                     n_events += pq.read_metadata(path).num_rows
+        total_bytes = sum(os.path.getsize(p) for p in epoch_dirs)
 
-        ds = ray.data.read_parquet(epoch_dirs)
+        ds = ray.data.read_parquet(
+            epoch_dirs, override_num_blocks=min(len(epoch_dirs), _shuffle_blocks(total_bytes))
+        )
         ds = ds.map_batches(
             _PreFoldPartition(self.n_partitions, keep_epoch=True),
             batch_format="pyarrow", zero_copy_batch=True,

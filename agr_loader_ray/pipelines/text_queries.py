@@ -142,3 +142,57 @@ def minhash_near_dup(sf_dir: str):
 def simhash_near_dup(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return simhash_near_dup_pairs(ds, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# tumbling_window_counts — event-time tumbling window aggregate
+# (SURVEY §2.9: windows expressed as derived window-key + groupby;
+# oracle: GROUP BY date_trunc).
+# ---------------------------------------------------------------------------
+@query(
+    "tumbling_window_counts",
+    """
+    SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) AS value_c
+    FROM events GROUP BY user_id, date_trunc('hour', ts)
+    """,
+)
+def tumbling_window_counts(sf_dir: str):
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        val_c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        t2 = pa.table({"user_id": t["user_id"], "hour": hour, "value_c": val_c})
+        return t2.group_by(["user_id", "hour"]).aggregate(
+            [("value_c", "count"), ("value_c", "sum")]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "hour"])
+        .aggregate(_Sum("value_c_count", alias_name="n_events"),
+                   _Sum("value_c_sum", alias_name="value_c"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_decode_features — binary media column → feature vectors via the
+# actor-pool decode stage (codec stubbed with the deterministic fake; the
+# Ray-side plumbing — schema, small batches for wide rows, actor pool — is
+# real).  Rows-only gate; determinism asserted in tests.
+# ---------------------------------------------------------------------------
+@query("multimodal_decode_features")
+def multimodal_decode_features(sf_dir: str):
+    import ray.data as _rd
+
+    from ..stages.multimodal import DecodeImage, synth_media_table
+
+    media = _rd.from_arrow(synth_media_table(n=256, seed=42))
+    return media.map_batches(
+        DecodeImage, fn_constructor_kwargs={"fake": True, "out_size": 16},
+        batch_format="pyarrow", batch_size=32,  # small batches: wide binary rows
+        concurrency=_pool(),
+    )
