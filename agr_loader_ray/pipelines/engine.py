@@ -1,31 +1,42 @@
 """The CDC apply engine: WAL epoch replay → partitioned Parquet lake.
 
-Ray-Data-first pipeline per epoch (the only hot-path shuffle is the
-partition exchange, once per epoch — SURVEY §7.4)::
+Ray-Data-first pipeline (the only hot-path shuffle is the partition
+exchange — SURVEY §7.4)::
 
-    read_parquet(wal/epoch=e)                       # streaming block read
-      → map_batches(prefold+partition, pyarrow)     # combiner, no shuffle
+    read_parquet(wal epochs, coalesced blocks)      # streaming block read
+      → map_batches(prefold+partition, pyarrow)     # LWW combiner, no shuffle
       → groupby("part").map_groups(merge_apply)     # the exchange + apply
       → take_all()                                  # P manifest rows (tiny)
-      → commit epoch manifest (atomic rename)       # the commit point
+      → commit epoch manifests (atomic rename)      # the commit points
 
 Reference lifecycle analogue (``/root/reference/src/aggregate_loader.py``):
 an epoch ≙ one ETL group run; the group barrier ≙ the epoch commit; the
 8-process Neo4jTransactor pool ≙ the partition-parallel merge-apply
-tasks; CSV staging + LOAD CSV MERGE ≙ copy-on-write Parquet + manifest.
+tasks; CSV staging + LOAD CSV MERGE ≙ Parquet deltas + manifest.
+
+Storage model — **merge-on-read with threshold compaction** (Hudi/Delta
+MOR style, see PAPERS.md):
+
+- each epoch writes, per touched partition, a *delta* file holding only
+  that epoch's folded events (insert/update rows + tombstones);
+- when a partition accumulates ``compact_every`` deltas, the next apply
+  *compacts*: base + deltas + events fold into a new base file;
+- reads (``pipelines/export.py``) fold base + deltas per partition.
+
+``compact_every=1`` degenerates to pure copy-on-write (every epoch is a
+compaction — exact per-epoch live counts/checksums, higher write cost).
+The default (4) bounds write amplification: per-epoch write ∝ events,
+full-state rewrite only every k-th epoch — the property that keeps a
+10^10-event replay from rewriting the whole table each micro-batch.
 
 Scale notes (100 TB / multi-node):
-- WAL blocks stream through the object store with backpressure; nothing
-  materializes the epoch except the per-partition merge groups.
-- ``n_partitions`` bounds per-task memory: partition state ≈
-  table_size / P.  Size P so a partition fits a worker heap (defaults
-  here are single-node test sizes; a 256-node lake would use P in the
-  thousands — P is fixed per lake at creation, like a table's bucket
-  count).
-- the previous-epoch partition-file map (P entries) is broadcast to
-  apply tasks via closure capture; at P ≫ 10^4 move it to ``ray.put``.
-- merge-apply is pure Arrow (sort + adjacency filter) — no Python
-  row loops.
+- WAL blocks stream with backpressure; shuffle input is coalesced to
+  ~1 block/CPU with a 256 MiB floor (see ``_shuffle_blocks``).
+- ``n_partitions`` bounds per-task memory (state/P per compaction task);
+  fixed per lake like a bucket count — thousands on a real cluster.
+- the previous-epoch partition map (P entries) is broadcast to apply
+  tasks via closure capture; at P ≫ 10^4 move it to ``ray.put``.
+- merge-apply is pure Arrow (sort + adjacency filter) — no row loops.
 """
 
 from __future__ import annotations
@@ -50,6 +61,11 @@ from ..state.manifest import LakeManifest
 from ..state.schema_registry import SchemaRegistry
 
 _EXTRA_FIELDS = [pa.field(OFFSET_COL, pa.int64()), pa.field(DELETED_COL, pa.bool_())]
+
+#: sentinels for "not computed this epoch" (delta writes) — kept typed so
+#: manifest rows always share one Arrow schema across partitions
+NO_COUNT = -1
+NO_CHECKSUM = ""
 
 
 def _live_checksum(tbl: pa.Table) -> str:
@@ -87,8 +103,9 @@ def _shuffle_blocks(total_bytes: int) -> int:
     return max(ncpu, by_bytes)
 
 
-def _count_u_on_missing(events: pa.Table, base: pa.Table | None) -> int:
-    """Count update events targeting keys absent from the partition base.
+def _count_u_on_missing(winners: pa.Table, existing_keys: np.ndarray | None) -> int:
+    """Count per-key LWW winners that are updates on keys absent from the
+    current partition state.
 
     The reference's ``MATCH (x {primaryKey}) MERGE …`` silently drops
     rows whose key is missing (SURVEY J1); our policy is upsert-anyway
@@ -97,19 +114,15 @@ def _count_u_on_missing(events: pa.Table, base: pa.Table | None) -> int:
     """
     from ..stages.partition import key_hash
 
-    if "op" not in events.column_names or events.num_rows == 0:
+    if "op" not in winners.column_names or winners.num_rows == 0:
         return 0
-    # fold to one winner per key first so the count is invariant to how
-    # the pre-fold combiner split blocks (deterministic across replays)
-    winners = lww_last_per_key(events, ["conv_id", "turn_idx"], ["ts", OFFSET_COL])
     is_u = pc.equal(winners["op"], "U").to_numpy(zero_copy_only=False)
     if not is_u.any():
         return 0
-    if base is None or base.num_rows == 0:
+    if existing_keys is None or len(existing_keys) == 0:
         return int(is_u.sum())
     ev_h = key_hash(winners["conv_id"], winners["turn_idx"])
-    base_h = key_hash(base["conv_id"], base["turn_idx"])
-    return int((is_u & ~np.isin(ev_h, base_h)).sum())
+    return int((is_u & ~np.isin(ev_h, existing_keys)).sum())
 
 
 class _PreFoldPartition:
@@ -117,8 +130,8 @@ class _PreFoldPartition:
     normalize to lake layout, add the partition column.
 
     ``keep_epoch=True`` (catch-up mode) folds within ``(key, epoch)``
-    so per-epoch intermediate lake states stay byte-identical to
-    sequential application."""
+    so per-epoch lake deltas stay byte-identical to sequential
+    application."""
 
     def __init__(self, n_partitions: int, keep_epoch: bool = False):
         self.n = n_partitions
@@ -141,134 +154,155 @@ class _PreFoldPartition:
         return add_partition_column(batch, self.n)
 
 
-def _make_merge_apply(lake_root: str, epoch: int, registry_dict: dict,
-                      prev_files: dict[int, str | None]):
-    """Build the per-partition merge-apply group function.
+def _info_files(info: dict | None) -> list[str]:
+    """Relative data files of a partition info entry, base first."""
+    if not info:
+        return []
+    files = []
+    if info.get("base"):
+        files.append(info["base"])
+    files.extend(info.get("deltas") or [])
+    return files
 
-    Runs once per touched partition per epoch.  Exactly-once: the data
-    file name is deterministic, written tmp→rename; a staged manifest
-    marks completion so retried/resumed epochs skip finished partitions.
-    """
-    manifest = LakeManifest(lake_root)
 
-    def merge_apply(group: pa.Table) -> pa.Table:
-        part = int(group[PART_COL][0].as_py())
-        registry = SchemaRegistry.from_dict(registry_dict)
+class _PartitionApplier:
+    """Applies one epoch's folded events to one partition (delta write or
+    compaction), shared by the sequential and catch-up paths so the two
+    produce byte-identical files and manifests."""
 
-        staged = manifest.read_staged(epoch, part)
-        if staged is not None and os.path.exists(manifest.abspath(staged["path"])):
-            return pa.Table.from_pylist([staged])
+    def __init__(self, lake_root: str, compact_every: int):
+        self.manifest = LakeManifest(lake_root)
+        self.compact_every = compact_every
 
-        raw = group.drop_columns([PART_COL])
-        events = registry.conform(raw, _EXTRA_FIELDS)  # drops "op"
+    def _read_conformed(self, rel: str, registry: SchemaRegistry) -> pa.Table:
+        return registry.conform(pq.read_table(self.manifest.abspath(rel)), _EXTRA_FIELDS)
 
-        base_rel = prev_files.get(part)
-        base = None
-        if base_rel:
-            base = pq.read_table(manifest.abspath(base_rel))
-        u_on_missing = _count_u_on_missing(raw, base)
-        if base is not None:
-            merged = pa.concat_tables([registry.conform(base, _EXTRA_FIELDS), events])
+    def _existing_keys(self, info: dict | None) -> np.ndarray | None:
+        """uint64 key hashes of the partition's current state — reads ONLY
+        the key columns (column pruning: ~16 B/row vs full text rows)."""
+        from ..stages.partition import key_hash
+
+        files = _info_files(info)
+        if not files:
+            return None
+        parts = []
+        for rel in files:
+            t = pq.read_table(self.manifest.abspath(rel), columns=["conv_id", "turn_idx"])
+            parts.append(key_hash(t["conv_id"], t["turn_idx"]))
+        return np.concatenate(parts)
+
+    def apply_one(self, part: int, epoch: int, raw: pa.Table,
+                  prev_info: dict | None, registry: SchemaRegistry) -> dict:
+        """``raw``: this epoch's pre-folded events for ``part`` in lake
+        layout plus the ``op`` column.  Returns the new partition info."""
+        staged = self.manifest.read_staged(epoch, part)
+        if staged is not None and all(
+            os.path.exists(self.manifest.abspath(f)) for f in _info_files(staged)
+        ):
+            return staged
+
+        winners = lww_last_per_key(raw, ["conv_id", "turn_idx"], ["ts", OFFSET_COL])
+        ev = registry.conform(winners, _EXTRA_FIELDS)  # drops "op"
+
+        prev_deltas = list(prev_info.get("deltas") or []) if prev_info else []
+        prev_base = prev_info.get("base") if prev_info else None
+        compact = len(prev_deltas) + 1 > self.compact_every or (
+            prev_base is None and not prev_deltas and self.compact_every == 1
+        )
+        if self.compact_every == 1:
+            compact = True
+
+        u_on_missing = _count_u_on_missing(winners, self._existing_keys(prev_info))
+
+        if compact:
+            tables = [self._read_conformed(rel, registry)
+                      for rel in ([prev_base] if prev_base else []) + prev_deltas]
+            merged = pa.concat_tables([*tables, ev]) if tables else ev
+            merged = lww_last_per_key(merged, ["conv_id", "turn_idx"], ["ts", OFFSET_COL])
+            rel = os.path.join(f"part={part}", f"base-epoch={epoch}.parquet")
+            self._write(rel, merged)
+            live = merged.filter(pc.equal(merged[DELETED_COL], False))
+            info = {
+                "part": part, "base": rel, "deltas": [],
+                "rows": merged.num_rows, "live_rows": live.num_rows,
+                "checksum": _live_checksum(live), "delta_rows": ev.num_rows,
+                "max_offset": int(pc.max(merged[OFFSET_COL]).as_py()),
+                "u_on_missing": u_on_missing, "epoch": epoch,
+            }
         else:
-            merged = events
+            rel = os.path.join(f"part={part}", f"delta-epoch={epoch}.parquet")
+            self._write(rel, ev)
+            prev_rows = prev_info.get("rows", 0) if prev_info else 0
+            info = {
+                "part": part, "base": prev_base, "deltas": prev_deltas + [rel],
+                "rows": prev_rows + ev.num_rows, "live_rows": NO_COUNT,
+                "checksum": NO_CHECKSUM, "delta_rows": ev.num_rows,
+                "max_offset": int(pc.max(ev[OFFSET_COL]).as_py()),
+                "u_on_missing": u_on_missing, "epoch": epoch,
+            }
+        self.manifest.write_staged(epoch, part, info)
+        return info
 
-        merged = lww_last_per_key(merged, ["conv_id", "turn_idx"], ["ts", OFFSET_COL])
-
-        rel = manifest.partition_file(part, epoch)
-        abspath = manifest.abspath(rel)
+    def _write(self, rel: str, tbl: pa.Table) -> None:
+        abspath = self.manifest.abspath(rel)
         os.makedirs(os.path.dirname(abspath), exist_ok=True)
         tmp = f"{abspath}.tmp.{os.getpid()}"
-        pq.write_table(merged, tmp)
+        pq.write_table(tbl, tmp)
         os.replace(tmp, abspath)
 
-        live = merged.filter(pc.equal(merged[DELETED_COL], False))
-        info = {
-            "part": part,
-            "path": rel,
-            "rows": merged.num_rows,
-            "live_rows": live.num_rows,
-            "checksum": _live_checksum(live),
-            "max_offset": int(pc.max(merged[OFFSET_COL]).as_py()),
-            "u_on_missing": u_on_missing,
-            "epoch": epoch,
-        }
-        manifest.write_staged(epoch, part, info)
-        return pa.Table.from_pylist([info])
 
-    return merge_apply
+def _manifest_row_table(rows: list[dict]) -> pa.Table:
+    """Manifest rows → one consistently-typed Arrow table (deltas is
+    list<string>; sentinel-typed counters — no schema drift across groups)."""
+    if not rows:
+        return pa.table({"part": pa.array([], pa.int64())})
+    schema = pa.schema(
+        [
+            pa.field("part", pa.int64()),
+            pa.field("base", pa.string()),
+            pa.field("deltas", pa.list_(pa.string())),
+            pa.field("rows", pa.int64()),
+            pa.field("live_rows", pa.int64()),
+            pa.field("checksum", pa.string()),
+            pa.field("delta_rows", pa.int64()),
+            pa.field("max_offset", pa.int64()),
+            pa.field("u_on_missing", pa.int64()),
+            pa.field("epoch", pa.int64()),
+        ]
+    )
+    return pa.Table.from_pylist(rows, schema=schema)
 
 
 def _make_catchup_apply(lake_root: str, epochs: list[int],
                         registries_by_epoch: dict[int, dict],
-                        prev_files: dict[int, str | None]):
+                        prev_parts: dict[int, dict], compact_every: int):
     """Catch-up merge-apply: one shuffle for a whole epoch backlog.
 
     The group holds ALL events of partition ``part`` for ``epochs``
     (epoch column retained; pre-folded within (key, epoch) only), and
-    applies them epoch by epoch — writing the same per-epoch
-    copy-on-write file + staged manifest a sequential replay would, so
+    applies them epoch by epoch — writing the same per-epoch delta /
+    compaction files and staged manifests a sequential replay would, so
     lineage, resume points and final bytes are identical while the
     all-to-all exchange is paid once per backlog instead of once per
-    epoch (8 pending epochs ⇒ 8× fewer shuffles).
+    epoch.
     """
-    manifest = LakeManifest(lake_root)
+    applier = _PartitionApplier(lake_root, compact_every)
 
     def merge_apply(group: pa.Table) -> pa.Table:
         part = int(group[PART_COL][0].as_py())
         group = group.drop_columns([PART_COL])
         epoch_np = group["epoch"].to_numpy(zero_copy_only=False)
 
-        cur_file = prev_files.get(part)
-        base: pa.Table | None = None  # in-memory state (avoids re-reading)
+        info = prev_parts.get(part)
         out_rows: list[dict] = []
         for e in epochs:
-            staged = manifest.read_staged(e, part)
-            if staged is not None and os.path.exists(manifest.abspath(staged["path"])):
-                out_rows.append(staged)
-                cur_file, base = staged["path"], None
-                continue
             raw = group.filter(pa.array(epoch_np == e)).drop_columns(["epoch"])
             if raw.num_rows == 0:
                 continue  # partition untouched this epoch: carry forward
             registry = SchemaRegistry.from_dict(registries_by_epoch[e])
-            if base is None and cur_file:
-                base = pq.read_table(manifest.abspath(cur_file))
-            u_on_missing = _count_u_on_missing(raw, base)
-            ev = registry.conform(raw, _EXTRA_FIELDS)  # drops "op"
-            if base is not None:
-                merged = pa.concat_tables(
-                    [registry.conform(base, _EXTRA_FIELDS), ev]
-                )
-            else:
-                merged = ev
-            merged = lww_last_per_key(merged, ["conv_id", "turn_idx"], ["ts", OFFSET_COL])
-
-            rel = manifest.partition_file(part, e)
-            abspath = manifest.abspath(rel)
-            os.makedirs(os.path.dirname(abspath), exist_ok=True)
-            tmp = f"{abspath}.tmp.{os.getpid()}"
-            pq.write_table(merged, tmp)
-            os.replace(tmp, abspath)
-
-            live = merged.filter(pc.equal(merged[DELETED_COL], False))
-            info = {
-                "part": part,
-                "path": rel,
-                "rows": merged.num_rows,
-                "live_rows": live.num_rows,
-                "checksum": _live_checksum(live),
-                "max_offset": int(pc.max(merged[OFFSET_COL]).as_py()),
-                "u_on_missing": u_on_missing,
-                "epoch": e,
-            }
-            manifest.write_staged(e, part, info)
+            info = applier.apply_one(part, e, raw, info, registry)
             out_rows.append(info)
-            cur_file, base = rel, merged
-        if not out_rows:
-            return pa.Table.from_pylist(
-                [], schema=pa.schema([pa.field("part", pa.int64())])
-            )
-        return pa.Table.from_pylist(out_rows)
+        return _manifest_row_table(out_rows)
 
     return merge_apply
 
@@ -282,10 +316,12 @@ class CdcEngine:
     """
 
     def __init__(self, lake_root: str, n_partitions: int = 32,
-                 base_schema: pa.Schema = TRANSCRIPT_SCHEMA):
+                 base_schema: pa.Schema = TRANSCRIPT_SCHEMA,
+                 compact_every: int = 4):
         self.manifest = LakeManifest(lake_root)
         self.n_partitions = n_partitions
         self.base_schema = base_schema
+        self.compact_every = max(1, compact_every)
         os.makedirs(lake_root, exist_ok=True)
 
     # -- WAL introspection --------------------------------------------------
@@ -301,69 +337,6 @@ class CdcEngine:
         d = self.manifest.current_schema_registry()
         return SchemaRegistry.from_dict(d) if d else SchemaRegistry(self.base_schema)
 
-    # -- apply --------------------------------------------------------------
-    def apply_epoch(self, wal_root: str, epoch: int) -> dict:
-        """Apply one epoch (idempotent; skips if already committed)."""
-        t0 = time.perf_counter()
-        if os.path.exists(self.manifest.epoch_manifest_path(epoch)):
-            return {"epoch": epoch, "skipped": True, "sec": 0.0, "events": 0}
-
-        epoch_dir = os.path.join(wal_root, f"epoch={epoch}")
-        registry = self._load_registry()
-        prev_parts = self.manifest.current_partitions()
-        prev_files = {p: info.get("path") for p, info in prev_parts.items()}
-
-        # Schema events: tiny, read driver-side with predicate+column
-        # pushdown, applied in offset order BEFORE the data apply — the
-        # epoch-level barrier (SURVEY §7.5.3).
-        s_tbl = pads.dataset(epoch_dir).to_table(
-            filter=pc.equal(pc.field("op"), "S"), columns=["offset", "schema_change"]
-        ).sort_by("offset")
-        for change in s_tbl["schema_change"].to_pylist():
-            registry.apply(json.loads(change))
-        registry_dict = registry.to_dict()
-
-        # event count from parquet footers (cheap) — never a full read
-        n_events = sum(
-            pq.read_metadata(os.path.join(epoch_dir, f)).num_rows
-            for f in os.listdir(epoch_dir)
-            if f.endswith(".parquet")
-        )
-
-        seg_files = [
-            os.path.join(epoch_dir, f)
-            for f in sorted(os.listdir(epoch_dir)) if f.endswith(".parquet")
-        ]
-        total_bytes = sum(os.path.getsize(p) for p in seg_files)
-        ds = ray.data.read_parquet(
-            seg_files, override_num_blocks=min(len(seg_files), _shuffle_blocks(total_bytes))
-        )
-        ds = ds.map_batches(
-            _PreFoldPartition(self.n_partitions),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        apply_fn = _make_merge_apply(self.manifest.lake_root, epoch, registry_dict, prev_files)
-        rows = ds.groupby(PART_COL).map_groups(apply_fn, batch_format="pyarrow").take_all()
-
-        # Commit: carry forward untouched partitions, publish atomically.
-        parts = dict(prev_parts)
-        max_off = max((r["max_offset"] for r in rows), default=None)
-        min_off = None
-        for r in rows:
-            parts[r["part"]] = {k: r.get(k, 0) for k in ("path", "rows", "live_rows", "checksum", "max_offset", "u_on_missing", "epoch")}
-        self.manifest.commit_epoch(
-            epoch, registry_dict, parts,
-            (min_off, max_off) if max_off is not None else None,
-        )
-        return {
-            "epoch": epoch,
-            "skipped": False,
-            "sec": time.perf_counter() - t0,
-            "events": n_events,
-            "touched_partitions": len(rows),
-        }
-
     def _epoch_schema_events(self, wal_root: str, epoch: int) -> list[dict]:
         """S-event payloads of one epoch, in offset order (driver-side,
         predicate+column pushdown — tiny)."""
@@ -373,11 +346,17 @@ class CdcEngine:
         ).sort_by("offset")
         return [json.loads(c) for c in s_tbl["schema_change"].to_pylist()]
 
+    @staticmethod
+    def _epoch_files(wal_root: str, epoch: int) -> list[str]:
+        d = os.path.join(wal_root, f"epoch={epoch}")
+        return [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+
+    # -- apply --------------------------------------------------------------
     def apply_epochs(self, wal_root: str, epochs: list[int]) -> dict:
-        """Catch-up apply: a contiguous backlog of epochs in ONE shuffle.
+        """Apply a contiguous backlog of epochs in ONE shuffle.
 
         Produces byte-identical per-epoch lake files and manifests as
-        sequential ``apply_epoch`` calls (verified by tests) — only the
+        one-epoch-at-a-time application (verified by tests) — only the
         number of all-to-all exchanges changes.  Commits epoch manifests
         in order at the end; a crash before commit resumes instantly
         from the staged per-partition manifests.
@@ -390,37 +369,34 @@ class CdcEngine:
 
         registry = self._load_registry()
         prev_parts = self.manifest.current_partitions()
-        prev_files = {p: info.get("path") for p, info in prev_parts.items()}
 
         registries_by_epoch: dict[int, dict] = {}
         n_events = 0
-        epoch_dirs = []
+        files: list[str] = []
         for e in epochs:
             for ch in self._epoch_schema_events(wal_root, e):
                 registry.apply(ch)
             registries_by_epoch[e] = registry.to_dict()
-            d = os.path.join(wal_root, f"epoch={e}")
-            for f in sorted(os.listdir(d)):
-                if f.endswith(".parquet"):
-                    path = os.path.join(d, f)
-                    epoch_dirs.append(path)
-                    n_events += pq.read_metadata(path).num_rows
-        total_bytes = sum(os.path.getsize(p) for p in epoch_dirs)
+            efiles = self._epoch_files(wal_root, e)
+            files.extend(efiles)
+            n_events += sum(pq.read_metadata(p).num_rows for p in efiles)
+        total_bytes = sum(os.path.getsize(p) for p in files)
 
         ds = ray.data.read_parquet(
-            epoch_dirs, override_num_blocks=min(len(epoch_dirs), _shuffle_blocks(total_bytes))
+            files, override_num_blocks=min(len(files), _shuffle_blocks(total_bytes))
         )
         ds = ds.map_batches(
             _PreFoldPartition(self.n_partitions, keep_epoch=True),
             batch_format="pyarrow", zero_copy_batch=True,
         )
         apply_fn = _make_catchup_apply(
-            self.manifest.lake_root, epochs, registries_by_epoch, prev_files
+            self.manifest.lake_root, epochs, registries_by_epoch, prev_parts,
+            self.compact_every,
         )
         rows = [
             r for r in
             ds.groupby(PART_COL).map_groups(apply_fn, batch_format="pyarrow").take_all()
-            if r.get("path")
+            if r.get("base") or r.get("deltas")
         ]
 
         # Commit each epoch in order (carry forward untouched partitions).
@@ -429,10 +405,7 @@ class CdcEngine:
         for e in epochs:
             erows = [r for r in rows if r["epoch"] == e]
             for r in erows:
-                parts[r["part"]] = {
-                    k: r.get(k, 0)
-                    for k in ("path", "rows", "live_rows", "checksum", "max_offset", "u_on_missing", "epoch")
-                }
+                parts[r["part"]] = {k: v for k, v in r.items() if k != "part"}
             max_off = max((r["max_offset"] for r in erows), default=None)
             self.manifest.commit_epoch(
                 e, registries_by_epoch[e], parts,
@@ -440,6 +413,18 @@ class CdcEngine:
             )
             stats.append({"epoch": e, "skipped": False, "touched_partitions": len(erows)})
         return {"epochs": stats, "events": n_events, "sec": time.perf_counter() - t0}
+
+    def apply_epoch(self, wal_root: str, epoch: int) -> dict:
+        """Apply one epoch (idempotent; skips if already committed)."""
+        t0 = time.perf_counter()
+        if os.path.exists(self.manifest.epoch_manifest_path(epoch)):
+            return {"epoch": epoch, "skipped": True, "sec": 0.0, "events": 0}
+        r = self.apply_epochs(wal_root, [epoch])
+        return {
+            "epoch": epoch, "skipped": False, "sec": time.perf_counter() - t0,
+            "events": r["events"],
+            "touched_partitions": r["epochs"][0]["touched_partitions"] if r["epochs"] else 0,
+        }
 
     def replay(self, wal_root: str, upto_epoch: int | None = None,
                catchup: bool = True, max_catchup: int = 64) -> dict:
@@ -457,23 +442,17 @@ class CdcEngine:
             e for e in self.wal_epochs(wal_root)
             if (upto_epoch is None or e <= upto_epoch)
         ]
-        stats: list[dict] = []
+        todo = [e for e in pending
+                if not os.path.exists(self.manifest.epoch_manifest_path(e))]
+        stats: list[dict] = [
+            {"epoch": e, "skipped": True, "sec": 0.0} for e in pending if e not in todo
+        ]
         events = 0
-        if catchup:
-            todo = [e for e in pending
-                    if not os.path.exists(self.manifest.epoch_manifest_path(e))]
-            stats.extend(
-                {"epoch": e, "skipped": True, "sec": 0.0} for e in pending if e not in todo
-            )
-            for i in range(0, len(todo), max_catchup):
-                r = self.apply_epochs(wal_root, todo[i : i + max_catchup])
-                stats.extend(r["epochs"])
-                events += r["events"]
-        else:
-            for e in pending:
-                s = self.apply_epoch(wal_root, e)
-                stats.append(s)
-                events += s["events"]
+        step = max_catchup if catchup else 1
+        for i in range(0, len(todo), step):
+            r = self.apply_epochs(wal_root, todo[i : i + step])
+            stats.extend(r["epochs"])
+            events += r["events"]
         sec = time.perf_counter() - t0
         return {
             "epochs": stats,
@@ -481,3 +460,45 @@ class CdcEngine:
             "sec": sec,
             "events_per_sec": events / sec if sec > 0 else 0.0,
         }
+
+    # -- maintenance --------------------------------------------------------
+    def compact(self) -> dict:
+        """Compact every partition with outstanding deltas (maintenance
+        pass, e.g. before heavy reads).  Rewrites the CURRENT epoch's
+        manifest in place (atomic) with exact live counts/checksums."""
+        last = self.manifest.last_committed_epoch()
+        if last is None:
+            return {"compacted": 0}
+        m = self.manifest.read_epoch(last)
+        registry = SchemaRegistry.from_dict(m["schema_registry"])
+        parts = {int(p): info for p, info in m["partitions"].items()}
+        todo = {p: info for p, info in parts.items() if info.get("deltas")}
+        if not todo:
+            return {"compacted": 0}
+
+        applier = _PartitionApplier(self.manifest.lake_root, self.compact_every)
+        reg_ref = ray.put(registry.to_dict())
+        lake_root = self.manifest.lake_root
+
+        @ray.remote
+        def compact_part(part: int, info: dict) -> dict:
+            reg = SchemaRegistry.from_dict(ray.get(reg_ref))
+            ap = _PartitionApplier(lake_root, 1)
+            tables = [ap._read_conformed(rel, reg) for rel in _info_files(info)]
+            merged = lww_last_per_key(
+                pa.concat_tables(tables), ["conv_id", "turn_idx"], ["ts", OFFSET_COL]
+            )
+            rel = os.path.join(f"part={part}", f"base-epoch={info['epoch']}-c.parquet")
+            ap._write(rel, merged)
+            live = merged.filter(pc.equal(merged[DELETED_COL], False))
+            return {
+                **info, "part": part, "base": rel, "deltas": [],
+                "rows": merged.num_rows, "live_rows": live.num_rows,
+                "checksum": _live_checksum(live),
+            }
+
+        results = ray.get([compact_part.remote(p, info) for p, info in todo.items()])
+        for r in results:
+            parts[r["part"]] = {k: v for k, v in r.items() if k != "part"}
+        self.manifest.commit_epoch(last, m["schema_registry"], parts, m.get("wal_offsets"))
+        return {"compacted": len(results)}

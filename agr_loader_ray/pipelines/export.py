@@ -1,25 +1,30 @@
-"""Reading the committed lake state back as a Ray Dataset.
+"""Reading the committed lake state back as a Ray Dataset (merge-on-read).
 
-Tombstone rows (``_deleted``) and bookkeeping columns are stripped;
-legacy partition files written before a schema change are evolved at
-read time (missing columns null-filled by the pyarrow dataset scanner,
-then constant defaults applied, widened types cast).  Added columns are
-constant-by-default until the WAL schema itself carries payloads for
-them, so ``fill_null(default)`` at read time is exact — see
-``state/schema_registry.py``.
+Each partition's state is its base file plus any outstanding delta files
+(see ``pipelines/engine.py``); the read folds them with the same LWW
+kernel the apply path uses, strips tombstone rows (``_deleted``) and
+bookkeeping columns, and evolves legacy files to the current schema
+(missing columns filled with their registry defaults, widened types
+cast).  Added columns are constant-by-default until the WAL schema
+itself carries payloads for them, so default-filling at read time is
+exact — see ``state/schema_registry.py``.
 
-The verification export's global sort on ``(conv_id, turn_idx)`` is the
-cold-path shuffle (SURVEY §7.4) — never part of the apply hot path.
+Parallelism: one read+fold task per partition (``map_batches`` over a
+dataset of partition descriptors, batch_size=1).  The verification
+export's global sort on ``(conv_id, turn_idx)`` is the cold-path
+shuffle (SURVEY §7.4) — never part of the apply hot path.
 """
 
 from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray.data
 
 from ..schemas import DELETED_COL, OFFSET_COL
+from ..stages.fold import lww_last_per_key
 from ..state.manifest import LakeManifest
 from ..state.schema_registry import SchemaRegistry
 
@@ -29,32 +34,48 @@ _EXTRA = [pa.field(OFFSET_COL, pa.int64()), pa.field(DELETED_COL, pa.bool_())]
 def read_lake(lake_root: str, epoch: int | None = None,
               include_tombstones: bool = False) -> ray.data.Dataset:
     """Dataset over the lake as of its last commit (or ``epoch``)."""
+    from .engine import _info_files
+
     manifest = LakeManifest(lake_root)
     e = manifest.last_committed_epoch() if epoch is None else epoch
     if e is None:
         raise FileNotFoundError(f"no committed epoch in {lake_root}")
     m = manifest.read_epoch(e)
-    registry = SchemaRegistry.from_dict(m["schema_registry"])
-    files = [manifest.abspath(info["path"]) for info in m["partitions"].values() if info.get("path")]
-    physical = pa.schema([*registry.schema, *_EXTRA])
-    defaults = {k: v for k, v in registry.defaults.items() if v is not None}
-    payload_cols = registry.schema.names
+    registry_dict = m["schema_registry"]
+    payload_cols = [n for n, _ in registry_dict["fields"]]
+    defaults = {k: v for k, v in registry_dict.get("defaults", {}).items() if v is not None}
 
-    ds = ray.data.read_parquet(files, schema=physical)
+    items = []
+    for info in m["partitions"].values():
+        files = [manifest.abspath(f) for f in _info_files(info)]
+        if files:
+            items.append({"files": files})
+    if not items:
+        return ray.data.from_arrow(
+            pa.Table.from_pylist([], schema=SchemaRegistry.from_dict(registry_dict).schema)
+        )
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        if not include_tombstones:
-            batch = batch.filter(pc.equal(batch[DELETED_COL], False))
-        for name, default in defaults.items():
-            i = batch.schema.get_field_index(name)
-            batch = batch.set_column(
-                i, name, pc.fill_null(batch[name], pa.scalar(default, batch[name].type))
+    def load_fold(batch: pa.Table) -> pa.Table:
+        registry = SchemaRegistry.from_dict(registry_dict)
+        outs = []
+        for files in batch["files"].to_pylist():
+            tables = [registry.conform(pq.read_table(f), _EXTRA) for f in files]
+            t = tables[0] if len(tables) == 1 else lww_last_per_key(
+                pa.concat_tables(tables), ["conv_id", "turn_idx"], ["ts", OFFSET_COL]
             )
-        if include_tombstones:
-            return batch.select([*payload_cols, DELETED_COL])
-        return batch.select(payload_cols)
+            outs.append(t)
+        t = pa.concat_tables(outs)
+        if not include_tombstones:
+            t = t.filter(pc.equal(t[DELETED_COL], False))
+        for name, default in defaults.items():
+            i = t.schema.get_field_index(name)
+            t = t.set_column(i, name, pc.fill_null(t[name], pa.scalar(default, t[name].type)))
+        keep = [*payload_cols, DELETED_COL] if include_tombstones else payload_cols
+        return t.select(keep)
 
-    return ds.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    return ray.data.from_items(items).map_batches(
+        load_fold, batch_format="pyarrow", batch_size=1
+    )
 
 
 def export_sorted(lake_root: str, epoch: int | None = None) -> ray.data.Dataset:

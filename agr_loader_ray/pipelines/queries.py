@@ -790,3 +790,72 @@ def running_value_per_user(sf_dir: str):
         return pd.DataFrame({"event_id": g["event_id"], "cum_value_c": cents.cumsum()})
 
     return ds.groupby("user_id").map_groups(cumsum, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# route_classifier_counts — one-pass row routing to multiple logical tables
+# by allow-list (SURVEY M12: GFF col-3 feature-type routing,
+# transcript_etl.py:244-403).  Routes events into engagement/commerce/other.
+# ---------------------------------------------------------------------------
+@query(
+    "route_classifier_counts",
+    """
+    SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+                WHEN event_type IN ('purchase', 'signup') THEN 'commerce'
+                ELSE 'other' END AS route,
+           count(*) AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) AS value_c
+    FROM events GROUP BY 1
+    """,
+)
+def route_classifier_counts(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    routes = {"engagement": ("click", "view"), "commerce": ("purchase", "signup")}
+
+    def classify(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        route = pa.array(["other"] * t.num_rows, pa.string())
+        for name, types in routes.items():
+            mask = pc.is_in(et, value_set=pa.array(types))
+            route = pc.if_else(mask, pa.scalar(name, pa.string()), route)
+        t2 = pa.table({"route": route, "value_c": _cents(t["value"])})
+        return t2.group_by("route").aggregate([("value_c", "count"), ("value_c", "sum")])
+
+    return (
+        ds.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("route")
+        .aggregate(Sum("value_c_count", alias_name="n"), Sum("value_c_sum", alias_name="value_c"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# curie_normalize_brands — curie split + prefix-fixup normalization
+# (SURVEY M5: split_identifier + XB→Xenbase-style prefix rewrites,
+# resource_descriptor_helper_2.py:203-230, etl.py:126-128).
+# 'Brand#13' → 'BR:13' via split('#') + prefix map.
+# ---------------------------------------------------------------------------
+@query(
+    "curie_normalize_brands",
+    """
+    SELECT 'BR:' || string_split(p_brand, '#')[2] AS curie, count(*) AS n_parts
+    FROM part GROUP BY 1
+    """,
+)
+def curie_normalize_brands(sf_dir: str):
+    ds = read_table(sf_dir, "part", columns=["p_brand"])
+    prefix_map = {"Brand": "BR"}  # reference-style fixup dict (broadcastable)
+
+    def normalize(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["p_brand"], "#")
+        prefix = pc.list_element(parts, 0)
+        local = pc.list_element(parts, 1)
+        for old, new in prefix_map.items():
+            prefix = pc.if_else(pc.equal(prefix, old), pa.scalar(new, pa.string()), prefix)
+        curie = pc.binary_join_element_wise(prefix, local, ":")
+        return pa.table({"curie": curie}).group_by("curie").aggregate([("curie", "count")])
+
+    return (
+        ds.map_batches(normalize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("curie")
+        .aggregate(Sum("curie_count", alias_name="n_parts"))
+    )

@@ -106,12 +106,34 @@ def test_partial_epoch_staged_resume(tmp_lake, tmp_wal):
 
 def test_manifest_lineage_counts(tmp_lake, tmp_wal):
     generate_wal(tmp_wal, WalSpec(n_events=2_000, n_convs=100, n_epochs=2, delete_frac=0.1))
-    eng = CdcEngine(tmp_lake, n_partitions=4)
+    eng = CdcEngine(tmp_lake, n_partitions=4, compact_every=1)  # pure COW: exact per-epoch counts
     eng.replay(tmp_wal)
     m = eng.manifest.read_epoch(eng.manifest.last_committed_epoch())
     live = sum(info["live_rows"] for info in m["partitions"].values())
     assert live == read_lake(tmp_lake).count()
-    assert all("checksum" in info for info in m["partitions"].values())
+    assert all(info["checksum"] for info in m["partitions"].values())
+
+
+def test_compaction_restores_exact_lineage(tmp_lake, tmp_wal):
+    """MOR deltas accumulate between compactions; an explicit compact()
+    restores exact per-partition live counts + checksums and the read
+    result is unchanged."""
+    generate_wal(tmp_wal, WalSpec(n_events=4_000, n_convs=150, n_epochs=3,
+                                  update_frac=0.3, delete_frac=0.1))
+    eng = CdcEngine(tmp_lake, n_partitions=4, compact_every=10)  # never auto-compact
+    eng.replay(tmp_wal)
+    before = _export_df(tmp_lake)
+    m = eng.manifest.read_epoch(eng.manifest.last_committed_epoch())
+    assert any(info["deltas"] for info in m["partitions"].values())
+
+    r = eng.compact()
+    assert r["compacted"] > 0
+    m2 = eng.manifest.read_epoch(eng.manifest.last_committed_epoch())
+    assert all(not info["deltas"] for info in m2["partitions"].values())
+    live = sum(info["live_rows"] for info in m2["partitions"].values())
+    assert live == read_lake(tmp_lake).count()
+    pd.testing.assert_frame_equal(before, _export_df(tmp_lake))
+    _assert_equals_oracle(tmp_lake, tmp_wal)
 
 
 def test_tombstone_blocks_late_resurrection(tmp_lake, tmp_wal):
