@@ -461,22 +461,61 @@ class CdcEngine:
             "events_per_sec": events / sec if sec > 0 else 0.0,
         }
 
+    def tail(self, wal_root: str, poll_interval: float = 1.0,
+             idle_rounds: int = 3, max_rounds: int | None = None) -> dict:
+        """Tail the WAL directory: apply new epochs as their directories
+        appear (the binlog-tail loop; reference analogue: the FMS
+        polling + download fan-out, ``aggregate_loader.py:236-247``).
+
+        Returns after ``idle_rounds`` consecutive polls with no new
+        epochs (or ``max_rounds`` polls).  Each new batch of epochs is
+        applied with the catch-up path and committed exactly-once, so a
+        killed tailer resumes where it left off.
+        """
+        idle = 0
+        rounds = 0
+        total = {"events_applied": 0, "batches": 0}
+        while idle < idle_rounds and (max_rounds is None or rounds < max_rounds):
+            rounds += 1
+            pending = [
+                e for e in self.wal_epochs(wal_root)
+                if not os.path.exists(self.manifest.epoch_manifest_path(e))
+            ]
+            if pending:
+                r = self.apply_epochs(wal_root, pending)
+                total["events_applied"] += r["events"]
+                total["batches"] += 1
+                idle = 0
+            else:
+                idle += 1
+                time.sleep(poll_interval)
+        return total
+
     # -- maintenance --------------------------------------------------------
-    def compact(self) -> dict:
+    def compact(self, drop_tombstones_before_offset: int | None = None) -> dict:
         """Compact every partition with outstanding deltas (maintenance
         pass, e.g. before heavy reads).  Rewrites the CURRENT epoch's
-        manifest in place (atomic) with exact live counts/checksums."""
+        manifest in place (atomic) with exact live counts/checksums.
+
+        ``drop_tombstones_before_offset``: GC tombstones applied before
+        this WAL offset (the late-data watermark — a tombstone must
+        outlive the maximum expected event lateness, else an older-ts
+        event could resurrect the key; policy documented in README).
+        """
         last = self.manifest.last_committed_epoch()
         if last is None:
             return {"compacted": 0}
         m = self.manifest.read_epoch(last)
         registry = SchemaRegistry.from_dict(m["schema_registry"])
         parts = {int(p): info for p, info in m["partitions"].items()}
-        todo = {p: info for p, info in parts.items() if info.get("deltas")}
+        todo = {
+            p: info for p, info in parts.items()
+            if info.get("deltas") or drop_tombstones_before_offset is not None
+        }
         if not todo:
             return {"compacted": 0}
+        gc_off = drop_tombstones_before_offset
 
-        applier = _PartitionApplier(self.manifest.lake_root, self.compact_every)
         reg_ref = ray.put(registry.to_dict())
         lake_root = self.manifest.lake_root
 
@@ -488,6 +527,12 @@ class CdcEngine:
             merged = lww_last_per_key(
                 pa.concat_tables(tables), ["conv_id", "turn_idx"], ["ts", OFFSET_COL]
             )
+            if gc_off is not None:
+                stale = pc.and_(
+                    pc.equal(merged[DELETED_COL], True),
+                    pc.less(merged[OFFSET_COL], pa.scalar(gc_off, pa.int64())),
+                )
+                merged = merged.filter(pc.invert(stale))
             rel = os.path.join(f"part={part}", f"base-epoch={info['epoch']}-c.parquet")
             ap._write(rel, merged)
             live = merged.filter(pc.equal(merged[DELETED_COL], False))

@@ -214,3 +214,42 @@ def test_catchup_resume_mid_batch(tmp_path):
     applied = [s["epoch"] for s in stats["epochs"] if not s.get("skipped")]
     assert applied == [2, 3]
     _assert_equals_oracle(lake, wal)
+
+
+def test_tail_applies_new_epochs(tmp_lake, tmp_wal, tmp_path):
+    """WAL tailing: epochs appearing over time are applied incrementally."""
+    import os
+    import shutil
+    spec = WalSpec(n_events=3_000, n_convs=100, n_epochs=3, update_frac=0.2, delete_frac=0.05)
+    staging = str(tmp_path / "staging")
+    generate_wal(staging, spec)
+
+    os.makedirs(tmp_wal, exist_ok=True)
+    shutil.copytree(os.path.join(staging, "epoch=0"), os.path.join(tmp_wal, "epoch=0"))
+    eng = CdcEngine(tmp_lake, n_partitions=4)
+    r1 = eng.tail(tmp_wal, poll_interval=0.05, idle_rounds=2)
+    assert r1["batches"] == 1
+
+    for e in (1, 2):
+        shutil.copytree(os.path.join(staging, f"epoch={e}"), os.path.join(tmp_wal, f"epoch={e}"))
+    r2 = eng.tail(tmp_wal, poll_interval=0.05, idle_rounds=2)
+    assert r2["batches"] == 1 and r2["events_applied"] > 0
+    _assert_equals_oracle(tmp_lake, staging)
+
+
+def test_tombstone_gc_at_compaction(tmp_lake, tmp_wal):
+    """Tombstones older than the watermark offset are dropped at
+    compaction; live state and export are unchanged."""
+    generate_wal(tmp_wal, WalSpec(n_events=4_000, n_convs=100, n_epochs=2, delete_frac=0.3))
+    eng = CdcEngine(tmp_lake, n_partitions=4, compact_every=1)
+    eng.replay(tmp_wal)
+    before = _export_df(tmp_lake)
+    m = eng.manifest.read_epoch(eng.manifest.last_committed_epoch())
+    total_rows = sum(i["rows"] for i in m["partitions"].values())
+    live_rows = sum(i["live_rows"] for i in m["partitions"].values())
+    assert total_rows > live_rows  # tombstones present
+
+    eng.compact(drop_tombstones_before_offset=10**9)  # watermark beyond all offsets
+    m2 = eng.manifest.read_epoch(eng.manifest.last_committed_epoch())
+    assert sum(i["rows"] for i in m2["partitions"].values()) == live_rows
+    pd.testing.assert_frame_equal(before, _export_df(tmp_lake))
