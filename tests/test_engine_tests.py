@@ -253,3 +253,22 @@ def test_tombstone_gc_at_compaction(tmp_lake, tmp_wal):
     m2 = eng.manifest.read_epoch(eng.manifest.last_committed_epoch())
     assert sum(i["rows"] for i in m2["partitions"].values()) == live_rows
     pd.testing.assert_frame_equal(before, _export_df(tmp_lake))
+
+
+def test_time_travel_reads_earlier_epoch(tmp_lake, tmp_wal):
+    """Epoch manifests are snapshots: read_lake(epoch=k) must equal the
+    oracle folded over epochs <= k (files are immutable, never deleted)."""
+    spec = WalSpec(n_events=6_000, n_convs=200, n_epochs=4, update_frac=0.3, delete_frac=0.1)
+    generate_wal(tmp_wal, spec)
+    eng = CdcEngine(tmp_lake, n_partitions=4)
+    eng.replay(tmp_wal)
+    for k in (1, 2):
+        got = (
+            read_lake(tmp_lake, epoch=k).to_pandas()
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        )
+        want = oracle_reduce(_wal_df(tmp_wal), upto_epoch=k).reset_index(drop=True)
+        got = got[want.columns.tolist()]
+        for c in want.columns:
+            want[c] = want[c].astype(got[c].dtype)
+        pd.testing.assert_frame_equal(got, want)
