@@ -233,6 +233,17 @@ def generate_wal(out_dir: str, spec: WalSpec = T1_SMOKE, overwrite: bool = False
             if seg.num_rows == 0 and s > 0:
                 continue
             pq.write_table(seg, os.path.join(edir, f"segment-{s:04d}.parquet"))
+        # sidecar: S events in offset order, so the apply driver never has
+        # to scan the epoch's op column (rare events, tiny file)
+        import pyarrow.compute as _pc
+
+        s_rows = etbl.filter(_pc.equal(etbl["op"], "S"))
+        side = [
+            {"offset": o, "schema_change": c}
+            for o, c in zip(s_rows["offset"].to_pylist(), s_rows["schema_change"].to_pylist())
+        ]
+        with open(os.path.join(edir, "_schema_events.json"), "w") as fh:
+            json.dump(side, fh)
 
     meta = {
         "spec_key": spec_key,
