@@ -196,3 +196,95 @@ def multimodal_decode_features(sf_dir: str):
         batch_format="pyarrow", batch_size=32,  # small batches: wide binary rows
         concurrency=_pool(),
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_engine_replay — the ACTUAL lake engine end-to-end on a deterministic
+# synthetic WAL (t2-style: LWW, deletes, out-of-order, schema evolution),
+# returning the sorted final table.  Not SQL-expressible over the
+# registered views (the WAL is engine input, not a view) → rows-only
+# gate here; full oracle equality is asserted in tests/test_engine_tests.py.
+# ---------------------------------------------------------------------------
+@query("cdc_engine_replay")
+def cdc_engine_replay(sf_dir: str):
+    import os
+    import tempfile
+
+    from ..pipelines.engine import CdcEngine
+    from ..pipelines.export import export_sorted
+    from ..wal.generator import WalSpec, generate_wal
+
+    n = 20_000 if "0.01" in sf_dir else 5_000
+    spec = WalSpec(n_events=n, n_convs=max(100, n // 25), n_epochs=4,
+                   update_frac=0.2, delete_frac=0.08, out_of_order_frac=0.1,
+                   dup_ts_frac=0.05,
+                   schema_events=((0.5, '{"kind": "add_column", "name": "lang", "type": "string", "default": null}'),))
+    wal_root = os.path.join(tempfile.gettempdir(), f"agr_q_wal_{n}")
+    generate_wal(wal_root, spec)
+    lake_root = tempfile.mkdtemp(prefix="agr_q_lake_")
+    eng = CdcEngine(lake_root, n_partitions=16)
+    eng.replay(wal_root)
+    return export_sorted(lake_root)
+
+
+# ---------------------------------------------------------------------------
+# html_strip_normalize — HTML strip + whitespace purge scalar kernels
+# (SURVEY M9 + §2.8 whitespace purge) over documents.
+# ---------------------------------------------------------------------------
+@query(
+    "html_strip_normalize",
+    """
+    SELECT doc_id,
+           length(regexp_replace(text, '<[^>]*>', '', 'g')) AS stripped_len,
+           length(regexp_replace(text, '\\s+', '', 'g')) AS purged_len
+    FROM documents
+    """,
+)
+def html_strip_normalize(sf_dir: str):
+    from ..functions.text_scalars import html_strip, whitespace_purge
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "stripped_len": pc.cast(pc.utf8_length(html_strip(t["text"])), pa.int64()),
+                "purged_len": pc.cast(pc.utf8_length(whitespace_purge(t["text"])), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# url_template_sources — [%s]-template substitution with a broadcast
+# template dict + miss counting (SURVEY M6: resourceDescriptor URL
+# construction with miss-counters).
+# ---------------------------------------------------------------------------
+@query(
+    "url_template_sources",
+    """
+    SELECT CASE WHEN source IN ('src1', 'src2', 'src3')
+                THEN 'https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR)
+                ELSE 'MISS' END AS url,
+           count(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def url_template_sources(sf_dir: str):
+    from ..functions.text_scalars import url_template
+
+    templates = {s: f"https://{s}.example.org/doc/[%s]" for s in ("src1", "src2", "src3")}
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.string())
+        url = url_template(t["source"], ids, templates, default="MISS")
+        return pa.table({"url": url}).group_by("url").aggregate([("url", "count")])
+
+    return (
+        ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("url")
+        .aggregate(Sum("url_count", alias_name="n"))
+    )
