@@ -192,14 +192,24 @@ class _PartitionApplier:
         return np.concatenate(parts)
 
     def apply_one(self, part: int, epoch: int, raw: pa.Table,
-                  prev_info: dict | None, registry: SchemaRegistry) -> dict:
+                  prev_info: dict | None, registry: SchemaRegistry,
+                  existing_keys: np.ndarray | None = None) -> tuple[dict, np.ndarray | None]:
         """``raw``: this epoch's pre-folded events for ``part`` in lake
-        layout plus the ``op`` column.  Returns the new partition info."""
+        layout plus the ``op`` column.  Returns ``(info, winner_keys)``
+        where the second element is the partition's UPDATED key-hash set
+        (None when the staged fast path was taken — re-derive lazily).
+
+        ``existing_keys``: current key-hash set of the partition, or
+        None → read lazily from files.  Callers applying several epochs
+        carry it forward (``existing ∪ winner_keys``) so the key-column
+        file scans happen once per replay, not once per epoch (measured:
+        per-epoch delta-file key scans made low compaction frequencies
+        SLOWER than frequent ones)."""
         staged = self.manifest.read_staged(epoch, part)
         if staged is not None and all(
             os.path.exists(self.manifest.abspath(f)) for f in _info_files(staged)
         ):
-            return staged
+            return staged, None
 
         winners = lww_last_per_key(raw, ["conv_id", "turn_idx"], ["ts", OFFSET_COL])
         ev = registry.conform(winners, _EXTRA_FIELDS)  # drops "op"
@@ -212,7 +222,9 @@ class _PartitionApplier:
         if self.compact_every == 1:
             compact = True
 
-        u_on_missing = _count_u_on_missing(winners, self._existing_keys(prev_info))
+        if existing_keys is None:
+            existing_keys = self._existing_keys(prev_info)
+        u_on_missing = _count_u_on_missing(winners, existing_keys)
 
         if compact:
             tables = [self._read_conformed(rel, registry)
@@ -241,7 +253,11 @@ class _PartitionApplier:
                 "u_on_missing": u_on_missing, "epoch": epoch,
             }
         self.manifest.write_staged(epoch, part, info)
-        return info
+        from ..stages.partition import key_hash
+
+        wk = key_hash(winners["conv_id"], winners["turn_idx"])
+        new_existing = wk if existing_keys is None else np.union1d(existing_keys, wk)
+        return info, new_existing
 
     def _write(self, rel: str, tbl: pa.Table) -> None:
         abspath = self.manifest.abspath(rel)
@@ -294,13 +310,14 @@ def _make_catchup_apply(lake_root: str, epochs: list[int],
         epoch_np = group["epoch"].to_numpy(zero_copy_only=False)
 
         info = prev_parts.get(part)
+        existing: "np.ndarray | None" = None
         out_rows: list[dict] = []
         for e in epochs:
             raw = group.filter(pa.array(epoch_np == e)).drop_columns(["epoch"])
             if raw.num_rows == 0:
                 continue  # partition untouched this epoch: carry forward
             registry = SchemaRegistry.from_dict(registries_by_epoch[e])
-            info = applier.apply_one(part, e, raw, info, registry)
+            info, existing = applier.apply_one(part, e, raw, info, registry, existing)
             out_rows.append(info)
         return _manifest_row_table(out_rows)
 

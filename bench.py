@@ -31,7 +31,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 #: WAL sizes per sf tier (events); skewed (zipf) like t3.  sf0.1 sized so
 #: steady-state work (~280 CPU-s) dominates the ~3 s fixed session cost at
 #: both scaling levels — the regime the 10^10-event target actually runs in.
-_WAL_EVENTS = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 16_000_000}
+_WAL_EVENTS = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 32_000_000}
 
 BENCH_QUERIES = [
     "cdc_lww_upsert",
