@@ -31,7 +31,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 #: WAL sizes per sf tier (events); skewed (zipf) like t3.  sf0.1 sized so
 #: steady-state work (~280 CPU-s) dominates the ~3 s fixed session cost at
 #: both scaling levels — the regime the 10^10-event target actually runs in.
-_WAL_EVENTS = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 32_000_000}
+_WAL_EVENTS = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 16_000_000}
 
 BENCH_QUERIES = [
     "cdc_lww_upsert",
@@ -139,10 +139,13 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, check=True,
-        ).stdout
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if shutil.which("taskset"):
+            # pin to ncpu physical cores: ray's num_cpus only bounds task
+            # scheduling, not library-internal threads — without pinning
+            # the low-parallelism leg silently uses extra silicon
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}", *cmd]
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = run(8), run(32)
