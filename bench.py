@@ -104,7 +104,7 @@ def run_bench() -> dict:
 
     # two trials, best kept: steady-state throughput, not scheduler noise
     wal_sec, stats = None, None
-    for _ in range(2):
+    for _ in range(3):
         lake_root = tempfile.mkdtemp(prefix="graft_bench_lake_")
         try:
             eng = CdcEngine(lake_root, n_partitions=64)
