@@ -102,7 +102,7 @@ def run_bench() -> dict:
     import ray.data as _rd
     _rd.range(1_000_000).map_batches(lambda b: b, batch_format="pyarrow").count()
 
-    # two trials, best kept: steady-state throughput, not scheduler noise
+    # best-of-3 trials: steady-state throughput, not scheduler noise
     wal_sec, stats = None, None
     for _ in range(3):
         lake_root = tempfile.mkdtemp(prefix="graft_bench_lake_")
