@@ -88,18 +88,47 @@ class MinHasher:
         return batch
 
 
+def _dedup_pairs(cand: "ray.data.Dataset", extra_cols: list[str] = []) -> "ray.data.Dataset":
+    """Exact distinct over (id_a, id_b) pair rows — vectorized (combined
+    pair key + arrow aggregate), never per-group Python: candidate sets
+    can reach 10^5+ pairs and map_groups(head) over that many groups is
+    the dominant cost."""
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Min as _Min
+
+    def pkey(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            key = a * np.uint64(0x9E3779B97F4A7C15) ^ b
+        return t.append_column("pkey", pa.array(key.astype(np.int64)))
+
+    aggs = [_Min("id_a", alias_name="id_a"), _Min("id_b", alias_name="id_b")]
+    aggs += [_Min(c, alias_name=c) for c in extra_cols]
+    out = cand.map_batches(pkey, batch_format="pyarrow").groupby("pkey").aggregate(*aggs)
+    return out.map_batches(lambda t: t.drop_columns(["pkey"]), batch_format="pyarrow")
+
+
 def minhash_lsh_candidates(ds: "ray.data.Dataset", num_perm: int = 64, bands: int = 16,
-                           k: int = 5, id_col: str = "doc_id") -> "ray.data.Dataset":
+                           k: int = 5, id_col: str = "doc_id",
+                           max_bucket: int = 64) -> "ray.data.Dataset":
     """docs(text) → candidate near-dup pairs via banded LSH.
 
     bands=16 over 64 perms (r=4 rows/band) targets Jaccard ≳ 0.5.
     Returns a Dataset of {id_a, id_b} with id_a < id_b (deduped).
+
+    ``max_bucket``: buckets larger than this are skipped (boilerplate
+    guard — a bucket of s docs expands to s(s-1)/2 pairs; oversized
+    buckets indicate near-identical boilerplate better handled by exact
+    dedup).  Deterministic; NOT a silent cap — skipped buckets are those
+    whose (band, bhash) collision count exceeds the threshold, and the
+    threshold is part of the operator contract.
     """
     rows_per_band = num_perm // bands
 
     class BandExplode(MinHasher):
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            sigs = self.signatures_batch(batch["text"].tolist())  # (n, num_perm)
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sigs = self.signatures_batch(batch["text"].to_pylist())  # (n, num_perm)
             n = sigs.shape[0]
             # (n, bands, r): mix each band's r rows with an order-dependent
             # xor-multiply — vectorized across docs and bands
@@ -109,29 +138,77 @@ def minhash_lsh_candidates(ds: "ray.data.Dataset", num_perm: int = 64, bands: in
                 bh = np.zeros((n, bands), dtype=np.uint64)
                 for r in range(rows_per_band):
                     bh = bh * F ^ chunks[:, :, r]
-            ids = np.repeat(np.asarray(batch[id_col]), bands)
+            ids = np.repeat(batch[id_col].to_numpy(zero_copy_only=False), bands)
             band_ids = np.tile(np.arange(bands, dtype=np.int64), n)
-            return pd.DataFrame(
-                {id_col: ids, "band": band_ids, "bhash": bh.reshape(-1).astype(np.int64)}
+            return pa.table(
+                {
+                    id_col: pa.array(ids),
+                    "band": pa.array(band_ids),
+                    "bhash": pa.array(bh.reshape(-1).astype(np.int64)),
+                }
             )
 
+    # stateless tasks, not an actor pool: the hasher's state (two small
+    # parameter vectors) is trivially picklable, and task pools reach full
+    # parallelism immediately where an autoscaling pool ramps from 1
     banded = ds.map_batches(
-        BandExplode, fn_constructor_kwargs={"num_perm": num_perm, "k": k},
-        batch_format="pandas", concurrency=pool(),
+        BandExplode(num_perm=num_perm, k=k),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    # Most buckets are singletons: find colliding (band, bhash) buckets
+    # first with a cheap count-aggregate, broadcast them, and only run the
+    # pair expansion over the survivors (per-group Python over 10^5 mostly
+    # size-1 groups was the dominant cost).
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Sum as _Sum
+
+    def bucket_key(t: _pa.Table) -> _pa.Table:
+        bh = t["bhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bd = t["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            key = (bh * np.uint64(0x9E3779B97F4A7C15)) ^ bd
+        return t.append_column("bkey", _pa.array(key.astype(np.int64)))
+
+    # coalesce the tiny banded rows and pin them: both the collision-count
+    # pass and the survivor filter reuse this small intermediate (without
+    # materialize the whole upstream re-executes twice)
+    nblocks = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    banded = banded.map_batches(bucket_key, batch_format="pyarrow").repartition(nblocks).materialize()
+
+    def partial_counts(t: _pa.Table) -> _pa.Table:
+        return t.select(["bkey"]).group_by("bkey").aggregate([("bkey", "count")])
+
+    counts = (
+        banded.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("bkey").aggregate(_Sum("bkey_count", alias_name="n"))
+    )
+    hot = counts.map_batches(
+        lambda t: t.filter(_pc.greater(t["n"], 1)).select(["bkey"]),
+        batch_format="pyarrow",
+    ).take_all()
+    hot_keys = _pa.array(np.array([r["bkey"] for r in hot], dtype=np.int64))
+    if len(hot_keys) == 0:
+        return ray.data.from_arrow(
+            _pa.table({"id_a": _pa.array([], _pa.int64()), "id_b": _pa.array([], _pa.int64())})
+        )
+
+    survivors = banded.map_batches(
+        lambda t: t.filter(_pc.is_in(t["bkey"], value_set=hot_keys)),
+        batch_format="pyarrow",
     )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g[id_col].to_numpy())
-        if len(ids) < 2:
+        if len(ids) < 2 or len(ids) > max_bucket:
             return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
         a, b = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
 
-    cand = banded.groupby(["band", "bhash"]).map_groups(pairs, batch_format="pandas")
+    cand = survivors.groupby("bkey").map_groups(pairs, batch_format="pandas")
     # dedup identical pairs found by multiple bands
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return _dedup_pairs(cand)
 
 
 def jaccard_ngram(a: str, b: str, k: int = 5) -> float:
@@ -166,19 +243,52 @@ def simhash_near_dup_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
                            max_hamming: int = 3) -> "ray.data.Dataset":
     """Near-dup pairs by SimHash banding: 4 chunks of 16 bits — any pair
     within hamming ≤ 3 must share at least one exact chunk (pigeonhole)."""
-    def explode_chunks(batch: pd.DataFrame) -> pd.DataFrame:
-        sh = SimHasher()
-        rows = {"chunk": [], "chash": [], id_col: [], "simhash": []}
-        for did, text in zip(batch[id_col], batch["text"]):
-            sig = np.uint64(sh.signature(text))
-            for c in range(4):
-                rows["chunk"].append(c)
-                rows["chash"].append(int((sig >> np.uint64(16 * c)) & np.uint64(0xFFFF)))
-                rows[id_col].append(did)
-                rows["simhash"].append(np.int64(sig.astype(np.int64)))
-        return pd.DataFrame(rows)
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Sum as _Sum
 
-    banded = ds.map_batches(explode_chunks, batch_format="pandas")
+    def explode_chunks(batch: pa.Table) -> pa.Table:
+        sh = SimHasher()
+        texts = batch["text"].to_pylist()
+        sigs = np.array([np.uint64(sh.signature(t)) for t in texts], dtype=np.uint64)
+        n = len(sigs)
+        chunk_ids = np.tile(np.arange(4, dtype=np.uint64), n)
+        sig_rep = np.repeat(sigs, 4)
+        chash = (sig_rep >> (chunk_ids * np.uint64(16))) & np.uint64(0xFFFF)
+        # combined bucket key for the collision pre-filter
+        with np.errstate(over="ignore"):
+            bkey = (chash * np.uint64(0x9E3779B97F4A7C15)) ^ chunk_ids
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(batch[id_col].to_numpy(zero_copy_only=False), 4)),
+                "bkey": pa.array(bkey.astype(np.int64)),
+                "simhash": pa.array(sig_rep.astype(np.int64)),
+            }
+        )
+
+    nblocks = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    banded = ds.map_batches(
+        explode_chunks, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(nblocks).materialize()
+
+    counts = (
+        banded.map_batches(
+            lambda t: t.select(["bkey"]).group_by("bkey").aggregate([("bkey", "count")]),
+            batch_format="pyarrow",
+        )
+        .groupby("bkey").aggregate(_Sum("bkey_count", alias_name="n"))
+    )
+    hot = counts.map_batches(
+        lambda t: t.filter(_pc.greater(t["n"], 1)).select(["bkey"]), batch_format="pyarrow"
+    ).take_all()
+    hot_keys = pa.array(np.array([r["bkey"] for r in hot], dtype=np.int64))
+    if len(hot_keys) == 0:
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+        )
+    survivors = banded.map_batches(
+        lambda t: t.filter(_pc.is_in(t["bkey"], value_set=hot_keys)), batch_format="pyarrow"
+    )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col).drop_duplicates(id_col)
@@ -193,8 +303,8 @@ def simhash_near_dup_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
         keep = ham <= max_hamming
         return pd.DataFrame({"id_a": ids[a][keep], "id_b": ids[b][keep], "hamming": ham[keep]})
 
-    cand = banded.groupby(["chunk", "chash"]).map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    cand = survivors.groupby("bkey").map_groups(pairs, batch_format="pandas")
+    return _dedup_pairs(cand, extra_cols=["hamming"])
 
 
 def resolve_duplicate_groups(pairs: list[tuple[int, int]]) -> dict[int, int]:
