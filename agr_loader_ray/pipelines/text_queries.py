@@ -288,3 +288,89 @@ def url_template_sources(sf_dir: str):
         .groupby("url")
         .aggregate(Sum("url_count", alias_name="n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_near_dup_pairs — embedding-cosine near-duplicate detection.
+# Exact all-pairs against a broadcast matrix (the embeddings table is the
+# designed small side; at 100 TB bucketize with HyperplaneLSH first and
+# compare within buckets — stages/similarity.lsh_bucketed_topk shows the
+# bucketed path).  Rounded float64 scoring matches the DuckDB oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_near_dup_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.25
+    """,
+)
+def embedding_near_dup_pairs(sf_dir: str):
+    import ray as _ray
+
+    from ..stages.similarity import _batch_matrix
+
+    full = read_small(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    mat = _batch_matrix(full, "embedding")
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    ref = _ray.put((mat / norms[:, None], full["vec_id"].to_numpy()))
+
+    class PairScore:
+        def __init__(self, ref, threshold):
+            self.all_mat, self.all_ids = _ray.get(ref)  # broadcast once per actor
+            self.threshold = threshold
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _batch_matrix(batch, "embedding")
+            n = np.linalg.norm(m, axis=1)
+            n[n == 0] = 1.0
+            sims = np.round((m / n[:, None]) @ self.all_mat.T, 6)
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            rows_a, rows_b, rows_s = [], [], []
+            mask = sims >= self.threshold
+            # keep only (a < b) ordered pairs
+            for i in range(len(ids)):
+                js = np.nonzero(mask[i] & (self.all_ids > ids[i]))[0]
+                rows_a.append(np.full(len(js), ids[i]))
+                rows_b.append(self.all_ids[js])
+                rows_s.append(sims[i][js])
+            return pa.table(
+                {
+                    "id_a": pa.array(np.concatenate(rows_a), pa.int64()),
+                    "id_b": pa.array(np.concatenate(rows_b), pa.int64()),
+                    "sim": pa.array(np.concatenate(rows_s), pa.float64()),
+                }
+            )
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ds.map_batches(PairScore, fn_constructor_args=(ref, 0.25),
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=_pool())
+
+
+# ---------------------------------------------------------------------------
+# exactly_k_orders — keep groups of exactly size k (SURVEY A3: keep
+# annotations only for alleles mapping to exactly 1 gene).
+# ---------------------------------------------------------------------------
+@query(
+    "exactly_k_orders",
+    """
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING count(*) = 8
+    """,
+)
+def exactly_k_orders(sf_dir: str):
+    from ray.data.aggregate import Count as _Count
+
+    counts = (
+        read_table(sf_dir, "orders", columns=["o_custkey"])
+        .groupby("o_custkey").aggregate(_Count(alias_name="n_orders"))
+    )
+    return counts.map_batches(
+        lambda t: t.filter(pc.equal(t["n_orders"], 8)), batch_format="pyarrow"
+    )
