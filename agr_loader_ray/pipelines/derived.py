@@ -1,0 +1,97 @@
+"""Second-pass (derived) pipelines: committed lake state → derived tables.
+
+Reference analogue (SURVEY §3.2): ClosureETL / GeneDiseaseOrthoETL /
+ProteinSequenceETL read the partially-built store, transform, and write
+back (``/root/reference/src/etl/closure_etl.py:69-81``,
+``/root/reference/src/etl/gene_disease_ortho_etl.py:119-158``).  Here a
+derived pipeline reads the lake AS OF a committed epoch (consistent
+snapshot via the epoch manifest), derives a new table, and writes it as
+partitioned Parquet next to a manifest that records the source epoch —
+derived-data lineage chains to the CDC lineage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..state.manifest import LakeManifest, _atomic_write_json
+from .export import read_lake
+
+
+def conversation_stats(lake_root: str, epoch: int | None = None) -> "ray.data.Dataset":
+    """Per-conversation statistics derived from the transcript lake:
+    turn count, distinct roles, total/mean text length, last timestamp.
+
+    Ray-Data-first: per-batch partial aggregation (combiner) before the
+    conversation groupby — the lake's partition files split by key hash,
+    so one conversation can span blocks.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    ds = read_lake(lake_root, epoch=epoch)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "chars": pc.cast(
+                    pc.coalesce(pc.utf8_length(t["text"]), pa.scalar(0, pa.int32())),
+                    pa.int64(),
+                ),
+                "is_tool": pc.cast(pc.equal(t["role"], "tool"), pa.int64()),
+                "ts": t["ts"],
+            }
+        )
+        return t2.group_by("conv_id").aggregate(
+            [("chars", "sum"), ("chars", "count"), ("is_tool", "sum"), ("ts", "max")]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("conv_id")
+        .aggregate(
+            Sum("chars_sum", alias_name="total_chars"),
+            Sum("chars_count", alias_name="n_turns"),
+            Sum("is_tool_sum", alias_name="n_tool_turns"),
+            Max("ts_max", alias_name="last_ts"),
+        )
+    )
+
+
+def write_derived(lake_root: str, out_dir: str, name: str = "conversation_stats",
+                  epoch: int | None = None) -> dict:
+    """Materialize a derived table with lineage.
+
+    Output layout (resumable: re-running for an already-derived source
+    epoch is a no-op)::
+
+        out_dir/epoch=<e>/part-*.parquet
+        out_dir/_manifests/epoch=<e>.json   {source_epoch, rows, name}
+    """
+    manifest = LakeManifest(lake_root)
+    e = manifest.last_committed_epoch() if epoch is None else epoch
+    if e is None:
+        raise FileNotFoundError(f"no committed epoch in {lake_root}")
+    mpath = os.path.join(out_dir, "_manifests", f"epoch={e}.json")
+    if os.path.exists(mpath):
+        with open(mpath) as fh:
+            return json.load(fh)
+
+    ds = conversation_stats(lake_root, epoch=e)
+    data_dir = os.path.join(out_dir, f"epoch={e}")
+    ds.write_parquet(data_dir)
+    rows = sum(
+        pq.read_metadata(os.path.join(data_dir, f)).num_rows
+        for f in os.listdir(data_dir) if f.endswith(".parquet")
+    )
+    info = {"name": name, "source_epoch": e, "rows": rows, "path": data_dir}
+    _atomic_write_json(mpath, info)
+    return info
