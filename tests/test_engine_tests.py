@@ -272,3 +272,16 @@ def test_time_travel_reads_earlier_epoch(tmp_lake, tmp_wal):
         for c in want.columns:
             want[c] = want[c].astype(got[c].dtype)
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_wide_rows_roundtrip(tmp_lake, tmp_wal):
+    """FIXTURES §1: a few ≥64 KiB texts must survive the full path
+    (prefold → exchange → delta/compaction → merge-on-read export)."""
+    spec = WalSpec(n_events=2_000, n_convs=100, n_epochs=2, update_frac=0.2,
+                   delete_frac=0.05, wide_rows=5)
+    generate_wal(tmp_wal, spec)
+    eng = CdcEngine(tmp_lake, n_partitions=4)
+    eng.replay(tmp_wal)
+    got = _export_df(tmp_lake)
+    assert (got["text"].str.len() >= 65_536).sum() >= 1
+    _assert_equals_oracle(tmp_lake, tmp_wal)
