@@ -576,3 +576,31 @@ class CdcEngine:
             parts[r["part"]] = {k: v for k, v in r.items() if k != "part"}
         self.manifest.commit_epoch(last, m["schema_registry"], parts, m.get("wal_offsets"))
         return {"compacted": len(results)}
+
+
+def lake_metrics(lake_root: str) -> dict:
+    """Run-level metrics from the manifest chain (the reference's final
+    timing/count report, ``/root/reference/src/aggregate_loader.py:258-267``
+    + NodeCount summary): per-epoch applied offsets, rows, u_on_missing,
+    live totals where exact (compacted partitions)."""
+    manifest = LakeManifest(lake_root)
+    epochs = manifest.committed_epochs()
+    out = {"epochs": [], "last_epoch": epochs[-1] if epochs else None}
+    for e in epochs:
+        m = manifest.read_epoch(e)
+        parts = m["partitions"].values()
+        out["epochs"].append(
+            {
+                "epoch": e,
+                "partitions": len(m["partitions"]),
+                "rows": sum(p["rows"] for p in parts),
+                "live_rows_exact": sum(
+                    p["live_rows"] for p in parts if p["live_rows"] != NO_COUNT
+                ),
+                "compacted_partitions": sum(1 for p in parts if not p.get("deltas")),
+                "u_on_missing": sum(p.get("u_on_missing", 0) for p in parts),
+                "schema_version": m["schema_registry"]["version"],
+                "max_offset": m.get("wal_offsets", [None, None])[1] if m.get("wal_offsets") else None,
+            }
+        )
+    return out

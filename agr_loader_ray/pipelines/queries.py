@@ -859,3 +859,38 @@ def curie_normalize_brands(sf_dir: str):
         .groupby("curie")
         .aggregate(Sum("curie_count", alias_name="n_parts"))
     )
+
+
+# ---------------------------------------------------------------------------
+# distinct_users_per_type — COUNT(DISTINCT) via two-level aggregation
+# (SURVEY A4 distinct at scale: dedup shuffle on (type, user) partials,
+# then a tiny count — never a driver-side set).
+# ---------------------------------------------------------------------------
+@query(
+    "distinct_users_per_type",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users_per_type(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "user_id"]).aggregate([("user_id", "count")])
+
+    pairs = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("user_id_count", alias_name="n"))
+    )
+
+    def per_type(t: pa.Table) -> pa.Table:
+        t2 = pa.table({"event_type": t["event_type"], "n": t["n"]})
+        return t2.group_by("event_type").aggregate([("n", "count"), ("n", "sum")])
+
+    return (
+        pairs.map_batches(per_type, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_count", alias_name="n_users"), Sum("n_sum", alias_name="n_events"))
+    )

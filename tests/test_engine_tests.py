@@ -285,3 +285,15 @@ def test_wide_rows_roundtrip(tmp_lake, tmp_wal):
     got = _export_df(tmp_lake)
     assert (got["text"].str.len() >= 65_536).sum() >= 1
     _assert_equals_oracle(tmp_lake, tmp_wal)
+
+
+def test_lake_metrics_summary(tmp_lake, tmp_wal):
+    from agr_loader_ray.pipelines.engine import lake_metrics
+    generate_wal(tmp_wal, WalSpec(n_events=2_000, n_convs=80, n_epochs=2, update_frac=0.3))
+    CdcEngine(tmp_lake, n_partitions=4, compact_every=1).replay(tmp_wal)
+    m = lake_metrics(tmp_lake)
+    assert m["last_epoch"] == 1
+    assert len(m["epochs"]) == 2
+    assert m["epochs"][-1]["rows"] > 0
+    assert m["epochs"][-1]["schema_version"] == 0
+    assert m["epochs"][-1]["compacted_partitions"] == 4
