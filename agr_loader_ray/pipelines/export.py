@@ -32,8 +32,14 @@ _EXTRA = [pa.field(OFFSET_COL, pa.int64()), pa.field(DELETED_COL, pa.bool_())]
 
 
 def read_lake(lake_root: str, epoch: int | None = None,
-              include_tombstones: bool = False) -> ray.data.Dataset:
-    """Dataset over the lake as of its last commit (or ``epoch``)."""
+              include_tombstones: bool = False,
+              columns: list[str] | None = None) -> ray.data.Dataset:
+    """Dataset over the lake as of its last commit (or ``epoch``).
+
+    ``columns`` prunes the OUTPUT projection; the merge-on-read fold
+    itself always reads key/order/tombstone columns plus the requested
+    payloads (never the full row when a 2-column read suffices).
+    """
     from .engine import _info_files
 
     manifest = LakeManifest(lake_root)
@@ -41,9 +47,22 @@ def read_lake(lake_root: str, epoch: int | None = None,
     if e is None:
         raise FileNotFoundError(f"no committed epoch in {lake_root}")
     m = manifest.read_epoch(e)
-    registry_dict = m["schema_registry"]
+    registry_dict = dict(m["schema_registry"])
     payload_cols = [n for n, _ in registry_dict["fields"]]
+    if columns is not None:
+        unknown = set(columns) - set(payload_cols)
+        if unknown:
+            raise KeyError(f"unknown columns: {sorted(unknown)}")
+        payload_cols = [c for c in payload_cols if c in columns]
+        # prune the registry to key/order columns + requested payloads so
+        # the per-file reads below fetch only those column chunks
+        keep = set(payload_cols) | {"conv_id", "turn_idx", "ts"}
+        registry_dict["fields"] = [f for f in registry_dict["fields"] if f[0] in keep]
+        registry_dict["defaults"] = {
+            k: v for k, v in registry_dict.get("defaults", {}).items() if k in keep
+        }
     defaults = {k: v for k, v in registry_dict.get("defaults", {}).items() if v is not None}
+    file_cols = [n for n, _ in registry_dict["fields"]] + [OFFSET_COL, DELETED_COL]
 
     items = []
     for info in m["partitions"].values():
@@ -59,7 +78,11 @@ def read_lake(lake_root: str, epoch: int | None = None,
         registry = SchemaRegistry.from_dict(registry_dict)
         outs = []
         for files in batch["files"].to_pylist():
-            tables = [registry.conform(pq.read_table(f), _EXTRA) for f in files]
+            tables = []
+            for f in files:
+                avail = set(pq.read_schema(f).names)
+                cols = [c for c in file_cols if c in avail]
+                tables.append(registry.conform(pq.read_table(f, columns=cols), _EXTRA))
             t = tables[0] if len(tables) == 1 else lww_last_per_key(
                 pa.concat_tables(tables), ["conv_id", "turn_idx"], ["ts", OFFSET_COL]
             )

@@ -894,3 +894,30 @@ def distinct_users_per_type(sf_dir: str):
         .groupby("event_type")
         .aggregate(Sum("n_count", alias_name="n_users"), Sum("n_sum", alias_name="n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# median_value_per_type — quantile aggregate via per-group exact median
+# (values pulled to the group, not the driver; identical double
+# arithmetic to the DuckDB oracle's interpolated median).
+# ---------------------------------------------------------------------------
+@query(
+    "median_value_per_type",
+    """
+    SELECT event_type, median(value) AS med_value, count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def median_value_per_type(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "med_value": [float(np.median(g["value"].to_numpy()))],
+                "n": [len(g)],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(med, batch_format="pandas")

@@ -297,3 +297,36 @@ def test_lake_metrics_summary(tmp_lake, tmp_wal):
     assert m["epochs"][-1]["rows"] > 0
     assert m["epochs"][-1]["schema_version"] == 0
     assert m["epochs"][-1]["compacted_partitions"] == 4
+
+
+def test_stray_tmp_files_are_ignored(tmp_lake, tmp_wal):
+    """A crash can leave .tmp.<pid> files behind; readers and replays
+    must ignore them (manifests only reference final renamed files)."""
+    import os
+    generate_wal(tmp_wal, WalSpec(n_events=1_000, n_convs=50, n_epochs=2))
+    eng = CdcEngine(tmp_lake, n_partitions=2)
+    eng.apply_epoch(tmp_wal, 0)
+    # plant stray tmp files where data lives
+    part_dir = os.path.join(tmp_lake, "part=0")
+    os.makedirs(part_dir, exist_ok=True)
+    with open(os.path.join(part_dir, "delta-epoch=1.parquet.tmp.999"), "wb") as fh:
+        fh.write(b"garbage not parquet")
+    eng.replay(tmp_wal)
+    _assert_equals_oracle(tmp_lake, tmp_wal)
+
+
+def test_read_lake_column_pruning(tmp_lake, tmp_wal):
+    generate_wal(tmp_wal, WalSpec(n_events=1_500, n_convs=60, n_epochs=2, delete_frac=0.1))
+    eng = CdcEngine(tmp_lake, n_partitions=2)
+    eng.replay(tmp_wal)
+    full = read_lake(tmp_lake).to_pandas()
+    pruned = read_lake(tmp_lake, columns=["conv_id", "turn_idx", "role"]).to_pandas()
+    assert list(pruned.columns) == ["conv_id", "turn_idx", "role"]
+    key = ["conv_id", "turn_idx"]
+    pd.testing.assert_frame_equal(
+        pruned.sort_values(key).reset_index(drop=True),
+        full[["conv_id", "turn_idx", "role"]].sort_values(key).reset_index(drop=True),
+    )
+    import pytest
+    with pytest.raises(KeyError):
+        read_lake(tmp_lake, columns=["nope"])
