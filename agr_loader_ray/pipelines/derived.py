@@ -95,3 +95,26 @@ def write_derived(lake_root: str, out_dir: str, name: str = "conversation_stats"
     info = {"name": name, "source_epoch": e, "rows": rows, "path": data_dir}
     _atomic_write_json(mpath, info)
     return info
+
+
+def conversation_text(lake_root: str, epoch: int | None = None,
+                      sep: str = "\n") -> "ray.data.Dataset":
+    """Assemble each conversation's full text in turn order (SURVEY J5:
+    CDS-per-transcript ordered assembly,
+    ``/root/reference/src/etl/protein_sequence_etl.py:175-203`` —
+    ``groupby(key).map_groups(sorted concat)``)."""
+    ds = read_lake(lake_root, epoch=epoch, columns=["conv_id", "turn_idx", "role", "text"])
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx")
+        return pd.DataFrame(
+            {
+                "conv_id": [g["conv_id"].iloc[0]],
+                "n_turns": [len(g)],
+                "dialogue": [sep.join(
+                    f"{r}: {t}" for r, t in zip(g["role"].fillna(""), g["text"].fillna(""))
+                )],
+            }
+        )
+
+    return ds.groupby("conv_id").map_groups(assemble, batch_format="pandas")

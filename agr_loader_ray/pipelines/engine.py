@@ -604,3 +604,52 @@ def lake_metrics(lake_root: str) -> dict:
             }
         )
     return out
+
+
+def verify_lake(lake_root: str, epoch: int | None = None) -> dict:
+    """Audit: recompute per-partition live counts + content checksums
+    from the data files and compare against the committed manifest
+    (NodeCount-style regression audit,
+    ``/root/reference/src/etl/node_count_etl.py:20-78`` — here content
+    hashes, not just counts).  Partitions with outstanding deltas carry
+    sentinel lineage and are reported as ``unverifiable`` (compact first
+    for a full audit).  One Ray task per partition.
+    """
+    manifest = LakeManifest(lake_root)
+    e = manifest.last_committed_epoch() if epoch is None else epoch
+    if e is None:
+        raise FileNotFoundError(f"no committed epoch in {lake_root}")
+    m = manifest.read_epoch(e)
+    lake = lake_root
+
+    @ray.remote
+    def audit(part: int, info: dict) -> dict:
+        tables = [pq.read_table(os.path.join(lake, rel)) for rel in _info_files(info)]
+        if not tables:
+            return {"part": part, "ok": info.get("live_rows", 0) in (0, NO_COUNT)}
+        merged = tables[0] if len(tables) == 1 else lww_last_per_key(
+            pa.concat_tables(tables, promote_options="permissive"),
+            ["conv_id", "turn_idx"], ["ts", OFFSET_COL],
+        )
+        live = merged.filter(pc.equal(merged[DELETED_COL], False))
+        if info.get("deltas"):
+            return {"part": part, "ok": None}  # unverifiable without compaction
+        return {
+            "part": part,
+            "ok": live.num_rows == info["live_rows"]
+            and _live_checksum(live) == info["checksum"],
+        }
+
+    results = ray.get(
+        [audit.remote(int(p), info) for p, info in m["partitions"].items()]
+    )
+    ok = [r for r in results if r["ok"] is True]
+    bad = [r["part"] for r in results if r["ok"] is False]
+    unverifiable = [r["part"] for r in results if r["ok"] is None]
+    return {
+        "epoch": e,
+        "verified": len(ok),
+        "corrupt_partitions": bad,
+        "unverifiable": unverifiable,
+        "ok": not bad,
+    }

@@ -49,3 +49,45 @@ def test_write_derived_lineage_and_idempotency(tmp_lake, tmp_wal, tmp_path):
     # rerun: no-op via the derived manifest
     info2 = write_derived(tmp_lake, out)
     assert info2 == info
+
+
+def test_conversation_text_assembly(tmp_lake, tmp_wal):
+    from agr_loader_ray.pipelines.derived import conversation_text
+    spec = WalSpec(n_events=2_000, n_convs=60, n_epochs=2, update_frac=0.2, delete_frac=0.1)
+    generate_wal(tmp_wal, spec)
+    CdcEngine(tmp_lake, n_partitions=4).replay(tmp_wal)
+
+    got = conversation_text(tmp_lake).to_pandas().set_index("conv_id").sort_index()
+    final = oracle_reduce(pads.dataset(tmp_wal, partitioning="hive").to_table().to_pandas())
+    for conv, g in final.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        want = "\n".join(f"{r}: {t}" for r, t in zip(g["role"].fillna(""), g["text"].fillna("")))
+        assert got.loc[conv, "dialogue"] == want
+        assert got.loc[conv, "n_turns"] == len(g)
+
+
+def test_verify_lake_audit(tmp_lake, tmp_wal):
+    from agr_loader_ray.pipelines.engine import verify_lake
+    spec = WalSpec(n_events=2_000, n_convs=80, n_epochs=2, delete_frac=0.1)
+    generate_wal(tmp_wal, spec)
+    eng = CdcEngine(tmp_lake, n_partitions=4, compact_every=1)
+    eng.replay(tmp_wal)
+    r = verify_lake(tmp_lake)
+    assert r["ok"] and r["verified"] == 4 and not r["unverifiable"]
+
+    # corrupt one partition file -> audit must flag it
+    import os
+    m = eng.manifest.read_epoch(eng.manifest.last_committed_epoch())
+    info = next(iter(m["partitions"].values()))
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    path = os.path.join(tmp_lake, info["base"])
+    t = pq.read_table(path)
+    import pyarrow.compute as pc
+    live = t.filter(pc.equal(t["_deleted"], False))
+    dead = t.filter(pc.equal(t["_deleted"], True))
+    assert live.num_rows > 0
+    t2 = pa.concat_tables([live.slice(0, live.num_rows - 1), dead])  # drop one LIVE row
+    pq.write_table(t2, path)
+    r2 = verify_lake(tmp_lake)
+    assert not r2["ok"] and len(r2["corrupt_partitions"]) == 1
