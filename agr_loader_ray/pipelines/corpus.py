@@ -1,0 +1,118 @@
+"""End-to-end training-data corpus cleaning: the operators composed.
+
+quality-score → language-ID → exact dedup → MinHash-LSH near-dup
+removal → partitioned Parquet output with a stage-count manifest.  This
+is the "every pipeline a user of the reference runs today" composition
+for the training-data side of the engine: each stage is a Ray Data
+transform from ``stages/`` and the output is resumable (manifest first,
+skip-if-done).
+
+Scale shape: the only shuffles are the exact-dedup groupby (hash of
+normalized text) and the LSH bucket exchange over tiny (band, hash)
+rows; documents themselves stream once.  Near-dup group resolution uses
+driver-side union-find over the verified pair list — documented small-
+side assumption (see ``stages/dedup.resolve_duplicate_groups``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.tables import read_table
+from ..stages.dedup import minhash_lsh_candidates, resolve_duplicate_groups
+from ..stages.partition import stable_hash_strings
+from ..stages.text import LangId, token_quality_batch
+from ..state.manifest import _atomic_write_json
+
+
+def build_clean_corpus(sf_dir: str, out_dir: str, min_tokens: int = 10,
+                       lang: str = "en") -> dict:
+    """documents → cleaned corpus parquet + stage-count manifest.
+
+    Idempotent: an existing ``_MANIFEST.json`` short-circuits (resume).
+    """
+    mpath = os.path.join(out_dir, "_MANIFEST.json")
+    if os.path.exists(mpath):
+        with open(mpath) as fh:
+            return json.load(fh)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    n_input = ds.count()
+
+    # 1. quality scoring + filter (vectorized kernel)
+    scored = ds.map_batches(token_quality_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    import pyarrow.compute as pc
+
+    kept = scored.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_tokens"], min_tokens)),
+        batch_format="pyarrow",
+    )
+
+    # 2. language ID (actor pool) + filter
+    from ..functions.pools import pool
+
+    lang_kept = kept.map_batches(LangId, batch_format="pandas", concurrency=pool()
+                                 ).map_batches(
+        lambda df: df[df["pred_lang"] == lang], batch_format="pandas"
+    )
+
+    # 3. exact dedup by normalized text hash (first-writer/min-doc_id wins)
+    def add_hash(t: pa.Table) -> pa.Table:
+        norm = pc.utf8_lower(pc.utf8_trim_whitespace(t["text"]))
+        h = stable_hash_strings(norm.combine_chunks()).astype(np.int64)
+        return t.append_column("text_hash", pa.array(h))
+
+    hashed = lang_kept.map_batches(
+        lambda df: pa.Table.from_pandas(df, preserve_index=False), batch_format="pandas"
+    ).map_batches(add_hash, batch_format="pyarrow")
+    exact_unique = hashed.groupby("text_hash").map_groups(
+        lambda g: g.sort_values("doc_id").head(1), batch_format="pandas"
+    )
+    # pin: reused by the near-dup pass AND the final write
+    exact_unique = exact_unique.materialize()
+    n_exact = exact_unique.count()
+
+    # 4. near-dup removal: LSH candidates → union-find → drop non-minimal
+    pairs = minhash_lsh_candidates(
+        exact_unique.map_batches(
+            lambda df: pa.Table.from_pandas(df[["doc_id", "text"]], preserve_index=False),
+            batch_format="pandas",
+        )
+    ).to_pandas()
+    labels = resolve_duplicate_groups(list(zip(pairs["id_a"], pairs["id_b"])))
+    drop = {d for d, root in labels.items() if d != root}
+    drop_arr = pa.array(np.fromiter(drop, dtype=np.int64)) if drop else pa.array([], pa.int64())
+
+    final = exact_unique.map_batches(
+        lambda df: pa.Table.from_pandas(df, preserve_index=False), batch_format="pandas"
+    ).map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=drop_arr)))
+        .select(["doc_id", "text", "source", "n_tokens", "stop_ratio", "en_ratio"]),
+        batch_format="pyarrow",
+    )
+
+    data_dir = os.path.join(out_dir, "data")
+    final.write_parquet(data_dir)
+    import pyarrow.parquet as pq
+
+    n_final = sum(
+        pq.read_metadata(os.path.join(data_dir, f)).num_rows
+        for f in os.listdir(data_dir) if f.endswith(".parquet")
+    )
+    info = {
+        "input_docs": n_input,
+        "after_exact_dedup": n_exact,
+        "near_dup_removed": len(drop),
+        "final_docs": n_final,
+        "path": data_dir,
+    }
+    _atomic_write_json(mpath, info)
+    return info

@@ -374,3 +374,23 @@ def exactly_k_orders(sf_dir: str):
     return counts.map_batches(
         lambda t: t.filter(pc.equal(t["n_orders"], 8)), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# clean_corpus — the composed training-data pipeline (quality → lang-ID →
+# exact dedup → near-dup removal) exposed through the query surface
+# (rows-only: the composition is verified structurally in
+# tests/test_corpus_tests.py; each constituent operator has its own
+# oracle-backed query above).
+# ---------------------------------------------------------------------------
+@query("clean_corpus")
+def clean_corpus(sf_dir: str):
+    import tempfile
+
+    import ray.data as _rd
+
+    from .corpus import build_clean_corpus
+
+    out = tempfile.mkdtemp(prefix="agr_corpus_")
+    info = build_clean_corpus(sf_dir, out)
+    return _rd.read_parquet(info["path"])
