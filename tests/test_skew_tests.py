@@ -52,3 +52,32 @@ def test_skew_stats_finds_hot_conversation(tmp_wal):
     assert top.iloc[0]["conv_id"] == "conv-00000000"  # zipf head
     total = SPEC.n_events
     assert top.iloc[0]["changes"] > 0.01 * total  # genuinely hot
+
+
+def test_hot_single_key_correct_and_bounded(tmp_lake, tmp_wal):
+    """Extreme skew: few conversations × few turns → a handful of PKs
+    receive almost all updates.  The per-block LWW pre-fold must collapse
+    them before the exchange (at most one survivor per key per block),
+    and the final state must still equal the oracle."""
+    spec = WalSpec(n_events=40_000, n_convs=20, max_turns=4, n_epochs=4,
+                   update_frac=0.6, delete_frac=0.05, zipf_a=1.05,
+                   dup_ts_frac=0.1, out_of_order_frac=0.1)
+    generate_wal(tmp_wal, spec)
+    eng = CdcEngine(tmp_lake, n_partitions=8)
+    eng.replay(tmp_wal)
+
+    got = export_sorted(tmp_lake).to_pandas().reset_index(drop=True)
+    assert len(got) <= 20 * 4  # keyspace bound: prefold collapsed 40k events
+    want = oracle_reduce(
+        pads.dataset(tmp_wal, partitioning="hive").to_table().to_pandas()
+    ).reset_index(drop=True)
+    got = got[want.columns.tolist()]
+    for c in want.columns:
+        want[c] = want[c].astype(got[c].dtype)
+    pd.testing.assert_frame_equal(got, want)
+
+    # lake files stay small: per-epoch deltas bounded by the keyspace
+    # (one winner per key per epoch), not by the 40k raw events
+    m = eng.manifest.read_epoch(eng.manifest.last_committed_epoch())
+    n_epochs = 4
+    assert sum(i["rows"] for i in m["partitions"].values()) <= 20 * 4 * (n_epochs + 1)
