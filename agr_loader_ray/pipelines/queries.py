@@ -98,10 +98,10 @@ def cdc_lww_upsert(sf_dir: str):
     "q1_agg_pushdown",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_rev_e4,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_rev_e4,
            count(*) AS count_order
     FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
@@ -151,8 +151,8 @@ def q1_agg_pushdown(sf_dir: str):
     "filter_project_revenue",
     """
     SELECT l_orderkey,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_e4,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_e4,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
@@ -197,7 +197,7 @@ def filter_project_revenue(sf_dir: str):
     "broadcast_join_nation_revenue",
     """
     SELECT n.n_name,
-           sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_c,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c,
            count(*) AS n_orders
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
                   JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -245,8 +245,8 @@ def broadcast_join_nation_revenue(sf_dir: str):
     "hash_join_priority_revenue",
     """
     SELECT c.c_mktsegment, o.o_orderpriority,
-           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS rev_e4,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_e4,
            count(*) AS n_items
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
                     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -307,7 +307,7 @@ def hash_join_priority_revenue(sf_dir: str):
     "semi_join_open_orders",
     """
     SELECT l_returnflag,
-           sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
            count(*) AS n_items
     FROM lineitem
     WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O')
@@ -342,7 +342,7 @@ def semi_join_open_orders(sf_dir: str):
     "anti_join_inactive_customers",
     """
     SELECT c_mktsegment, count(*) AS n_customers,
-           sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_c
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_c
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
@@ -418,7 +418,7 @@ def explode_tokens_topk(sf_dir: str):
 @query(
     "dedup_exact_text",
     """
-    SELECT lang, count(*) AS n_docs, sum(len) AS total_chars FROM (
+    SELECT lang, count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS total_chars FROM (
       SELECT lang, length(text) AS len,
              row_number() OVER (PARTITION BY lower(trim(text)), lang ORDER BY doc_id) AS rn
       FROM documents) t
@@ -521,7 +521,7 @@ def global_top10_lineitems(sf_dir: str):
     "sessionize_events",
     """
     SELECT user_id,
-           1 + sum(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
+           CAST(1 + sum(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
            count(*) AS n_events
     FROM (
       SELECT user_id,
@@ -587,7 +587,7 @@ def date_normalize_daily(sf_dir: str):
     "prefix_split_parts",
     """
     SELECT string_split(p_type, ' ')[1] AS prefix, count(*) AS n_parts,
-           sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS price_c
+           CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS price_c
     FROM part GROUP BY string_split(p_type, ' ')[1]
     """,
 )
@@ -722,7 +722,7 @@ def asof_join_purchase_view(sf_dir: str):
     "props_extract_sum",
     """
     SELECT event_type,
-           sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
            count(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -776,8 +776,8 @@ def union_user_activity(sf_dir: str):
     "running_value_per_user",
     """
     SELECT event_id,
-           sum(CAST(round(value * 100) AS BIGINT))
-             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cum_value_c
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS cum_value_c
     FROM events
     """,
 )
@@ -804,7 +804,7 @@ def running_value_per_user(sf_dir: str):
                 WHEN event_type IN ('purchase', 'signup') THEN 'commerce'
                 ELSE 'other' END AS route,
            count(*) AS n,
-           sum(CAST(round(value * 100) AS BIGINT)) AS value_c
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
     FROM events GROUP BY 1
     """,
 )

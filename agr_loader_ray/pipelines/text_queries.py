@@ -153,7 +153,7 @@ def simhash_near_dup(sf_dir: str):
     "tumbling_window_counts",
     """
     SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events,
-           sum(CAST(round(value * 100) AS BIGINT)) AS value_c
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
     FROM events GROUP BY user_id, date_trunc('hour', ts)
     """,
 )
@@ -170,11 +170,18 @@ def tumbling_window_counts(sf_dir: str):
             [("value_c", "count"), ("value_c", "sum")]
         )
 
-    return (
+    agg = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["user_id", "hour"])
         .aggregate(_Sum("value_c_count", alias_name="n_events"),
                    _Sum("value_c_sum", alias_name="value_c"))
+    )
+    # floor_temporal→groupby leaves hour at timestamp[s]; driver hash is
+    # unit-sensitive, oracle's date_trunc is timestamp[us]
+    return agg.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("hour"), "hour",
+                               pc.cast(t["hour"], pa.timestamp("us"))),
+        batch_format="pyarrow",
     )
 
 

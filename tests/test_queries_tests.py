@@ -31,7 +31,9 @@ def duck_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    return con.sql(sql).df()
+    # go through Arrow (like the driver) so decimal128/hugeint results keep
+    # their type instead of being silently lowered to float64 by .df()
+    return con.sql(sql).arrow().to_pandas()
 
 
 def compare(got: pd.DataFrame, want: pd.DataFrame):
@@ -39,6 +41,13 @@ def compare(got: pd.DataFrame, want: pd.DataFrame):
     want = want[sorted(want.columns)].reset_index(drop=True)
     assert list(got.columns) == list(want.columns), (got.columns, want.columns)
     assert len(got) == len(want), (len(got), len(want))
+    # the driver's value hash is dtype-sensitive: a DuckDB decimal128 vs an
+    # engine int64 hash-mismatches even when values are equal — catch it here
+    for c in got.columns:
+        assert got[c].dtype.kind == want[c].dtype.kind, (
+            c, got[c].dtype, want[c].dtype,
+            "dtype-kind mismatch: CAST the oracle aggregate (driver hash is typed)",
+        )
     key = list(got.columns)
     got = got.sort_values(key, kind="mergesort").reset_index(drop=True)
     want = want.sort_values(key, kind="mergesort").reset_index(drop=True)
