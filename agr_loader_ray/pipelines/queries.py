@@ -205,33 +205,36 @@ def filter_project_revenue(sf_dir: str):
     """,
 )
 def broadcast_join_nation_revenue(sf_dir: str):
-    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    # The broadcast side must be GENUINELY small (reference J2: the master
+    # gene set is bounded; molecular_interaction_etl.py:138-196).  Nation is
+    # 25 rows at every scale factor — broadcast it.  Customer grows with sf,
+    # so the orders↔customer hop is a hash-partitioned Dataset.join, never a
+    # driver dict.
     nat = read_small(sf_dir, "nation", columns=["n_nationkey", "n_name"])
-    nation_of = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
-    # custkey -> nation name, composed driver-side; broadcast once via ray.put
-    cust_nation = {
-        k: nation_of[v]
-        for k, v in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
-    }
-    ref = ray.put(cust_nation)
+    ref = ray.put(nat)
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = orders.join(cust, join_type="inner", num_partitions=_join_parts(),
+                         on=("o_custkey",), right_on=("c_custkey",))
 
     class Enrich:
         def __init__(self, ref):
-            self.lookup = ray.get(ref)  # once per actor (SURVEY T1 pattern)
+            t = ray.get(ref)  # once per actor (SURVEY T1 pattern)
+            self.nkeys = t["n_nationkey"].combine_chunks()
+            self.nnames = t["n_name"].combine_chunks()
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["o_custkey"].to_numpy(zero_copy_only=False)
-            lk = self.lookup
-            names = np.array([lk[k] for k in keys.tolist()], dtype=object)
+            # vectorized dictionary lookup: index_in + take, no Python loop
+            idx = pc.index_in(t["c_nationkey"], value_set=self.nkeys)
             t2 = pa.table(
-                {"n_name": pa.array(names, pa.string()), "total_c": _cents(t["o_totalprice"])}
+                {"n_name": pc.take(self.nnames, idx), "total_c": _cents(t["o_totalprice"])}
             )
             return t2.group_by("n_name").aggregate([("total_c", "sum"), ("total_c", "count")])
 
-    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     return (
-        ds.map_batches(Enrich, fn_constructor_args=(ref,), batch_format="pyarrow",
-                       zero_copy_batch=True, concurrency=_pool())
+        joined.map_batches(Enrich, fn_constructor_args=(ref,), batch_format="pyarrow",
+                           zero_copy_batch=True, concurrency=_pool())
         .groupby("n_name")
         .aggregate(Sum("total_c_sum", alias_name="total_c"), Sum("total_c_count", alias_name="n_orders"))
     )
@@ -266,34 +269,29 @@ def hash_join_priority_revenue(sf_dir: str):
     joined = li.join(orders, join_type="inner", num_partitions=_join_parts(),
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
-    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    seg_of = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
-    ref = ray.put(seg_of)
+    # second hop is also big×big (customer grows with sf) — another
+    # hash-partitioned join, not a broadcast dict
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined2 = joined.join(cust, join_type="inner", num_partitions=_join_parts(),
+                          on=("o_custkey",), right_on=("c_custkey",))
 
-    class SegAgg:
-        def __init__(self, ref):
-            self.seg = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            seg = np.array([self.seg[k] for k in t["o_custkey"].to_numpy(zero_copy_only=False).tolist()],
-                           dtype=object)
-            base_c = _cents(t["l_extendedprice"])
-            disc_bp = _cents(t["l_discount"])
-            rev = pc.multiply(base_c, pc.subtract(pa.scalar(100, pa.int64()), disc_bp))
-            t2 = pa.table(
-                {
-                    "c_mktsegment": pa.array(seg, pa.string()),
-                    "o_orderpriority": t["o_orderpriority"],
-                    "rev_e4": rev,
-                }
-            )
-            return t2.group_by(["c_mktsegment", "o_orderpriority"]).aggregate(
-                [("rev_e4", "sum"), ("rev_e4", "count")]
-            )
+    def seg_agg(t: pa.Table) -> pa.Table:
+        base_c = _cents(t["l_extendedprice"])
+        disc_bp = _cents(t["l_discount"])
+        rev = pc.multiply(base_c, pc.subtract(pa.scalar(100, pa.int64()), disc_bp))
+        t2 = pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "o_orderpriority": t["o_orderpriority"],
+                "rev_e4": rev,
+            }
+        )
+        return t2.group_by(["c_mktsegment", "o_orderpriority"]).aggregate(
+            [("rev_e4", "sum"), ("rev_e4", "count")]
+        )
 
     return (
-        joined.map_batches(SegAgg, fn_constructor_args=(ref,), batch_format="pyarrow",
-                           concurrency=_pool())
+        joined2.map_batches(seg_agg, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["c_mktsegment", "o_orderpriority"])
         .aggregate(Sum("rev_e4_sum", alias_name="rev_e4"), Sum("rev_e4_count", alias_name="n_items"))
     )
@@ -350,31 +348,26 @@ def semi_join_open_orders(sf_dir: str):
     """,
 )
 def anti_join_inactive_customers(sf_dir: str):
+    # Distributed anti join: hash-partitioned left_anti Dataset.join.  The
+    # excluded-key side is pre-deduplicated inside map_batches so only
+    # distinct custkeys enter the exchange (never a driver-side set — that
+    # was sf-proportional driver state).
     with_p = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"]).map_batches(
-        lambda t: t.filter(pc.equal(t["o_orderstatus"], "P")).select(["o_custkey"]),
+        lambda t: pa.table({"o_custkey": pc.unique(
+            t.filter(pc.equal(t["o_orderstatus"], "P"))["o_custkey"].combine_chunks())}),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    # distinct custkeys of the filtered order fact — bounded by |customer|,
-    # so a broadcastable small side even at scale (semi/anti via broadcast set)
-    keyset = set()
-    for b in with_p.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        keyset.update(pc.unique(b["o_custkey"]).to_pylist())
-    ref = ray.put(np.fromiter(keyset, dtype=np.int64))
+    kept = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"]).join(
+        with_p, join_type="left_anti", num_partitions=_join_parts(),
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
 
-    class AntiFilter:
-        def __init__(self, ref):
-            self.keys = pa.array(ray.get(ref))
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pc.invert(pc.is_in(t["c_custkey"], value_set=self.keys))
-            t = t.filter(mask)
-            t2 = pa.table({"c_mktsegment": t["c_mktsegment"], "bal_c": _cents(t["c_acctbal"])})
-            return t2.group_by("c_mktsegment").aggregate([("bal_c", "count"), ("bal_c", "sum")])
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table({"c_mktsegment": t["c_mktsegment"], "bal_c": _cents(t["c_acctbal"])})
+        return t2.group_by("c_mktsegment").aggregate([("bal_c", "count"), ("bal_c", "sum")])
 
     return (
-        read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"])
-        .map_batches(AntiFilter, fn_constructor_args=(ref,), batch_format="pyarrow",
-                     concurrency=_pool())
+        kept.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("c_mktsegment")
         .aggregate(Sum("bal_c_count", alias_name="n_customers"), Sum("bal_c_sum", alias_name="bal_c"))
     )
@@ -436,19 +429,25 @@ def dedup_exact_text(sf_dir: str):
         return pa.table(
             {
                 "h": pa.array(h.astype(np.int64)),
+                "norm": norm,
                 "doc_id": t["doc_id"],
                 "lang": t["lang"],
                 "len": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
             }
         )
 
+    # group by (h, lang) — the oracle partitions by (norm_text, lang) — and
+    # confirm in-group text equality so a 64-bit hash collision cannot
+    # silently merge unrelated docs: one survivor per DISTINCT norm text.
+    def survivors_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        first = g.groupby("norm", sort=False).head(1)
+        return first[["lang", "len"]]
+
     survivors = (
         ds.map_batches(norm_hash, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("h")
-        .map_groups(
-            lambda g: g.sort_values("doc_id").head(1)[["lang", "len"]],
-            batch_format="pandas",
-        )
+        .groupby(["h", "lang"])
+        .map_groups(survivors_fn, batch_format="pandas")
     )
     return survivors.groupby("lang").aggregate(
         Count(alias_name="n_docs"), Sum("len", alias_name="total_chars")
@@ -897,10 +896,31 @@ def distinct_users_per_type(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# median_value_per_type — quantile aggregate via per-group exact median
-# (values pulled to the group, not the driver; identical double
-# arithmetic to the DuckDB oracle's interpolated median).
+# median_value_per_type — EXACT distributed median via histogram partials +
+# boundary-bucket resolve (no task ever holds a full group: event_type is a
+# low-cardinality key, so a per-group map_groups would concentrate ~1/|types|
+# of the dataset in one task at 100 TB).  All range arithmetic is done on an
+# order-preserving int64 image of float64 (sign-folded IEEE bits), so bucket
+# membership is exact integer math — no float-boundary rounding hazards.
+#   pass 1: per-batch (type, count, min, max) partials → tiny per-type stats
+#   pass 2..k: per-batch histograms of the int keys over the active range →
+#     per-type bucket counts; the bucket(s) holding ranks (n-1)//2 and n//2
+#     define the next (4096× narrower) range — ≤6 rounds collapse 2^64 keys
+#   final: pull only the values inside the resolved range (bounded by
+#     _BOUNDARY_LIMIT per type) and take the exact order statistics.
+# Matches DuckDB's interpolated median bit-for-bit (mean of the two middle
+# doubles for even n).
 # ---------------------------------------------------------------------------
+_MEDIAN_BUCKETS = 4096
+_BOUNDARY_LIMIT = 262_144  # max values ever pulled to the driver per type
+
+
+def _float_keys(v: np.ndarray) -> np.ndarray:
+    """Order-preserving int64 image of float64 (IEEE-754 total order)."""
+    x = v.astype(np.float64).view(np.int64)
+    return x ^ ((x >> 63) & np.int64(0x7FFFFFFFFFFFFFFF))
+
+
 @query(
     "median_value_per_type",
     """
@@ -911,13 +931,132 @@ def distinct_users_per_type(sf_dir: str):
 def median_value_per_type(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["event_type", "value"])
 
-    def med(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "event_type": [g["event_type"].iloc[0]],
-                "med_value": [float(np.median(g["value"].to_numpy()))],
-                "n": [len(g)],
-            }
+    def stats_partial(t: pa.Table) -> pa.Table:
+        k = _float_keys(t["value"].to_numpy(zero_copy_only=False))
+        t2 = pa.table({"event_type": t["event_type"], "k": pa.array(k, pa.int64())})
+        return t2.group_by("event_type").aggregate(
+            [("k", "count"), ("k", "min"), ("k", "max")]
         )
 
-    return ds.groupby("event_type").map_groups(med, batch_format="pandas")
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("k_count", alias_name="n"),
+            Min("k_min", alias_name="lo"),
+            Max("k_max", alias_name="hi"),
+        )
+    ).take_all()  # one tiny row per event type
+
+    # type -> [lo_key, hi_key, rank_lo, rank_hi, below]; `below` = values with
+    # key < lo_key already accounted for by earlier rounds
+    state: dict[str, list] = {}
+    counts: dict[str, int] = {}
+    for r in stats:
+        n = int(r["n"])
+        counts[r["event_type"]] = n
+        state[r["event_type"]] = [int(r["lo"]), int(r["hi"]), (n - 1) // 2, n // 2, 0]
+
+    def hist_round(ranges: dict[str, tuple[int, int, int]]):
+        """ranges: type -> (lo_key, hi_key, bucket_width)."""
+        ref = ray.put(ranges)
+
+        class Hist:
+            def __init__(self, ref):
+                self.ranges = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                ts_, bs_, cs_ = [], [], []
+                et = t["event_type"].to_numpy(zero_copy_only=False)
+                keys = _float_keys(t["value"].to_numpy(zero_copy_only=False))
+                for typ, (lo, hi, width) in self.ranges.items():
+                    v = keys[(et == typ) & (keys >= lo) & (keys <= hi)]
+                    if not len(v):
+                        continue
+                    # unsigned two's-complement diff: exact even when the key
+                    # range spans the int64 sign boundary (v - lo would wrap)
+                    diff = v.astype(np.uint64) - np.uint64(lo & 0xFFFFFFFFFFFFFFFF)
+                    bc = np.bincount((diff // np.uint64(width)).astype(np.int64),
+                                     minlength=_MEDIAN_BUCKETS)
+                    nz = np.nonzero(bc)[0]
+                    ts_.append(np.full(len(nz), typ, dtype=object))
+                    bs_.append(nz)
+                    cs_.append(bc[nz])
+                if not ts_:
+                    return pa.table({"event_type": pa.array([], pa.string()),
+                                     "bucket": pa.array([], pa.int64()),
+                                     "cnt": pa.array([], pa.int64())})
+                return pa.table({
+                    "event_type": pa.array(np.concatenate(ts_), pa.string()),
+                    "bucket": pa.array(np.concatenate(bs_), pa.int64()),
+                    "cnt": pa.array(np.concatenate(cs_).astype(np.int64), pa.int64()),
+                })
+
+        return (
+            ds.map_batches(Hist, fn_constructor_args=(ref,), batch_format="pyarrow",
+                           zero_copy_batch=True, concurrency=_pool())
+            .groupby(["event_type", "bucket"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+        ).take_all()  # ≤ |types| × _MEDIAN_BUCKETS tiny rows
+
+    def _width(lo: int, hi: int) -> int:
+        return max(1, -((lo - hi - 1) // _MEDIAN_BUCKETS))  # ceil-div, ≥1
+
+    # histogram only the types whose full value set would exceed the pull
+    # bound; small-n or all-equal types go straight to the final pull
+    pending = {t: (s[0], s[1], _width(s[0], s[1])) for t, s in state.items()
+               if counts[t] > _BOUNDARY_LIMIT and s[1] > s[0]}
+    for _ in range(8):  # 4096-way shrink per round: ≤6 rounds cover 2^64 keys
+        if not pending:
+            break
+        rows = hist_round(pending)
+        hists = {t: np.zeros(_MEDIAN_BUCKETS, dtype=np.int64) for t in pending}
+        for r in rows:
+            hists[r["event_type"]][r["bucket"]] = r["cnt"]
+        nxt = {}
+        for typ, h in hists.items():
+            lo, hi, r1, r2, below = state[typ]
+            width = pending[typ][2]
+            cum = np.concatenate(([0], np.cumsum(h)))
+            b1 = int(np.searchsorted(cum, r1 - below, side="right")) - 1
+            b2 = int(np.searchsorted(cum, r2 - below, side="right")) - 1
+            new_lo = lo + b1 * width
+            new_hi = min(hi, lo + (b2 + 1) * width - 1)
+            state[typ] = [new_lo, new_hi, r1, r2, below + int(cum[b1])]
+            span = int(cum[b2 + 1] - cum[b1])
+            if span > _BOUNDARY_LIMIT and new_hi > new_lo:
+                nxt[typ] = (new_lo, new_hi, _width(new_lo, new_hi))
+        pending = nxt
+
+    # final: pull ONLY the boundary-range values per type (bounded)
+    final_ranges = {t: (s[0], s[1]) for t, s in state.items()}
+    fref = ray.put(final_ranges)
+
+    def boundary_vals(t: pa.Table) -> pa.Table:
+        rngs = ray.get(fref)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        vals = t["value"].to_numpy(zero_copy_only=False)
+        keys = _float_keys(vals)
+        keep = np.zeros(len(vals), dtype=bool)
+        for typ, (lo, hi) in rngs.items():
+            keep |= (et == typ) & (keys >= lo) & (keys <= hi)
+        return pa.table({"event_type": pa.array(et[keep], pa.string()),
+                         "value": pa.array(vals[keep], pa.float64())})
+
+    pulled = ds.map_batches(boundary_vals, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    by_type: dict[str, list[float]] = {}
+    for r in pulled:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+
+    out_rows = []
+    for typ, s in state.items():
+        _, _, r1, r2, below = s
+        v = np.asarray(by_type[typ], dtype=np.float64)
+        v = v[np.argsort(_float_keys(v), kind="stable")]
+        x1, x2 = v[r1 - below], v[r2 - below]
+        med = float(x1) if r1 == r2 else float((x1 + x2) / 2.0)
+        out_rows.append({"event_type": typ, "med_value": med, "n": counts[typ]})
+    out = pd.DataFrame(out_rows, columns=["event_type", "med_value", "n"])
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)

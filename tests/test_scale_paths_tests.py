@@ -1,0 +1,134 @@
+"""Scale-path correctness: the distributed median's histogram-refine loop
+and the (hash, lang) dedup key — cases the sf fixtures alone don't force.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import agr_loader_ray.pipelines.queries as Q
+
+
+def _write_sf(tmp_path, tables: dict[str, pa.Table]) -> str:
+    d = tmp_path / "sf"
+    d.mkdir()
+    for name, t in tables.items():
+        pq.write_table(t, str(d / f"{name}.parquet"))
+    return str(d)
+
+
+def _events_table(values: np.ndarray, types: np.ndarray) -> pa.Table:
+    n = len(values)
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(np.arange(n) % 7, pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(values, pa.float64()),
+            "ts": pa.array(
+                np.datetime64("2024-01-01", "us") + np.arange(n).astype("timedelta64[s]")
+            ),
+            "props": pa.array(['{"k": 1}'] * n, pa.string()),
+        }
+    )
+
+
+def _median_got(sf_dir):
+    res = Q.QUERIES["median_value_per_type"](sf_dir)
+    df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+def _median_want(values, types):
+    df = pd.DataFrame({"event_type": types, "value": values})
+    g = df.groupby("event_type")["value"]
+    return pd.DataFrame(
+        {
+            "event_type": sorted(df["event_type"].unique()),
+            "med_value": [float(np.median(g.get_group(t).to_numpy()))
+                          for t in sorted(df["event_type"].unique())],
+            "n": [int(g.get_group(t).size) for t in sorted(df["event_type"].unique())],
+        }
+    )
+
+
+def test_median_histogram_refine_path(tmp_path, monkeypatch):
+    """Force the multi-round histogram path with a tiny pull bound."""
+    monkeypatch.setattr(Q, "_BOUNDARY_LIMIT", 8)
+    rng = np.random.default_rng(7)
+    # heavy ties + negatives + a hot cluster inside one bucket
+    vals = np.concatenate(
+        [
+            rng.normal(0, 1, 4000),
+            np.full(3000, 0.125),          # hot single value (bucket narrow loop)
+            rng.uniform(-1e6, 1e6, 3000),  # wide range incl. negatives
+        ]
+    )
+    types = np.array(["a", "b", "c"])[rng.integers(0, 3, len(vals))]
+    sf = _write_sf(tmp_path, {"events": _events_table(vals, types)})
+    got = _median_got(sf)
+    want = _median_want(vals, types)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_median_even_odd_and_all_equal(tmp_path, monkeypatch):
+    monkeypatch.setattr(Q, "_BOUNDARY_LIMIT", 4)
+    vals = np.array([1.0, 2.0, 3.0, 4.0,      # even group → interpolated
+                     5.0, 6.0, 7.0,           # odd group
+                     9.0, 9.0, 9.0, 9.0, 9.0])  # all-equal group
+    types = np.array(["e"] * 4 + ["o"] * 3 + ["q"] * 5)
+    sf = _write_sf(tmp_path, {"events": _events_table(vals, types)})
+    got = _median_got(sf)
+    want = _median_want(vals, types)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_median_sign_boundary_keys(tmp_path, monkeypatch):
+    """Negative and positive float keys span the int64 sign boundary."""
+    monkeypatch.setattr(Q, "_BOUNDARY_LIMIT", 2)
+    vals = np.array([-1e300, -5.0, -1e-300, 0.0, 1e-300, 5.0, 1e300])
+    types = np.array(["x"] * 7)
+    sf = _write_sf(tmp_path, {"events": _events_table(vals, types)})
+    got = _median_got(sf)
+    assert got["med_value"].iloc[0] == 0.0
+    assert int(got["n"].iloc[0]) == 7
+
+
+def _docs_table(rows):
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array(["src1"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+
+
+def test_dedup_exact_text_lang_in_key(tmp_path):
+    """Same text under different langs must keep one survivor PER LANG
+    (oracle partitions by (norm_text, lang)); the old hash-only key merged
+    them."""
+    import duckdb
+
+    rows = [
+        (1, "Hello World", "en"),
+        (2, "hello world", "en"),    # dup of 1 after normalization
+        (3, "Hello World", "fr"),    # same text, different lang → survives
+        (4, "  hello world ", "fr"), # dup of 3 after normalization
+        (5, "unique text", "en"),
+    ]
+    sf = _write_sf(tmp_path, {"documents": _docs_table(rows)})
+    got = Q.QUERIES["dedup_exact_text"](sf).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.sql(Q.ORACLE_SQL["dedup_exact_text"]).arrow().to_pandas()
+    got = got.sort_values("lang").reset_index(drop=True)[sorted(got.columns)]
+    want = want.sort_values("lang").reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # both langs survive with exactly one hello-world each
+    assert set(got["lang"]) == {"en", "fr"}
+    assert int(got.set_index("lang").loc["fr", "n_docs"]) == 1
