@@ -579,6 +579,74 @@ def date_normalize_daily(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# date_parse_cascade — the reference's six-format messy-date normalization
+# (SURVEY M8: etl_helper.py:302-340 check_date_format).  A dirty date-string
+# column is derived deterministically from events.ts (format chosen by
+# event_id % 6, plus injected garbage rows), then re-parsed with the
+# vectorized strptime cascade and emitted as ISO-8601 Z (or null on miss —
+# the reference's None path).
+# ---------------------------------------------------------------------------
+@query(
+    "date_parse_cascade",
+    """
+    WITH dirty AS (
+      SELECT event_id,
+             CASE WHEN event_id % 97 = 0 THEN 'not a date'
+                  WHEN event_id % 6 = 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+                  WHEN event_id % 6 = 1 THEN strftime(ts, '%Y-%m-%d')
+                  WHEN event_id % 6 = 2 THEN strftime(ts, '%d/%m/%Y')
+                  WHEN event_id % 6 = 3 THEN strftime(ts, '%a %b %d %H:%M:%S')
+                                             || ' CST ' || strftime(ts, '%Y')
+                  WHEN event_id % 6 = 4 THEN strftime(ts, '%d:%m:%Y %H:%M')
+                  ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') || '+00:00' END AS d
+      FROM events)
+    SELECT event_id,
+           strftime(COALESCE(
+             try_strptime(replace(replace(d, ' CST', ''), '+00:00', ''), '%Y-%m-%dT%H:%M:%S'),
+             try_strptime(d, '%Y-%m-%d %H:%M:%S'),
+             try_strptime(d, '%Y-%m-%d'),
+             try_strptime(d, '%d/%m/%Y'),
+             try_strptime(d, '%Y/%m/%d'),
+             try_strptime(replace(d, ' CST', ''), '%a %b %d %H:%M:%S %Y'),
+             try_strptime(d, '%d:%m:%Y %H:%M')
+           ), '%Y-%m-%dT%H:%M:%SZ') AS iso
+    FROM dirty
+    """,
+)
+def date_parse_cascade(sf_dir: str):
+    from ..functions.dates import parse_date_cascade, to_iso_z
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        variant = eid % 6
+        secs = pc.floor_temporal(t["ts"], unit="second").cast(pa.timestamp("s"))
+        # deterministic dirty-string synthesis, same rule as the oracle
+        forms = [
+            pc.strftime(secs, format="%Y-%m-%d %H:%M:%S"),
+            pc.strftime(secs, format="%Y-%m-%d"),
+            pc.strftime(secs, format="%d/%m/%Y"),
+            pc.binary_join_element_wise(
+                pc.strftime(secs, format="%a %b %d %H:%M:%S"),
+                pc.strftime(secs, format="%Y"), " CST "),
+            pc.strftime(secs, format="%d:%m:%Y %H:%M"),
+            pc.binary_join_element_wise(
+                pc.strftime(secs, format="%Y-%m-%dT%H:%M:%S"),
+                pa.array(["+00:00"] * t.num_rows), ""),
+        ]
+        dirty = forms[5]
+        for i in range(5):
+            dirty = pc.if_else(pa.array(variant == i), forms[i], dirty)
+        dirty = pc.if_else(pa.array(eid % 97 == 0),
+                           pa.scalar("not a date", pa.string()), dirty)
+        iso = to_iso_z(parse_date_cascade(dirty))
+        return pa.table({"event_id": t["event_id"], "iso": iso})
+
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
 # prefix_split_parts — curie-style split/normalize on ':'-like separators
 # (SURVEY M5: split_identifier, resource_descriptor_helper_2.py:203-230).
 # ---------------------------------------------------------------------------
@@ -634,10 +702,12 @@ def regex_priority_extract(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# transitive_closure_ancestors — iterated closure over a DAG
-# (SURVEY A7: IS_A_PART_OF_CLOSURE, closure_etl.py:28-30; computed as
-# in-task BFS over a broadcast edge map — ontologies are small sides).
-# Synthetic DAG: parent(k) = k // 2 over part keys.
+# transitive_closure_ancestors — closure over an EXPLICIT edge table via
+# in-task BFS against a broadcast parent map (SURVEY A7:
+# IS_A_PART_OF_CLOSURE, closure_etl.py:28-30 — ontology edge lists are the
+# genuinely small side; the node stream is unbounded).  Edge table:
+# (child=k, parent=k//2) for k >= 2 over part keys — consumed as DATA, the
+# operator never assumes parent() is a function.
 # ---------------------------------------------------------------------------
 @query(
     "transitive_closure_ancestors",
@@ -651,27 +721,60 @@ def regex_priority_extract(sf_dir: str):
     """,
 )
 def transitive_closure_ancestors(sf_dir: str):
-    ds = read_table(sf_dir, "part", columns=["p_partkey"])
+    from ..stages.closure import closure_broadcast_bfs
 
-    def closure(t: pa.Table) -> pa.Table:
-        nodes = t["p_partkey"].to_numpy(zero_copy_only=False)
-        nodes = nodes[nodes >= 2]
-        out_node, out_anc = [], []
-        anc = nodes // 2
-        cur = nodes
-        while len(cur):
-            out_node.append(cur)
-            out_anc.append(anc)
-            keep = anc >= 2
-            cur, anc = cur[keep], anc[keep] // 2
-        return pa.table(
-            {
-                "node": pa.array(np.concatenate(out_node), pa.int64()),
-                "ancestor": pa.array(np.concatenate(out_anc), pa.int64()),
-            }
-        )
+    # materialize the edge TABLE (child, parent) — the ontology-sized side
+    keys = read_small(sf_dir, "part", columns=["p_partkey"])["p_partkey"].to_numpy()
+    child = keys[keys >= 2]
+    edges = pa.table({"child": pa.array(child, pa.int64()),
+                      "parent": pa.array(child // 2, pa.int64())})
 
-    return ds.map_batches(closure, batch_format="pyarrow", zero_copy_batch=True)
+    nodes = read_table(sf_dir, "part", columns=["p_partkey"]).map_batches(
+        lambda t: pa.table({"node": t.filter(pc.greater_equal(t["p_partkey"], 2))["p_partkey"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return closure_broadcast_bfs(nodes, edges)
+
+
+# ---------------------------------------------------------------------------
+# dag_closure_edges — DISTRIBUTED closure of a multi-parent DAG edge table
+# by path-doubling joins (R ∘ R each round ⇒ ⌈log2 depth⌉ hash exchanges;
+# SURVEY A7 scale path for edge tables too large to broadcast).  Edge set
+# over part keys: (k → k//2) for k>=2 plus (k → k//3) when 3 | k — a real
+# multi-parent DAG, so only an edge-join closure can answer it.
+# ---------------------------------------------------------------------------
+@query(
+    "dag_closure_edges",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT p_partkey AS child, p_partkey // 2 AS parent FROM part WHERE p_partkey >= 2
+      UNION ALL
+      SELECT p_partkey, p_partkey // 3 FROM part WHERE p_partkey >= 3 AND p_partkey % 3 = 0
+    ),
+    anc AS (
+      SELECT child AS node, parent AS ancestor FROM edges
+      UNION
+      SELECT a.node, e.parent FROM anc a JOIN edges e ON a.ancestor = e.child
+    )
+    SELECT node, ancestor FROM anc
+    """,
+)
+def dag_closure_edges(sf_dir: str):
+    from ..stages.closure import closure_path_doubling
+
+    def make_edges(t: pa.Table) -> pa.Table:
+        k = t["p_partkey"].to_numpy(zero_copy_only=False)
+        half = k[k >= 2]
+        third = k[(k >= 3) & (k % 3 == 0)]
+        return pa.table({
+            "child": pa.array(np.concatenate([half, third]), pa.int64()),
+            "parent": pa.array(np.concatenate([half // 2, third // 3]), pa.int64()),
+        })
+
+    edges = read_table(sf_dir, "part", columns=["p_partkey"]).map_batches(
+        make_edges, batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return closure_path_doubling(edges)
 
 
 # ---------------------------------------------------------------------------
