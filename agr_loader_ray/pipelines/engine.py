@@ -344,11 +344,26 @@ class CdcEngine:
     # -- WAL introspection --------------------------------------------------
     @staticmethod
     def wal_epochs(wal_root: str) -> list[int]:
-        return sorted(
-            int(d.split("=", 1)[1])
+        """Epochs safe to consume.
+
+        An epoch directory is *sealed* once the writer drops a ``_SEALED``
+        sentinel as its last write (``wal/generator.py``).  Tailers must
+        only apply sealed epochs: applying a half-written epoch would
+        commit its manifest and then skip the late segments forever.
+        Foreign at-rest WALs that never seal are still readable — if NO
+        epoch in the root carries a sentinel, all are assumed sealed
+        (such a WAL must not be written concurrently with a tailer).
+        """
+        dirs = {
+            int(d.split("=", 1)[1]): os.path.join(wal_root, d)
             for d in os.listdir(wal_root)
             if d.startswith("epoch=") and os.path.isdir(os.path.join(wal_root, d))
-        )
+        }
+        sealed = [e for e, p in dirs.items()
+                  if os.path.exists(os.path.join(p, "_SEALED"))]
+        if not sealed and dirs:
+            return sorted(dirs)  # foreign sealed-at-rest WAL
+        return sorted(sealed)
 
     def _load_registry(self) -> SchemaRegistry:
         d = self.manifest.current_schema_registry()

@@ -244,6 +244,11 @@ def generate_wal(out_dir: str, spec: WalSpec = T1_SMOKE, overwrite: bool = False
         ]
         with open(os.path.join(edir, "_schema_events.json"), "w") as fh:
             json.dump(side, fh)
+        # seal the epoch LAST: tailers only consume epochs with the
+        # sentinel, so a concurrently-written epoch can never be applied
+        # half-full and then skipped forever (manifest existence = committed)
+        with open(os.path.join(edir, "_SEALED"), "w") as fh:
+            fh.write("")
 
     meta = {
         "spec_key": spec_key,

@@ -330,3 +330,49 @@ def test_read_lake_column_pruning(tmp_lake, tmp_wal):
     import pytest
     with pytest.raises(KeyError):
         read_lake(tmp_lake, columns=["nope"])
+
+
+def test_unsealed_epoch_invisible_until_sealed(tmp_lake, tmp_wal, tmp_path):
+    """A concurrently-written (unsealed) epoch must not be applied: a
+    half-epoch apply would commit its manifest and skip late segments
+    forever.  Sealing makes the full epoch visible."""
+    import os
+    import shutil
+
+    spec = WalSpec(n_events=3_000, n_convs=100, n_epochs=2, update_frac=0.2, delete_frac=0.05)
+    staging = str(tmp_path / "staging")
+    generate_wal(staging, spec)
+
+    os.makedirs(tmp_wal, exist_ok=True)
+    shutil.copytree(os.path.join(staging, "epoch=0"), os.path.join(tmp_wal, "epoch=0"))
+    # epoch 1 arrives partially: first segment only, no _SEALED sentinel
+    src1 = os.path.join(staging, "epoch=1")
+    dst1 = os.path.join(tmp_wal, "epoch=1")
+    os.makedirs(dst1)
+    segs = sorted(f for f in os.listdir(src1) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(src1, segs[0]), os.path.join(dst1, segs[0]))
+
+    eng = CdcEngine(tmp_lake, n_partitions=4)
+    assert eng.wal_epochs(tmp_wal) == [0]
+    eng.tail(tmp_wal, poll_interval=0.05, idle_rounds=2)
+    assert eng.manifest.last_committed_epoch() == 0
+
+    # the rest of the epoch lands, then the seal
+    for f in os.listdir(src1):
+        shutil.copy(os.path.join(src1, f), os.path.join(dst1, f))
+    assert eng.wal_epochs(tmp_wal) == [0, 1]
+    eng.tail(tmp_wal, poll_interval=0.05, idle_rounds=2)
+    assert eng.manifest.last_committed_epoch() == 1
+    _assert_equals_oracle(tmp_lake, staging)
+
+
+def test_foreign_unsealed_wal_still_readable(tmp_lake, tmp_wal):
+    """A WAL with no sentinels at all (foreign, sealed-at-rest) lists
+    every epoch."""
+    import os
+
+    generate_wal(tmp_wal, WalSpec(n_events=1_000, n_convs=50, n_epochs=2))
+    for e in (0, 1):
+        os.remove(os.path.join(tmp_wal, f"epoch={e}", "_SEALED"))
+    eng = CdcEngine(tmp_lake, n_partitions=4)
+    assert eng.wal_epochs(tmp_wal) == [0, 1]
