@@ -37,6 +37,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     import agr_loader_ray.pipelines.interactions  # noqa: F401 (registers)
+    import agr_loader_ray.pipelines.protein  # noqa: F401 (registers)
+    import agr_loader_ray.pipelines.variants  # noqa: F401 (registers)
     import agr_loader_ray.pipelines.text_queries  # noqa: F401 (registers)
     from agr_loader_ray.pipelines.queries import QUERIES
 
@@ -45,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     import agr_loader_ray.pipelines.interactions  # noqa: F401 (registers)
+    import agr_loader_ray.pipelines.protein  # noqa: F401 (registers)
+    import agr_loader_ray.pipelines.variants  # noqa: F401 (registers)
     import agr_loader_ray.pipelines.text_queries  # noqa: F401 (registers)
     from agr_loader_ray.pipelines.queries import ORACLE_SQL
 

@@ -10,6 +10,8 @@ import pandas as pd
 import pytest
 
 import agr_loader_ray.pipelines.interactions  # noqa: F401  (registers queries)
+import agr_loader_ray.pipelines.protein  # noqa: F401  (registers queries)
+import agr_loader_ray.pipelines.variants  # noqa: F401  (registers queries)
 import agr_loader_ray.pipelines.text_queries  # noqa: F401  (registers queries)
 from agr_loader_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
