@@ -9,9 +9,11 @@ skip-if-done).
 
 Scale shape: the only shuffles are the exact-dedup groupby (hash of
 normalized text) and the LSH bucket exchange over tiny (band, hash)
-rows; documents themselves stream once.  Near-dup group resolution uses
-driver-side union-find over the verified pair list — documented small-
-side assumption (see ``stages/dedup.resolve_duplicate_groups``).
+rows; documents themselves stream once.  Near-dup group resolution runs
+DISTRIBUTED min-label propagation over the candidate-pair graph
+(``stages/dedup.resolve_duplicate_groups_distributed``) and the
+non-minimal members are removed with a hash-partitioned left_anti join —
+no driver-side pair list or drop set at any scale.
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ import pyarrow as pa
 import ray.data
 
 from ..functions.tables import read_table
-from ..stages.dedup import minhash_lsh_candidates, resolve_duplicate_groups
+from ..stages.dedup import minhash_lsh_candidates, resolve_duplicate_groups_distributed
 from ..stages.partition import stable_hash_strings
 from ..stages.text import LangId, token_quality_batch
 from ..state.manifest import _atomic_write_json
@@ -80,22 +82,29 @@ def build_clean_corpus(sf_dir: str, out_dir: str, min_tokens: int = 10,
     exact_unique = exact_unique.materialize()
     n_exact = exact_unique.count()
 
-    # 4. near-dup removal: LSH candidates → union-find → drop non-minimal
+    # 4. near-dup removal: LSH candidates → distributed label propagation →
+    #    drop non-minimal members via a hash-partitioned anti join
+    from ..functions.pools import join_parts
+
     pairs = minhash_lsh_candidates(
         exact_unique.map_batches(
             lambda df: pa.Table.from_pandas(df[["doc_id", "text"]], preserve_index=False),
             batch_format="pandas",
         )
-    ).to_pandas()
-    labels = resolve_duplicate_groups(list(zip(pairs["id_a"], pairs["id_b"])))
-    drop = {d for d, root in labels.items() if d != root}
-    drop_arr = pa.array(np.fromiter(drop, dtype=np.int64)) if drop else pa.array([], pa.int64())
-
+    )
+    labels = resolve_duplicate_groups_distributed(pairs)
+    drop_ds = labels.map_batches(
+        lambda t: pa.table({"drop_id": t.filter(
+            pc.not_equal(t["doc_id"], t["group"]))["doc_id"]}),
+        batch_format="pyarrow",
+    )
     final = exact_unique.map_batches(
         lambda df: pa.Table.from_pandas(df, preserve_index=False), batch_format="pandas"
+    ).join(
+        drop_ds, join_type="left_anti", num_partitions=join_parts(),
+        on=("doc_id",), right_on=("drop_id",),
     ).map_batches(
-        lambda t: t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=drop_arr)))
-        .select(["doc_id", "text", "source", "n_tokens", "stop_ratio", "en_ratio"]),
+        lambda t: t.select(["doc_id", "text", "source", "n_tokens", "stop_ratio", "en_ratio"]),
         batch_format="pyarrow",
     )
 
@@ -110,7 +119,7 @@ def build_clean_corpus(sf_dir: str, out_dir: str, min_tokens: int = 10,
     info = {
         "input_docs": n_input,
         "after_exact_dedup": n_exact,
-        "near_dup_removed": len(drop),
+        "near_dup_removed": n_exact - n_final,
         "final_docs": n_final,
         "path": data_dir,
     }

@@ -184,20 +184,21 @@ def minhash_lsh_candidates(ds: "ray.data.Dataset", num_perm: int = 64, bands: in
         banded.map_batches(partial_counts, batch_format="pyarrow")
         .groupby("bkey").aggregate(_Sum("bkey_count", alias_name="n"))
     )
-    hot = counts.map_batches(
-        lambda t: t.filter(_pc.greater(t["n"], 1)).select(["bkey"]),
+    # colliding buckets stay distributed: semi join instead of a driver
+    # take_all (hot-key count is corpus-dependent — never driver state)
+    from ..functions.pools import join_parts as _join_parts
+
+    hot_ds = counts.map_batches(
+        lambda t: _pa.table({"hkey": t.filter(_pc.greater(t["n"], 1))["bkey"]}),
         batch_format="pyarrow",
-    ).take_all()
-    hot_keys = _pa.array(np.array([r["bkey"] for r in hot], dtype=np.int64))
-    if len(hot_keys) == 0:
+    ).materialize()
+    if hot_ds.count() == 0:  # Dataset.join rejects a fully-empty right side
         return ray.data.from_arrow(
             _pa.table({"id_a": _pa.array([], _pa.int64()), "id_b": _pa.array([], _pa.int64())})
         )
-
-    survivors = banded.map_batches(
-        lambda t: t.filter(_pc.is_in(t["bkey"], value_set=hot_keys)),
-        batch_format="pyarrow",
-    )
+    survivors = banded.join(hot_ds, join_type="left_semi",
+                            num_partitions=_join_parts(),
+                            on=("bkey",), right_on=("hkey",))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g[id_col].to_numpy())
@@ -277,18 +278,20 @@ def simhash_near_dup_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
         )
         .groupby("bkey").aggregate(_Sum("bkey_count", alias_name="n"))
     )
-    hot = counts.map_batches(
-        lambda t: t.filter(_pc.greater(t["n"], 1)).select(["bkey"]), batch_format="pyarrow"
-    ).take_all()
-    hot_keys = pa.array(np.array([r["bkey"] for r in hot], dtype=np.int64))
-    if len(hot_keys) == 0:
+    from ..functions.pools import join_parts as _join_parts
+
+    hot_ds = counts.map_batches(
+        lambda t: pa.table({"hkey": t.filter(_pc.greater(t["n"], 1))["bkey"]}),
+        batch_format="pyarrow",
+    ).materialize()
+    if hot_ds.count() == 0:  # Dataset.join rejects a fully-empty right side
         return ray.data.from_arrow(
             pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
                       "hamming": pa.array([], pa.int64())})
         )
-    survivors = banded.map_batches(
-        lambda t: t.filter(_pc.is_in(t["bkey"], value_set=hot_keys)), batch_format="pyarrow"
-    )
+    survivors = banded.join(hot_ds, join_type="left_semi",
+                            num_partitions=_join_parts(),
+                            on=("bkey",), right_on=("hkey",))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col).drop_duplicates(id_col)
@@ -305,6 +308,84 @@ def simhash_near_dup_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
 
     cand = survivors.groupby("bkey").map_groups(pairs, batch_format="pandas")
     return _dedup_pairs(cand, extra_cols=["hamming"])
+
+
+def resolve_duplicate_groups_distributed(
+    pairs: "ray.data.Dataset", max_rounds: int = 30
+) -> "ray.data.Dataset":
+    """Connected components over the candidate-pair graph by distributed
+    min-label propagation — the 100 TB path the driver-side union-find
+    can't serve (pair lists proportional to duplicate count).
+
+    Returns a Dataset of {doc_id, group} where ``group`` is the
+    component-minimum doc_id (same contract as
+    ``resolve_duplicate_groups``).  Each round is one hash join
+    (edges ⋈ labels) + one min-aggregate; rounds needed = component
+    diameter in label space (near-dup clusters are shallow).  Nothing
+    ever lands on the driver but the per-round convergence scalar.
+    """
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Min as _Min, Sum as _Sum
+
+    from ..functions.pools import join_parts
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t["id_a"].combine_chunks()
+        b = t["id_b"].combine_chunks()
+        return pa.table({
+            "u": pa.concat_arrays([a, b]),
+            "v": pa.concat_arrays([b, a]),
+        })
+
+    edges = pairs.map_batches(symmetrize, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        # label(u) = min(u, min neighbor) — per-batch partial
+        t2 = pa.table({"u": t["u"],
+                       "label": _pc.min_element_wise(t["u"], t["v"])})
+        return t2.group_by("u").aggregate([("label", "min")]).rename_columns(["u", "label"])
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("u").aggregate(_Min("label", alias_name="label"))
+    ).materialize()
+
+    def label_sum(ls) -> int:
+        return ls.map_batches(
+            lambda t: pa.table({"s": pa.array([_pc.sum(t["label"]).as_py() or 0])}),
+            batch_format="pyarrow",
+        ).sum("s")
+
+    prev = label_sum(labels)
+    for _ in range(max_rounds):
+        # propagate: u ← min(label(u), label(v)) over edges (u, v)
+        lab_v = labels.map_batches(
+            lambda t: pa.table({"v2": t["u"], "vlabel": t["label"]}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        prop = edges.join(lab_v, join_type="inner", num_partitions=join_parts(),
+                          on=("v",), right_on=("v2",)).map_batches(
+            lambda t: pa.table({"u": t["u"], "label": t["vlabel"]}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        merged = labels.union(prop)
+        labels = (
+            merged.map_batches(
+                lambda t: t.group_by("u").aggregate([("label", "min")])
+                .rename_columns(["u", "label"]),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+            .groupby("u").aggregate(_Min("label", alias_name="label"))
+        ).materialize()
+        cur = label_sum(labels)
+        if cur == prev:  # fixpoint: labels are component minima
+            break
+        prev = cur
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["u"], "group": t["label"]}),
+        batch_format="pyarrow",
+    )
 
 
 def resolve_duplicate_groups(pairs: list[tuple[int, int]]) -> dict[int, int]:

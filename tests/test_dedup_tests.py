@@ -77,3 +77,50 @@ def test_resolve_duplicate_groups_union_find():
     labels = resolve_duplicate_groups([(1, 2), (2, 3), (10, 11)])
     assert labels[1] == labels[2] == labels[3] == 1
     assert labels[10] == labels[11] == 10
+
+
+def test_label_propagation_matches_union_find():
+    """Distributed min-label propagation ≡ driver union-find on random
+    pair graphs (chains force multi-round propagation)."""
+    import pyarrow as pa
+
+    from agr_loader_ray.stages.dedup import (
+        resolve_duplicate_groups,
+        resolve_duplicate_groups_distributed,
+    )
+
+    rng = np.random.default_rng(11)
+    # random components + a long chain (diameter ~ 12) + an isolated pair
+    pairs = [(int(a), int(b)) for a, b in rng.integers(0, 200, size=(150, 2)) if a != b]
+    pairs += [(1000 + i, 1001 + i) for i in range(12)]
+    pairs += [(5000, 5001)]
+    pairs = [(min(a, b), max(a, b)) for a, b in pairs]
+
+    want = resolve_duplicate_groups(pairs)
+
+    ds = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([p[0] for p in pairs], pa.int64()),
+        "id_b": pa.array([p[1] for p in pairs], pa.int64()),
+    }))
+    got_df = resolve_duplicate_groups_distributed(ds).to_pandas()
+    got = dict(zip(got_df["doc_id"], got_df["group"]))
+    assert got == want
+
+
+def test_lsh_no_collisions_returns_empty():
+    """Genuinely distinct random texts: no LSH bucket collides; the
+    semi-join prefilter must short-circuit to an empty pair set."""
+    import pyarrow as pa
+
+    from agr_loader_ray.stages.dedup import minhash_lsh_candidates
+
+    rng = np.random.default_rng(3)
+    alphabet = np.array(list("abcdefghijklmnopqrstuvwxyz "))
+    texts = ["".join(rng.choice(alphabet, 120)) for _ in range(20)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(20), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    out = minhash_lsh_candidates(ds)
+    assert out.schema().names == ["id_a", "id_b"]
+    assert out.count() == 0
