@@ -186,6 +186,49 @@ def tumbling_window_counts(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# heavy_model_scores — SURVEY T7: heavy per-actor model state with a REAL
+# payload.  A corpus-trained char-bigram count model is built ONCE per
+# actor from the documents parquet (the reference's per-worker
+# GeneDescGenerator setup, gene_descriptions_etl.py:93-155); inference is
+# a vectorized lookup-sum.  Integer scoring → exact SQL oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "heavy_model_scores",
+    """
+    WITH bi AS (
+      SELECT doc_id, substring(text, CAST(i AS INT), 2) AS bg
+      FROM documents,
+           generate_series(1, 4096) AS g(i)
+      WHERE i <= length(text) - 1
+    ), model AS (
+      SELECT bg, count(*) AS c FROM bi GROUP BY bg
+    )
+    SELECT b.doc_id,
+           CAST(sum(m.c) AS BIGINT) AS bigram_hits,
+           count(*) AS n_bigrams
+    FROM bi b JOIN model m ON b.bg = m.bg
+    GROUP BY b.doc_id
+    """,
+)
+def heavy_model_scores(sf_dir: str):
+    import os
+
+    from ..stages.scoring import BigramScorer
+
+    train_path = os.path.join(sf_dir, "documents.parquet")
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = ds.map_batches(
+        BigramScorer, fn_constructor_args=(train_path,),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=_pool(),
+    )
+    # oracle joins inner on the model, so docs with no bigrams drop there;
+    # mirror that by filtering n_bigrams > 0
+    return scored.map_batches(
+        lambda t: t.filter(pc.greater(t["n_bigrams"], 0)), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
 # multimodal_decode_features — binary media column → feature vectors via the
 # actor-pool decode stage (codec stubbed with the deterministic fake; the
 # Ray-side plumbing — schema, small batches for wide rows, actor pool — is

@@ -1,0 +1,77 @@
+"""Heavy per-actor model state — SURVEY T7/T8 with a REAL payload.
+
+The reference's gene-descriptions stage constructs a large in-memory
+model once per worker and runs batch inference against it
+(``/root/reference/src/etl/gene_descriptions_etl.py:93-155`` — the
+GeneDescGenerator's precanned-module setup, conf + ontologies loaded
+once, then per-gene generation).  Here the analogue is a corpus-trained
+character-bigram frequency model:
+
+- ``__init__`` (ONCE per actor): stream the training parquet and build
+  the 65 536-entry bigram count table — the heavy, shareable state.
+- ``__call__`` (per batch): vectorized lookup-sum inference — all docs'
+  bytes concatenated, pair indices formed in one shot, document
+  boundaries masked, per-doc sums via ``np.add.reduceat``.
+
+Scoring is exact integer arithmetic (sum of corpus-wide counts of the
+doc's bigrams) so the result is bit-comparable to a SQL oracle — no
+float-order ambiguity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+class BigramScorer:
+    """Actor-pool stage: text → (bigram_hits, n_bigrams) vs a corpus model."""
+
+    def __init__(self, train_path: str, text_col: str = "text"):
+        counts = np.zeros(1 << 16, dtype=np.int64)
+        pf = pq.ParquetFile(train_path)
+        for rg in range(pf.num_row_groups):  # stream, don't hold the corpus
+            col = pf.read_row_group(rg, columns=[text_col])[text_col]
+            idx, _, _ = self._pair_indices(col)
+            counts += np.bincount(idx, minlength=1 << 16)
+        self.counts = counts  # the per-actor model (512 KiB table)
+
+    @staticmethod
+    def _pair_indices(col: pa.ChunkedArray | pa.Array):
+        """(pair_indices, per-doc starts into them, per-doc n_bigrams) —
+        one concatenated pass, document boundaries masked out."""
+        texts = col.to_pylist()
+        bufs = [t.encode("utf-8", "surrogatepass") if t else b"" for t in texts]
+        lens = np.array([len(b) for b in bufs], dtype=np.int64)
+        all_bytes = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        if len(all_bytes) < 2:
+            return (np.empty(0, np.int64), np.zeros(len(texts), np.int64),
+                    np.maximum(lens - 1, 0))
+        pairs = (all_bytes[:-1].astype(np.int64) << 8) | all_bytes[1:]
+        ends = np.cumsum(lens)
+        # drop the cross-document seam pairs (position end_i - 1)
+        valid = np.ones(len(pairs), dtype=bool)
+        seams = ends[:-1] - 1
+        valid[seams[(seams >= 0) & (seams < len(pairs))]] = False
+        # doc boundaries in the *filtered* pair stream
+        n_bi = np.maximum(lens - 1, 0)
+        starts = np.concatenate(([0], np.cumsum(n_bi)[:-1]))
+        return pairs[valid], starts, n_bi
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx, starts, n_bi = self._pair_indices(batch["text"])
+        hits_flat = self.counts[idx]
+        if len(hits_flat):
+            # reduceat needs strictly in-range starts; empty docs repeat
+            # the next start and are zeroed by the n_bi mask afterwards
+            safe_starts = np.minimum(starts, len(hits_flat) - 1)
+            sums = np.add.reduceat(hits_flat, safe_starts)
+            sums[n_bi == 0] = 0
+        else:
+            sums = np.zeros(batch.num_rows, dtype=np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "bigram_hits": pa.array(sums.astype(np.int64)),
+            "n_bigrams": pa.array(n_bi.astype(np.int64)),
+        })
