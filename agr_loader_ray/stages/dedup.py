@@ -225,18 +225,31 @@ class SimHasher:
 
     def __init__(self, k: int = 5):
         self.k = k
+        self._bitpos = np.arange(64, dtype=np.uint64)
+
+    def signatures_batch(self, texts) -> np.ndarray:
+        """(n_docs,) uint64 signatures — all docs' shingle hashes
+        concatenated, bit-majority summed per doc via ``np.add.reduceat``,
+        sign bits folded to the signature in one shot (no bit loop)."""
+        shingles = [_shingle_hashes(t, self.k) for t in texts]
+        lengths = np.array([len(s) for s in shingles], dtype=np.int64)
+        h_all = np.concatenate(shingles) if shingles else np.empty(0, np.uint64)
+        if not len(h_all):
+            return np.zeros(len(texts), dtype=np.uint64)
+        bits = ((h_all[:, None] >> self._bitpos) & np.uint64(1)).astype(np.int64)
+        contrib = 2 * bits - 1  # (n_shingles, 64)
+        starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        v = np.add.reduceat(contrib, starts, axis=0)  # (n_docs, 64)
+        with np.errstate(over="ignore"):
+            return (((v > 0).astype(np.uint64)) << self._bitpos).sum(
+                axis=1, dtype=np.uint64
+            )
 
     def signature(self, text: str) -> np.int64:
-        h = _shingle_hashes(text, self.k)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        v = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for i in np.nonzero(v > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(i)
-        return sig.astype(np.int64)
+        return self.signatures_batch([text])[0].astype(np.int64)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch["simhash"] = [self.signature(t) for t in batch["text"]]
+        batch["simhash"] = self.signatures_batch(batch["text"].tolist()).astype(np.int64)
         return batch
 
 
@@ -249,8 +262,7 @@ def simhash_near_dup_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
 
     def explode_chunks(batch: pa.Table) -> pa.Table:
         sh = SimHasher()
-        texts = batch["text"].to_pylist()
-        sigs = np.array([np.uint64(sh.signature(t)) for t in texts], dtype=np.uint64)
+        sigs = sh.signatures_batch(batch["text"].to_pylist())
         n = len(sigs)
         chunk_ids = np.tile(np.arange(4, dtype=np.uint64), n)
         sig_rep = np.repeat(sigs, 4)

@@ -63,19 +63,30 @@ class LangId:
     """
 
     def __init__(self, threshold: float = 0.05):
-        import re
-
-        self.word = re.compile(r"[a-z']+")
         self.threshold = threshold
+        # marker value_set built once per actor
+        self.markers = pa.array(sorted(_ENGLISH_MARKERS), pa.string())
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.lower().str.findall(self.word)
-        ratio = toks.map(
-            lambda ws: sum(w in _ENGLISH_MARKERS for w in ws) / max(1, len(ws))
-        )
+        import pyarrow.compute as pc
+
+        col = pa.array(batch["text"].to_numpy(), pa.string())
+        # token runs of [a-z'] == split on the complement, drop empties —
+        # identical multiset to findall("[a-z']+"), fully vectorized
+        lists = pc.split_pattern_regex(pc.utf8_lower(col), pattern="[^a-z']+")
+        lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+        flat = pc.list_flatten(lists)
+        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts_all = np.diff(offsets)
+        row_idx = np.repeat(np.arange(len(counts_all)), counts_all)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        marker = pc.is_in(flat, value_set=self.markers).to_numpy(zero_copy_only=False)
+        n = len(batch)
+        tok_counts = np.bincount(row_idx[nonempty], minlength=n)
+        marker_counts = np.bincount(row_idx[marker], minlength=n)
         # unrounded: identical int inputs → identical double → identical
         # threshold compare on the SQL-oracle side
-        batch["en_ratio"] = ratio.to_numpy()
+        batch["en_ratio"] = marker_counts / np.maximum(1, tok_counts)
         batch["pred_lang"] = np.where(batch["en_ratio"] > self.threshold, "en", "other")
         return batch
 
