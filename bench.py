@@ -118,9 +118,13 @@ def run_bench() -> dict:
 
     queries: dict[str, float] = {"wal_replay": round(wal_sec, 3)}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        _consume(QUERIES[name](SF_DIR))
-        queries[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):  # best-of-2: shared-box noise is ±2× run-to-run
+            t0 = time.perf_counter()
+            _consume(QUERIES[name](SF_DIR))
+            sec = time.perf_counter() - t0
+            best = sec if best is None or sec < best else best
+        queries[name] = round(best, 3)
 
     out = {
         "metric": "cdc_wal_replay_sec (change-events/sec end-to-end, skewed WAL)",
