@@ -260,11 +260,11 @@ class _PartitionApplier:
         return info, new_existing
 
     def _write(self, rel: str, tbl: pa.Table) -> None:
-        abspath = self.manifest.abspath(rel)
-        os.makedirs(os.path.dirname(abspath), exist_ok=True)
-        tmp = f"{abspath}.tmp.{os.getpid()}"
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, abspath)
+        from ..state.commit_io import DEFAULT_COMMIT_IO
+
+        # all data-file publishes go through the commit-I/O seam (atomic
+        # rename locally; single-shot PUT on object stores — commit_io.py)
+        DEFAULT_COMMIT_IO.publish_table(self.manifest.abspath(rel), tbl)
 
 
 def _manifest_row_table(rows: list[dict]) -> pa.Table:

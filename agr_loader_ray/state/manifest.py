@@ -40,13 +40,9 @@ _EPOCH_RE_PREFIX = "epoch="
 
 
 def _atomic_write_json(path: str, obj: Any) -> None:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as fh:
-        json.dump(obj, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, path)
+    from .commit_io import DEFAULT_COMMIT_IO
+
+    DEFAULT_COMMIT_IO.publish_json(path, obj)
 
 
 class LakeManifest:
