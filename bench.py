@@ -117,14 +117,15 @@ def run_bench() -> dict:
             wal_sec, stats = sec, s
 
     queries: dict[str, float] = {"wal_replay": round(wal_sec, 3)}
-    for name in BENCH_QUERIES:
-        best = None
-        for _ in range(2):  # best-of-2: shared-box noise is ±2× run-to-run
-            t0 = time.perf_counter()
-            _consume(QUERIES[name](SF_DIR))
-            sec = time.perf_counter() - t0
-            best = sec if best is None or sec < best else best
-        queries[name] = round(best, 3)
+    if not os.environ.get("RAY_GRAFT_SKIP_QUERIES"):  # scaling legs: replay only
+        for name in BENCH_QUERIES:
+            best = None
+            for _ in range(2):  # best-of-2: shared-box noise is ±2× run-to-run
+                t0 = time.perf_counter()
+                _consume(QUERIES[name](SF_DIR))
+                sec = time.perf_counter() - t0
+                best = sec if best is None or sec < best else best
+            queries[name] = round(best, 3)
 
     out = {
         "metric": "cdc_wal_replay_sec (change-events/sec end-to-end, skewed WAL)",
@@ -142,7 +143,8 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   RAY_GRAFT_SKIP_QUERIES="1")  # legs measure replay only
         cmd = [sys.executable, os.path.abspath(__file__)]
         if shutil.which("taskset"):
             # pin to ncpu physical cores: ray's num_cpus only bounds task
@@ -150,9 +152,12 @@ def run_scaling() -> dict:
             # the low-parallelism leg silently uses extra silicon
             cmd = ["taskset", "-c", f"0-{ncpu - 1}", *cmd]
         out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True).stdout
+        time.sleep(5)  # let the previous leg's raylet/workers fully drain
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
+    # 32-CPU leg first: it is the noise-sensitive one (the 8-CPU leg only
+    # contends for a quarter of the cores)
+    hi, lo = run(32), run(8)
     eps_lo, eps_hi = lo["events_per_sec"], hi["events_per_sec"]
     eff = (eps_hi / eps_lo) / (32 / 8)
     return {
