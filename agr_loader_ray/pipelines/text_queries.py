@@ -129,6 +129,27 @@ def ann_lsh_topk(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# ann_ivf_topk — IVF (inverted-file) approximate variant: k-means-lite
+# cells trained on a bounded sample, per-batch assignment against
+# broadcast centroids, only the n_probe nearest cells scanned.  Recall
+# vs exact asserted in tests → rows-only gate here.
+# ---------------------------------------------------------------------------
+@query("ann_ivf_topk")
+def ann_ivf_topk(sf_dir: str):
+    from ..stages.similarity import ivf_topk
+
+    q_tbl = read_small(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qvec = np.asarray(
+        q_tbl.filter(pc.equal(q_tbl["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64
+    )
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        lambda t: t.filter(pc.not_equal(t["vec_id"], 0)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return ivf_topk(ds, qvec, k=10, n_cells=16, n_probe=6)
+
+
+# ---------------------------------------------------------------------------
 # minhash_near_dup / simhash_near_dup — sketch-based near-dup candidate
 # pairs (rows-only gate; exactness vs brute-force Jaccard in tests).
 # ---------------------------------------------------------------------------

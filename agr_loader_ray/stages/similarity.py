@@ -115,6 +115,75 @@ def lsh_bucketed_topk(ds: "ray.data.Dataset", query_vec: np.ndarray, k: int = 10
     return brute_force_topk(pruned, q, k=k, id_col=id_col)
 
 
+class IVFIndex:
+    """IVF (inverted-file) coarse quantizer: k-means-lite centroids.
+
+    The scale path for repeated queries: embeddings are assigned once to
+    their nearest centroid (one pass, broadcast centroids); a query
+    scans only its ``n_probe`` nearest cells.  At 100 TB the assigned
+    table is written partitioned by ``cell`` so a query reads
+    ~n_probe/n_cells of the data.  Training is sample-based (k-means on
+    a driver-held sample — centroids are the genuinely small side:
+    n_cells × dim floats), Lloyd iterations fully vectorized.
+    """
+
+    def __init__(self, sample: np.ndarray, n_cells: int = 16, iters: int = 10,
+                 seed: int = 42):
+        rng = np.random.default_rng(seed)
+        sample = np.asarray(sample, dtype=np.float64)
+        n = len(sample)
+        cents = sample[rng.choice(n, size=min(n_cells, n), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):  # n_cells-bounded loop, not data-bounded
+                m = assign == c
+                if m.any():
+                    cents[c] = sample[m].mean(axis=0)
+        self.centroids = cents
+
+    def assign(self, mat: np.ndarray) -> np.ndarray:
+        d2 = ((mat[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
+        return d2.argmin(axis=1).astype(np.int64)
+
+    def probe_cells(self, query: np.ndarray, n_probe: int) -> np.ndarray:
+        d2 = ((self.centroids - query[None, :]) ** 2).sum(axis=1)
+        return np.argsort(d2, kind="stable")[:n_probe].astype(np.int64)
+
+
+def ivf_topk(ds: "ray.data.Dataset", query_vec: np.ndarray, k: int = 10,
+             n_cells: int = 16, n_probe: int = 4, sample_n: int = 4096,
+             seed: int = 42, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> "ray.data.Dataset":
+    """Approximate top-k via IVF cells: train on a bounded sample, assign
+    per batch against broadcast centroids, scan only the probed cells."""
+    import pyarrow.compute as pc
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    sample_tbl = ds.limit(sample_n).take_all()  # bounded driver sample
+    sample = np.array([r[vec_col] for r in sample_tbl], dtype=np.float64)
+    index = IVFIndex(sample, n_cells=n_cells, seed=seed)
+    probe_arr = pa.array(index.probe_cells(q, n_probe))
+    iref = ray.put(index)
+
+    class Assign:
+        def __init__(self, iref):
+            self.index = ray.get(iref)  # broadcast once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cells = self.index.assign(_batch_matrix(batch, vec_col))
+            return batch.append_column("cell", pa.array(cells))
+
+    assigned = ds.map_batches(Assign, fn_constructor_args=(iref,),
+                              batch_format="pyarrow", zero_copy_batch=True,
+                              concurrency=pool())
+    pruned = assigned.map_batches(
+        lambda t: t.filter(pc.is_in(t["cell"], value_set=probe_arr)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return brute_force_topk(pruned, q, k=k, id_col=id_col)
+
+
 def knn_recall(approx: pd.DataFrame, exact: pd.DataFrame, id_col: str = "vec_id") -> float:
     """Recall@k of the approximate result vs the exact one (bench metric)."""
     return len(set(approx[id_col]) & set(exact[id_col])) / max(1, len(exact))

@@ -39,3 +39,33 @@ def test_lsh_topk_recall():
     exact = brute_force_topk(ds, q, k=10).to_pandas()
     approx = lsh_bucketed_topk(ds, q, k=10, n_planes=6, probe_hamming=2).to_pandas()
     assert knn_recall(approx, exact) >= 0.5  # probed ~22% of buckets
+
+
+def test_ivf_topk_recall_and_self_hit():
+    from agr_loader_ray.stages.similarity import ivf_topk
+
+    tbl, mat = _embeddings(n=500)
+    q = mat[2].astype(np.float64)
+    ds = ray.data.from_arrow(tbl)
+    exact = brute_force_topk(ds, q, k=10).to_pandas()
+    approx = ivf_topk(ds, q, k=10, n_cells=16, n_probe=6).to_pandas()
+    # the query vector itself lives in some cell; probing its own cell
+    # must return it with sim 1.0 at rank 1
+    assert approx["vec_id"].iloc[0] == 2 and approx["sim"].iloc[0] == 1.0
+    assert knn_recall(approx, exact) >= 0.5  # probed 6/16 cells
+
+
+def test_ivf_index_assign_consistency():
+    from agr_loader_ray.stages.similarity import IVFIndex
+
+    rng = np.random.default_rng(5)
+    sample = rng.standard_normal((300, 8))
+    idx = IVFIndex(sample, n_cells=8, seed=7)
+    a1 = idx.assign(sample[:50])
+    a2 = idx.assign(sample[:50])
+    assert (a1 == a2).all() and a1.min() >= 0 and a1.max() < 8
+    # probe order: nearest centroid first
+    q = sample[0]
+    cells = idx.probe_cells(q, 3)
+    d2 = ((idx.centroids - q[None, :]) ** 2).sum(axis=1)
+    assert d2[cells[0]] == d2.min()
