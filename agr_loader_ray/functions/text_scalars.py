@@ -47,3 +47,40 @@ def url_template(prefix_col, local_col, templates: dict[str, str],
         )
         out = pc.if_else(pc.equal(prefix_col, p), candidate, out)
     return out
+
+
+def camel_case(col, sep: str = "-") -> pa.Array:
+    """kebab/space-separated keys → camelCase (reference: OBO header munge,
+    ``/root/reference/src/etl/helpers/obo_helper.py:40-42``:
+    capitalize each piece, then lowercase the first character)."""
+    col = _as_array(col)
+    lists = pc.split_pattern(col, sep)
+    lists = _as_array(lists)
+    cap = pc.utf8_capitalize(pc.list_flatten(lists))
+    joined = pc.binary_join(pa.ListArray.from_arrays(lists.offsets, cap), "")
+    head = pc.utf8_lower(pc.utf8_slice_codeunits(joined, 0, 1))
+    tail = pc.utf8_slice_codeunits(joined, 1, 1 << 30)
+    return pc.binary_join_element_wise(head, tail, "")
+
+
+def json_escape(col) -> pa.ChunkedArray:
+    """Escape backslashes and double quotes for JSON string baking."""
+    out = pc.replace_substring(col, pattern="\\", replacement="\\\\")
+    return pc.replace_substring(out, pattern='"', replacement='\\"')
+
+
+def json_bake(t: pa.Table, string_cols: list[str], numeric_cols: list[str]) -> pa.Array:
+    """Bake row properties into a JSON-object string column (reference:
+    ``fields.append(k + ": " + json.dumps(v))`` node-property baking,
+    ``/root/reference/src/etl/helpers/etl_helper.py:296-299``)."""
+    pieces = []
+    for c in string_cols:
+        pieces.append(pc.binary_join_element_wise(
+            pa.scalar(f'"{c}": "'), json_escape(t[c]), pa.scalar('"'), ""))
+    for c in numeric_cols:
+        pieces.append(pc.binary_join_element_wise(
+            pa.scalar(f'"{c}": '), pc.cast(t[c], pa.string()), ""))
+    body = pieces[0]
+    for p in pieces[1:]:
+        body = pc.binary_join_element_wise(body, p, ", ")
+    return pc.binary_join_element_wise(pa.scalar("{"), body, pa.scalar("}"), "")

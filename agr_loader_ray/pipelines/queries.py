@@ -964,6 +964,38 @@ def curie_normalize_brands(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# camel_bake_parts — camelCase key munge (§2.8: OBO header keys,
+# obo_helper.py:40-42) + JSON-property baking (etl_helper.py:296-299),
+# both as vectorized Arrow kernels.
+# ---------------------------------------------------------------------------
+@query(
+    "camel_bake_parts",
+    """
+    SELECT p_partkey,
+           array_to_string(list_transform(string_split(p_type, ' '),
+             (x, i) -> CASE WHEN i = 1 THEN lower(x)
+                            ELSE upper(x[1]) || lower(x[2:]) END), '') AS camel_key,
+           '{"p_brand": "' || p_brand || '", "p_size": ' || CAST(p_size AS VARCHAR) || '}'
+             AS baked
+    FROM part
+    """,
+)
+def camel_bake_parts(sf_dir: str):
+    from ..functions.text_scalars import camel_case, json_bake
+
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_type", "p_brand", "p_size"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": t["p_partkey"],
+            "camel_key": camel_case(t["p_type"], sep=" "),
+            "baked": json_bake(t, ["p_brand"], ["p_size"]),
+        })
+
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
 # distinct_users_per_type — COUNT(DISTINCT) via two-level aggregation
 # (SURVEY A4 distinct at scale: dedup shuffle on (type, user) partials,
 # then a tiny count — never a driver-side set).
