@@ -269,31 +269,47 @@ def hash_join_priority_revenue(sf_dir: str):
     joined = li.join(orders, join_type="inner", num_partitions=_join_parts(),
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
-    # second hop is also big×big (customer grows with sf) — another
-    # hash-partitioned join, not a broadcast dict
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    joined2 = joined.join(cust, join_type="inner", num_partitions=_join_parts(),
-                          on=("o_custkey",), right_on=("c_custkey",))
-
-    def seg_agg(t: pa.Table) -> pa.Table:
+    # pre-aggregate to (custkey, priority) partials BEFORE the customer
+    # hop: sum is associative, so the second join's left side shrinks from
+    # |matched lineitems| to ≤ |custkey × priority| rows
+    def pre_agg(t: pa.Table) -> pa.Table:
         base_c = _cents(t["l_extendedprice"])
         disc_bp = _cents(t["l_discount"])
         rev = pc.multiply(base_c, pc.subtract(pa.scalar(100, pa.int64()), disc_bp))
         t2 = pa.table(
+            {"o_custkey": t["o_custkey"], "o_orderpriority": t["o_orderpriority"],
+             "rev_e4": rev}
+        )
+        return t2.group_by(["o_custkey", "o_orderpriority"]).aggregate(
+            [("rev_e4", "sum"), ("rev_e4", "count")]
+        )
+
+    partials = joined.map_batches(pre_agg, batch_format="pyarrow", zero_copy_batch=True)
+
+    # second hop is also big×big (customer grows with sf) — another
+    # hash-partitioned join, not a broadcast dict
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined2 = partials.join(cust, join_type="inner", num_partitions=_join_parts(),
+                            on=("o_custkey",), right_on=("c_custkey",))
+
+    def seg_agg(t: pa.Table) -> pa.Table:
+        t2 = pa.table(
             {
                 "c_mktsegment": t["c_mktsegment"],
                 "o_orderpriority": t["o_orderpriority"],
-                "rev_e4": rev,
+                "rev_e4_sum": t["rev_e4_sum"],
+                "rev_e4_count": t["rev_e4_count"],
             }
         )
         return t2.group_by(["c_mktsegment", "o_orderpriority"]).aggregate(
-            [("rev_e4", "sum"), ("rev_e4", "count")]
+            [("rev_e4_sum", "sum"), ("rev_e4_count", "sum")]
         )
 
     return (
         joined2.map_batches(seg_agg, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["c_mktsegment", "o_orderpriority"])
-        .aggregate(Sum("rev_e4_sum", alias_name="rev_e4"), Sum("rev_e4_count", alias_name="n_items"))
+        .aggregate(Sum("rev_e4_sum_sum", alias_name="rev_e4"),
+                   Sum("rev_e4_count_sum", alias_name="n_items"))
     )
 
 
