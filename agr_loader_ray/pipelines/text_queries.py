@@ -270,6 +270,39 @@ def multimodal_decode_features(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# multimodal_audio_features — REAL audio decode path (raw s16le PCM needs
+# no external codec): windowed RMS / zero-crossing / FFT spectral centroid
+# per payload, actor pool with small batches (wide rows).  Rows-only gate;
+# feature correctness asserted against signal ground truth in tests.
+# ---------------------------------------------------------------------------
+@query("multimodal_audio_features")
+def multimodal_audio_features(sf_dir: str):
+    import ray.data as _rd
+
+    from ..stages.multimodal import DecodeAudioPCM, synth_audio_table
+
+    audio = _rd.from_arrow(synth_audio_table(n=128, seed=42))
+    return audio.map_batches(DecodeAudioPCM, batch_format="pyarrow",
+                             batch_size=16, concurrency=_pool())
+
+
+# ---------------------------------------------------------------------------
+# multimodal_frame_sample — video frame sampling (explode to every-kth
+# frame) feeding the image-decode pool; byte-grid math real, pixel codec
+# stubbed (container has no image libs).  Rows-only gate.
+# ---------------------------------------------------------------------------
+@query("multimodal_frame_sample")
+def multimodal_frame_sample(sf_dir: str):
+    import ray.data as _rd
+
+    from ..stages.multimodal import SampleFrames, synth_video_table
+
+    video = _rd.from_arrow(synth_video_table(n=32, seed=42))
+    return video.map_batches(SampleFrames, batch_format="pyarrow",
+                             batch_size=8, concurrency=_pool())
+
+
+# ---------------------------------------------------------------------------
 # cdc_engine_replay — the ACTUAL lake engine end-to-end on a deterministic
 # synthetic WAL (t2-style: LWW, deletes, out-of-order, schema evolution),
 # returning the sorted final table.  Not SQL-expressible over the
