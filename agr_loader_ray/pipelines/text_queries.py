@@ -73,6 +73,30 @@ def lang_id_counts(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# bpe_token_counts — BPE-ish regex pretokenizer token counting (the
+# training-data token-count pass; whitespace counting is in
+# text_quality_scores).  One vectorized count_substring_regex pass.
+# ---------------------------------------------------------------------------
+@query(
+    "bpe_token_counts",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def bpe_token_counts(sf_dir: str):
+    from ..stages.text import bpe_token_count
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "n_bpe_tokens": bpe_token_count(t["text"])}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
 # doc_fingerprints — rolling-hash content fingerprint per document
 # (deterministic polynomial hash; SQL cannot express it → rows-only gate,
 # exactness is asserted in tests/test_text_tests.py instead).

@@ -113,3 +113,15 @@ def fingerprint_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     res = {name: t[name] for name in t.column_names}
     res["fingerprint"] = pa.array(out.astype(np.int64))
     return pa.table(res)
+
+
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(col) -> "pa.ChunkedArray":
+    """BPE-style pretokenizer token count (GPT-2-ish classes: contraction
+    suffixes, letter runs, digit runs, punctuation runs) — one vectorized
+    ``count_substring_regex`` pass, no tokenizer state."""
+    import pyarrow.compute as pc
+
+    return pc.cast(pc.count_substring_regex(col, pattern=BPE_PRETOKEN_RE), pa.int64())
