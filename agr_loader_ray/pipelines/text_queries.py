@@ -274,6 +274,56 @@ def heavy_model_scores(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# hopping_window_counts — OVERLAPPING (hopping) event-time windows:
+# size 2h, hop 30min → every event lands in exactly 4 windows.  Expressed
+# as a vectorized window-explode (4 shifted copies) + per-batch partial
+# aggregate + one groupby — the §2.9 shape tumbling windows can't cover.
+# ---------------------------------------------------------------------------
+@query(
+    "hopping_window_counts",
+    """
+    SELECT user_id, w.ws AS window_start, count(*) AS n_events
+    FROM (SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) AS b FROM events) t
+    CROSS JOIN UNNEST([b, b - INTERVAL '30 minutes',
+                       b - INTERVAL '60 minutes', b - INTERVAL '90 minutes']) AS w(ws)
+    GROUP BY user_id, w.ws
+    """,
+)
+def hopping_window_counts(sf_dir: str):
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    hop_us = 30 * 60 * 1_000_000
+
+    def explode_partial(t: pa.Table) -> pa.Table:
+        bucket = pc.floor_temporal(t["ts"], multiple=30, unit="minute")
+        b_us = bucket.cast(pa.int64())
+        uid = t["user_id"].combine_chunks()
+        parts = []
+        for i in range(4):  # window count = size/hop, not data-dependent
+            parts.append(pa.table({
+                "user_id": uid,
+                "ws_us": pc.subtract(b_us, pa.scalar(i * hop_us, pa.int64())),
+            }))
+        allw = pa.concat_tables(parts)
+        return allw.group_by(["user_id", "ws_us"]).aggregate([("ws_us", "count")])
+
+    agg = (
+        ds.map_batches(explode_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "ws_us"])
+        .aggregate(_Sum("ws_us_count", alias_name="n_events"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "window_start": t["ws_us"].combine_chunks().cast(pa.timestamp("us")),
+            "n_events": t["n_events"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
 # multimodal_decode_features — binary media column → feature vectors via the
 # actor-pool decode stage (codec stubbed with the deterministic fake; the
 # Ray-side plumbing — schema, small batches for wide rows, actor pool — is
