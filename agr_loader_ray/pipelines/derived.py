@@ -118,3 +118,61 @@ def conversation_text(lake_root: str, epoch: int | None = None,
         )
 
     return ds.groupby("conv_id").map_groups(assemble, batch_format="pandas")
+
+
+def conversation_descriptions(lake_root: str, epoch: int | None = None) -> "ray.data.Dataset":
+    """Generated natural-language description per conversation — the
+    gene-descriptions analogue (SURVEY §3.2 / T7: per-entity text
+    generated against corpus-wide context,
+    ``/root/reference/src/etl/gene_descriptions_etl.py:93-155`` — the
+    generator is constructed once per worker with global conf/ontology
+    state, then runs per entity).
+
+    Corpus-wide aggregates (mean turns / chars — a genuinely tiny side)
+    are computed first and broadcast; the Describe actor assembles the
+    sentence fully vectorized (binary_join_element_wise), no Python per
+    row.  Deterministic: same lake state → same descriptions.
+    """
+    import numpy as np
+
+    import ray
+
+    stats = conversation_stats(lake_root, epoch=epoch).materialize()
+    tot = stats.map_batches(
+        lambda t: pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "turns": pa.array([pc.sum(t["n_turns"]).as_py() or 0], pa.int64()),
+            "chars": pa.array([pc.sum(t["total_chars"]).as_py() or 0], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    n_conv = tot.sum("n") or 1
+    mean_turns = (tot.sum("turns") or 0) / n_conv
+    mean_chars = (tot.sum("chars") or 0) / n_conv
+    ref = ray.put((mean_turns, mean_chars))
+
+    class Describe:
+        def __init__(self, ref):
+            self.mean_turns, self.mean_chars = ray.get(ref)  # once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            n_turns = t["n_turns"].to_numpy(zero_copy_only=False)
+            chars = t["total_chars"].to_numpy(zero_copy_only=False)
+            tools = t["n_tool_turns"].to_numpy(zero_copy_only=False)
+            rel = np.where(n_turns > self.mean_turns, "longer than", "at or below")
+            desc = pc.binary_join_element_wise(
+                pa.scalar("Conversation "), pc.cast(t["conv_id"], pa.string()),
+                pa.scalar(" has "), pa.array(n_turns.astype(str), pa.string()),
+                pa.scalar(" turns ("), pa.array(rel, pa.string()),
+                pa.scalar(" the corpus mean), "),
+                pa.array(tools.astype(str), pa.string()),
+                pa.scalar(" tool turns, and "),
+                pa.array(chars.astype(str), pa.string()),
+                pa.scalar(" characters of text."), "")
+            return pa.table({"conv_id": t["conv_id"], "description": desc,
+                             "n_turns": t["n_turns"]})
+
+    from ..functions.pools import pool
+
+    return stats.map_batches(Describe, fn_constructor_args=(ref,),
+                             batch_format="pyarrow", concurrency=pool())

@@ -91,3 +91,28 @@ def test_verify_lake_audit(tmp_lake, tmp_wal):
     pq.write_table(t2, path)
     r2 = verify_lake(tmp_lake)
     assert not r2["ok"] and len(r2["corrupt_partitions"]) == 1
+
+
+def test_conversation_descriptions(tmp_lake, tmp_wal):
+    """Gene-descriptions analogue: deterministic generated text with
+    corpus-context comparison, numbers consistent with the stats table."""
+    from agr_loader_ray.pipelines.derived import (
+        conversation_descriptions,
+        conversation_stats,
+    )
+    from agr_loader_ray.pipelines.engine import CdcEngine
+    from agr_loader_ray.wal.generator import WalSpec, generate_wal
+
+    generate_wal(tmp_wal, WalSpec(n_events=2000, n_convs=60, n_epochs=1))
+    CdcEngine(tmp_lake, n_partitions=4).replay(tmp_wal)
+
+    desc = conversation_descriptions(tmp_lake).to_pandas().set_index("conv_id")
+    stats = conversation_stats(tmp_lake).to_pandas().set_index("conv_id")
+    assert len(desc) == len(stats)
+    for cid, row in stats.head(5).iterrows():
+        d = desc.loc[cid, "description"]
+        assert f"has {int(row['n_turns'])} turns" in d
+        assert f"{int(row['total_chars'])} characters" in d
+    # deterministic
+    again = conversation_descriptions(tmp_lake).to_pandas().set_index("conv_id")
+    assert (again["description"].sort_index() == desc["description"].sort_index()).all()
