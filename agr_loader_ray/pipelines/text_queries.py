@@ -383,13 +383,13 @@ def multimodal_frame_sample(sf_dir: str):
 # registered views (the WAL is engine input, not a view) → rows-only
 # gate here; full oracle equality is asserted in tests/test_engine_tests.py.
 # ---------------------------------------------------------------------------
-@query("cdc_engine_replay")
-def cdc_engine_replay(sf_dir: str):
+def _replay_lake(sf_dir: str) -> str:
+    """Deterministic synthetic WAL → lake for ``sf_dir`` (cached: replay
+    skips committed epochs, so repeat calls are metadata-only)."""
     import os
     import tempfile
 
     from ..pipelines.engine import CdcEngine
-    from ..pipelines.export import export_sorted
     from ..wal.generator import WalSpec, generate_wal
 
     n = 20_000 if "0.01" in sf_dir else 5_000
@@ -399,10 +399,35 @@ def cdc_engine_replay(sf_dir: str):
                    schema_events=((0.5, '{"kind": "add_column", "name": "lang", "type": "string", "default": null}'),))
     wal_root = os.path.join(tempfile.gettempdir(), f"agr_q_wal_{n}")
     generate_wal(wal_root, spec)
-    lake_root = tempfile.mkdtemp(prefix="agr_q_lake_")
+    lake_root = os.path.join(tempfile.gettempdir(), f"agr_q_lake_{n}")
     eng = CdcEngine(lake_root, n_partitions=16)
     eng.replay(wal_root)
-    return export_sorted(lake_root)
+    return lake_root
+
+
+@query("cdc_engine_replay")
+def cdc_engine_replay(sf_dir: str):
+    from ..pipelines.export import export_sorted
+
+    return export_sorted(_replay_lake(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# derived_conversation_stats / derived_descriptions — §3.2 second-pass
+# pipelines over the committed lake (rows-only: lake input, not a view).
+# ---------------------------------------------------------------------------
+@query("derived_conversation_stats")
+def derived_conversation_stats(sf_dir: str):
+    from ..pipelines.derived import conversation_stats
+
+    return conversation_stats(_replay_lake(sf_dir))
+
+
+@query("derived_descriptions")
+def derived_descriptions(sf_dir: str):
+    from ..pipelines.derived import conversation_descriptions
+
+    return conversation_descriptions(_replay_lake(sf_dir))
 
 
 # ---------------------------------------------------------------------------
