@@ -1072,6 +1072,14 @@ def _float_keys(v: np.ndarray) -> np.ndarray:
     return x ^ ((x >> 63) & np.int64(0x7FFFFFFFFFFFFFFF))
 
 
+def _key_to_float(k: int) -> float:
+    """Inverse of ``_float_keys`` for a single key (the XOR fold is an
+    involution on the sign-extended mask)."""
+    x = np.int64(k)
+    x = x ^ ((x >> np.int64(63)) & np.int64(0x7FFFFFFFFFFFFFFF))
+    return float(np.array([x], dtype=np.int64).view(np.float64)[0])
+
+
 @query(
     "median_value_per_type",
     """
@@ -1179,6 +1187,16 @@ def median_value_per_type(sf_dir: str):
                 nxt[typ] = (new_lo, new_hi, _width(new_lo, new_hi))
         pending = nxt
 
+    # degenerate ranges (all remaining values bit-identical) resolve with
+    # no pull at all — otherwise an all-equal type with n > limit would
+    # pull its whole group
+    resolved: dict[str, float] = {}
+    for typ in list(state):
+        lo, hi = state[typ][0], state[typ][1]
+        if lo == hi:
+            resolved[typ] = _key_to_float(lo)
+            del state[typ]
+
     # final: pull ONLY the boundary-range values per type (bounded)
     final_ranges = {t: (s[0], s[1]) for t, s in state.items()}
     fref = ray.put(final_ranges)
@@ -1194,11 +1212,12 @@ def median_value_per_type(sf_dir: str):
         return pa.table({"event_type": pa.array(et[keep], pa.string()),
                          "value": pa.array(vals[keep], pa.float64())})
 
-    pulled = ds.map_batches(boundary_vals, batch_format="pyarrow",
-                            zero_copy_batch=True).take_all()
     by_type: dict[str, list[float]] = {}
-    for r in pulled:
-        by_type.setdefault(r["event_type"], []).append(r["value"])
+    if state:  # skip the pull pass entirely if every type resolved degenerate
+        pulled = ds.map_batches(boundary_vals, batch_format="pyarrow",
+                                zero_copy_batch=True).take_all()
+        for r in pulled:
+            by_type.setdefault(r["event_type"], []).append(r["value"])
 
     out_rows = []
     for typ, s in state.items():
@@ -1207,6 +1226,8 @@ def median_value_per_type(sf_dir: str):
         v = v[np.argsort(_float_keys(v), kind="stable")]
         x1, x2 = v[r1 - below], v[r2 - below]
         med = float(x1) if r1 == r2 else float((x1 + x2) / 2.0)
+        out_rows.append({"event_type": typ, "med_value": med, "n": counts[typ]})
+    for typ, med in resolved.items():
         out_rows.append({"event_type": typ, "med_value": med, "n": counts[typ]})
     out = pd.DataFrame(out_rows, columns=["event_type", "med_value", "n"])
     out["n"] = out["n"].astype(np.int64)

@@ -132,3 +132,23 @@ def test_dedup_exact_text_lang_in_key(tmp_path):
     # both langs survive with exactly one hello-world each
     assert set(got["lang"]) == {"en", "fr"}
     assert int(got.set_index("lang").loc["fr", "n_docs"]) == 1
+
+
+def test_median_all_equal_above_pull_limit(tmp_path, monkeypatch):
+    """All-equal group larger than the pull bound resolves with NO value
+    pull (degenerate-range shortcut)."""
+    monkeypatch.setattr(Q, "_BOUNDARY_LIMIT", 4)
+    vals = np.full(100, 3.75)
+    types = np.array(["q"] * 100)
+    sf = _write_sf(tmp_path, {"events": _events_table(vals, types)})
+    got = _median_got(sf)
+    assert got["med_value"].iloc[0] == 3.75 and int(got["n"].iloc[0]) == 100
+
+
+def test_key_to_float_roundtrip():
+    from agr_loader_ray.pipelines.queries import _float_keys, _key_to_float
+
+    vals = np.array([-1e300, -1.5, -0.0, 0.0, 1e-300, 2.5, 1e300])
+    for v in vals:
+        k = int(_float_keys(np.array([v]))[0])
+        assert _key_to_float(k) == v or (v == 0.0 and _key_to_float(k) == 0.0)
