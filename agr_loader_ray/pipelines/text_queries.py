@@ -190,6 +190,21 @@ def simhash_near_dup(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# minhash_verified_pairs — LSH candidates → exact n-gram-Jaccard verify
+# (the false-positive filter): two hash joins attach the pair texts,
+# per-pair shingle Jaccard, threshold keep.  Rows-only; verified-subset
+# and exact-score properties asserted in tests.
+# ---------------------------------------------------------------------------
+@query("minhash_verified_pairs")
+def minhash_verified_pairs(sf_dir: str):
+    from ..stages.dedup import verify_pairs_jaccard
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = minhash_lsh_candidates(docs, num_perm=64, bands=16, k=5)
+    return verify_pairs_jaccard(cand, docs, threshold=0.5, k=5)
+
+
+# ---------------------------------------------------------------------------
 # tumbling_window_counts — event-time tumbling window aggregate
 # (SURVEY §2.9: windows expressed as derived window-key + groupby;
 # oracle: GROUP BY date_trunc).

@@ -241,6 +241,47 @@ def jaccard_ngram(a: str, b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def verify_pairs_jaccard(
+    pairs: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    threshold: float = 0.5,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Exact n-gram-Jaccard verification of candidate pairs (the LSH
+    false-positive filter): two hash joins attach both texts, then the
+    per-pair shingle-set Jaccard runs inside map_batches (bounded by the
+    candidate count — the verify stage is already past the corpus-scale
+    prune).  Returns {id_a, id_b, jaccard} with jaccard ≥ threshold."""
+    from ..functions.pools import join_parts
+
+    a_side = docs.map_batches(
+        lambda t: pa.table({"a_id": t[id_col], "a_text": t[text_col]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    b_side = docs.map_batches(
+        lambda t: pa.table({"b_id": t[id_col], "b_text": t[text_col]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    witha = pairs.join(a_side, join_type="inner", num_partitions=join_parts(),
+                       on=("id_a",), right_on=("a_id",))
+    withb = witha.join(b_side, join_type="inner", num_partitions=join_parts(),
+                       on=("id_b",), right_on=("b_id",))
+
+    def score(t: pa.Table) -> pa.Table:
+        ja = np.array([jaccard_ngram(a, b, k) for a, b in
+                       zip(t["a_text"].to_pylist(), t["b_text"].to_pylist())])
+        keep = ja >= threshold
+        return pa.table({
+            "id_a": t["id_a"].combine_chunks().filter(pa.array(keep)),
+            "id_b": t["id_b"].combine_chunks().filter(pa.array(keep)),
+            "jaccard": pa.array(ja[keep], pa.float64()),
+        })
+
+    return withb.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
 class SimHasher:
     """64-bit SimHash over token hashes (stateless math, actor-cached params)."""
 

@@ -124,3 +124,31 @@ def test_lsh_no_collisions_returns_empty():
     out = minhash_lsh_candidates(ds)
     assert out.schema().names == ["id_a", "id_b"]
     assert out.count() == 0
+
+
+def test_verify_pairs_jaccard():
+    """Verified pairs ⊆ candidates; scores equal direct jaccard; only
+    ≥ threshold survive."""
+    import pyarrow as pa
+
+    from agr_loader_ray.stages.dedup import (
+        jaccard_ngram,
+        minhash_lsh_candidates,
+        verify_pairs_jaccard,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    texts = [base, base + " x", base + " yy", "completely different text about shipping logistics"]
+    docs_tbl = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+    docs = ray.data.from_arrow(docs_tbl)
+    cand = minhash_lsh_candidates(docs).materialize()
+    cand_pairs = {(r["id_a"], r["id_b"]) for r in cand.take_all()}
+    out = verify_pairs_jaccard(cand, docs, threshold=0.5).to_pandas()
+    for _, r in out.iterrows():
+        pair = (int(r["id_a"]), int(r["id_b"]))
+        assert pair in cand_pairs
+        assert r["jaccard"] == jaccard_ngram(texts[pair[0]], texts[pair[1]])
+        assert r["jaccard"] >= 0.5
+    # the three near-identical docs must all verify against each other
+    assert {(0, 1), (0, 2), (1, 2)} <= {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
