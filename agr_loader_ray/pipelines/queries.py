@@ -980,6 +980,83 @@ def curie_normalize_brands(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# interval_join_campaigns — RANGE JOIN against overlapping intervals (a
+# custom operator Ray Data lacks; reference has no time dimension).  150
+# overlapping 10h campaign windows every 6h; each event matches every
+# containing window via the broadcast segment-bucketed interval index
+# (stages/interval.py).  Oracle: plain BETWEEN join.
+# ---------------------------------------------------------------------------
+@query(
+    "interval_join_campaigns",
+    """
+    SELECT e.event_id, iv.i AS interval_id
+    FROM events e
+    JOIN (SELECT i, TIMESTAMP '2024-01-01' + i * (INTERVAL 6 HOUR) AS s
+          FROM generate_series(0, 149) AS g(i)) iv
+      ON e.ts >= iv.s AND e.ts <= iv.s + INTERVAL 10 HOUR
+    """,
+)
+def interval_join_campaigns(sf_dir: str):
+    from ..stages.interval import interval_join
+
+    base_us = int(np.datetime64("2024-01-01", "us").astype(np.int64))
+    i = np.arange(150, dtype=np.int64)
+    intervals = pa.table({
+        "interval_id": pa.array(i),
+        "start": pa.array(base_us + i * 6 * 3_600_000_000),
+        "end": pa.array(base_us + i * 6 * 3_600_000_000 + 10 * 3_600_000_000),
+    })
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
+    joined = interval_join(ds, intervals, ts_col="ts")
+    return joined.map_batches(
+        lambda t: pa.table({"event_id": t["event_id"], "interval_id": t["interval_id"]}),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample_events — deterministic hash-based stratified sampling
+# (§2.6: the reference's only sampling is the randomized schedule O4; a
+# training-data pipeline needs per-stratum rates).  Knuth-hash bucket on
+# event_id is reproducible across engines, so the SQL oracle selects the
+# IDENTICAL sample — sampling as a deterministic operator, not an RNG.
+# ---------------------------------------------------------------------------
+@query(
+    "stratified_sample_events",
+    """
+    SELECT event_type, count(*) AS n_sampled,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events
+    WHERE (event_id * 2654435761) % 4294967296 % 100 <
+          CASE event_type WHEN 'purchase' THEN 100 WHEN 'error' THEN 50 ELSE 10 END
+    GROUP BY event_type
+    """,
+)
+def stratified_sample_events(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+    rates = {"purchase": 100, "error": 50}  # percent; default 10
+
+    def sample_partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = ((eid * np.uint64(2654435761)) % np.uint64(4294967296)) % np.uint64(100)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        rate = np.full(len(et), 10, dtype=np.uint64)
+        for typ, r in rates.items():
+            rate[et == typ] = r
+        keep = bucket < rate
+        t2 = pa.table({"event_type": pa.array(et[keep], pa.string()),
+                       "event_id": pa.array(eid[keep].astype(np.int64))})
+        return t2.group_by("event_type").aggregate([("event_id", "count"), ("event_id", "sum")])
+
+    return (
+        ds.map_batches(sample_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("event_id_count", alias_name="n_sampled"),
+                   Sum("event_id_sum", alias_name="id_sum"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # camel_bake_parts — camelCase key munge (§2.8: OBO header keys,
 # obo_helper.py:40-42) + JSON-property baking (etl_helper.py:296-299),
 # both as vectorized Arrow kernels.
