@@ -71,3 +71,53 @@ def skew_stats(ds, conv_col: str = "conv_id", top_k: int = 20) -> pd.DataFrame:
         Sum("n", alias_name="changes")
     )
     return agg.sort("changes", descending=True).limit(top_k).to_pandas()
+
+
+def salted_topk_per_key(ds, key: str, sort_cols: list[str], ascending: list[bool],
+                        k: int, hot_keys, n_salt: int = 8):
+    """Per-key top-k with HOT-KEY SALTING (the north-star's explicit skew
+    mechanism: per-key change counts → hot keys → salted sub-partitions
+    before the shuffle).
+
+    Top-k is combinable — ``topk(concat(topk(salted parts))) == topk`` —
+    so hot keys fan out to ``n_salt`` sub-groups for the first exchange
+    (no single task holds a hot key's full row set), then a second tiny
+    exchange over ≤ n_salt × k rows per hot key finishes.  Cold keys take
+    salt 0 and skip straight through the same two stages.
+
+    ``hot_keys``: iterable of hot key values (from ``skew_stats``).
+    """
+    import pyarrow as pa
+    import ray
+
+    hot_ref = ray.put(np.asarray(list(hot_keys)))
+
+    class Salt:
+        def __init__(self, ref):
+            self.hot = set(ray.get(ref).tolist())  # once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t[key].to_numpy(zero_copy_only=False)
+            is_hot = np.isin(keys, list(self.hot))
+            # deterministic row salt: spread a hot key's rows over n_salt
+            salt = np.where(
+                is_hot,
+                (np.arange(len(keys), dtype=np.int64) + keys) % n_salt,
+                0,
+            ).astype(np.int64)
+            return t.append_column("_salt", pa.array(salt))
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(sort_cols, ascending=ascending).head(k)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(sort_cols, ascending=ascending).head(k)
+                .drop(columns=["_salt"]))
+
+    from ..functions.pools import pool as _pool
+
+    salted = ds.map_batches(Salt, fn_constructor_args=(hot_ref,),
+                            batch_format="pyarrow", zero_copy_batch=True,
+                            concurrency=_pool())
+    pre = salted.groupby([key, "_salt"]).map_groups(local_topk, batch_format="pandas")
+    return pre.groupby(key).map_groups(final_topk, batch_format="pandas")

@@ -81,3 +81,31 @@ def test_hot_single_key_correct_and_bounded(tmp_lake, tmp_wal):
     m = eng.manifest.read_epoch(eng.manifest.last_committed_epoch())
     n_epochs = 4
     assert sum(i["rows"] for i in m["partitions"].values()) <= 20 * 4 * (n_epochs + 1)
+
+
+def test_salted_topk_equals_unsalted():
+    """Hot-key salted two-stage top-k ≡ direct per-key top-k on a
+    Zipf-skewed key (one key holds ~60% of rows)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from agr_loader_ray.stages.partition import salted_topk_per_key
+
+    rng = np.random.default_rng(4)
+    n = 20_000
+    keys = np.where(rng.random(n) < 0.6, 7, rng.integers(0, 50, n))
+    vals = rng.integers(0, 1_000_000, n)
+    t = pa.table({"k": pa.array(keys, pa.int64()),
+                  "v": pa.array(vals, pa.int64()),
+                  "rid": pa.array(np.arange(n), pa.int64())})
+    ds = ray.data.from_arrow(t)
+
+    got = salted_topk_per_key(ds, "k", ["v", "rid"], [False, True], k=5,
+                              hot_keys=[7], n_salt=8).to_pandas()
+    want = (t.to_pandas().sort_values(["v", "rid"], ascending=[False, True])
+            .groupby("k", sort=False).head(5))
+    got = got.sort_values(["k", "v", "rid"], ascending=[True, False, True]).reset_index(drop=True)
+    want = want.sort_values(["k", "v", "rid"], ascending=[True, False, True]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "v", "rid"]], want[["k", "v", "rid"]])
