@@ -174,6 +174,44 @@ def ann_ivf_topk(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# quantize_embeddings — symmetric max-abs int8 quantization per vector
+# (the storage-side embedding op).  Scalar outputs (scale, order-weighted
+# checksum, max reconstruction error) so the compare is hashable; the
+# round-half-away formula is spelled identically on both sides.
+# ---------------------------------------------------------------------------
+@query(
+    "quantize_embeddings",
+    """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), withm AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS m0
+      FROM base
+    ), s2 AS (
+      SELECT vec_id, v, m0, CASE WHEN m0 = 0 THEN 1.0 ELSE m0 END AS m FROM withm
+    ), q AS (
+      SELECT vec_id, v, m0, m,
+             list_transform(v, x -> CASE WHEN x >= 0
+                                         THEN floor(x / m * 127 + 0.5)
+                                         ELSE ceil(x / m * 127 - 0.5) END) AS qv
+      FROM s2)
+    SELECT vec_id,
+           round(m0, 6) AS scale,
+           CAST(list_sum(list_transform(qv, (x, i) -> x * i)) AS BIGINT) AS q_checksum,
+           round(list_max(list_transform(qv, (x, i) -> abs(x * m / 127 - v[i]))), 6) AS max_err
+    FROM q
+    """,
+)
+def quantize_embeddings(sf_dir: str):
+    from ..stages.similarity import quantize_embeddings_batch
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ds.map_batches(quantize_embeddings_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
 # minhash_near_dup / simhash_near_dup — sketch-based near-dup candidate
 # pairs (rows-only gate; exactness vs brute-force Jaccard in tests).
 # ---------------------------------------------------------------------------

@@ -187,3 +187,27 @@ def ivf_topk(ds: "ray.data.Dataset", query_vec: np.ndarray, k: int = 10,
 def knn_recall(approx: pd.DataFrame, exact: pd.DataFrame, id_col: str = "vec_id") -> float:
     """Recall@k of the approximate result vs the exact one (bench metric)."""
     return len(set(approx[id_col]) & set(exact[id_col])) / max(1, len(exact))
+
+
+def quantize_embeddings_batch(batch: pa.Table, vec_col: str = "embedding") -> pa.Table:
+    """Symmetric max-abs int8 quantization per vector (the storage-side
+    embedding op of a training-data pipeline): q_i = round-half-away
+    (x_i / max|x| * 127), plus the scale for reconstruction.  Emits an
+    order-weighted checksum and max reconstruction error so results are
+    scalar-comparable (SQL list hashing is not portable)."""
+    mat = _batch_matrix(batch, vec_col)
+    m = np.abs(mat).max(axis=1)
+    m_safe = np.where(m == 0, 1.0, m)
+    scaled = mat / m_safe[:, None] * 127.0
+    # round HALF AWAY from zero (matches SQL round; numpy rounds half-even)
+    q = np.trunc(scaled + np.sign(scaled) * 0.5)
+    recon = q * m_safe[:, None] / 127.0
+    err = np.abs(recon - mat).max(axis=1)
+    weights = np.arange(1, mat.shape[1] + 1, dtype=np.float64)
+    checksum = (q * weights[None, :]).sum(axis=1)
+    return pa.table({
+        "vec_id": batch["vec_id"],
+        "scale": pa.array(np.round(m, 6), pa.float64()),
+        "q_checksum": pa.array(checksum.astype(np.int64)),
+        "max_err": pa.array(np.round(err, 6), pa.float64()),
+    })
