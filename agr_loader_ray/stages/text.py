@@ -97,19 +97,31 @@ def fingerprint_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     ``h = sum(byte[i] * B^(n-1-i)) mod 2^64`` with B=257 — deterministic
     across processes, vectorized per row over the raw UTF-8 bytes.
     """
-    texts = t[text_col].to_pandas()
+    col = t[text_col].combine_chunks()
+    texts = col.to_pylist()
+    bufs = [s.encode("utf-8") if s is not None else b"" for s in texts]
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    all_bytes = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.uint64)
     B = np.uint64(257)
-    max_len = int(texts.str.len().max() or 0) * 4 + 1  # utf-8 worst case
+    max_len = int(lens.max(initial=0)) + 1
     with np.errstate(over="ignore"):
         pows = np.empty(max_len, dtype=np.uint64)
         pows[0] = 1
-        np.multiply.accumulate(np.full(max_len - 1, B), out=pows[1:], dtype=np.uint64)
-        out = np.zeros(len(texts), dtype=np.uint64)
-        for i, s in enumerate(texts):
-            if s is None:
-                continue
-            b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-            out[i] = (b * pows[len(b) - 1 :: -1]).sum(dtype=np.uint64)
+        if max_len > 1:
+            np.multiply.accumulate(np.full(max_len - 1, B), out=pows[1:], dtype=np.uint64)
+        # weight of byte at local position p in a doc of length L is B^(L-1-p):
+        # computed for ALL docs at once via offset arithmetic, then one
+        # segment-sum (reduceat) — no per-document loop
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        if len(all_bytes):
+            row_idx = np.repeat(np.arange(len(lens)), lens)
+            local = np.arange(len(all_bytes), dtype=np.int64) - starts[row_idx]
+            weighted = all_bytes * pows[lens[row_idx] - 1 - local]
+            safe_starts = np.minimum(starts, len(weighted) - 1)
+            out = np.add.reduceat(weighted, safe_starts)
+            out[lens == 0] = 0
+        else:
+            out = np.zeros(len(lens), dtype=np.uint64)
     res = {name: t[name] for name in t.column_names}
     res["fingerprint"] = pa.array(out.astype(np.int64))
     return pa.table(res)
