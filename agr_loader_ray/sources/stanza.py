@@ -67,3 +67,24 @@ def read_stanza(paths: list[str] | str, stanza_type: str = "Term",
         return pa.Table.from_pylist(rows)
 
     return ray.data.read_binary_files(paths).map_batches(parse, batch_format="pyarrow")
+
+
+def parse_obo_header(text: str) -> dict:
+    """OBO file header → camelCased dict (the reference's
+    ``OBOHelper.get_header``, ``/root/reference/src/etl/helpers/
+    obo_helper.py:33-50``): lines before the first blank/comment, keys
+    kebab→camelCase, double quotes → single, repeated keys promote to
+    lists, singletons unwrap."""
+    from collections import defaultdict
+
+    header: dict[str, list[str]] = defaultdict(list)
+    for line in text.splitlines():
+        if not line.strip() or line[0] == "#" or line.startswith("["):
+            break
+        k, sep, v = line.rstrip().partition(": ")
+        if not sep:
+            continue
+        camel = "".join(x.capitalize() or "-" for x in k.split("-"))
+        camel = camel[0].lower() + camel[1:]
+        header[camel].append(str(v.replace('"', "'")))
+    return {k: (v[0] if len(v) == 1 else v) for k, v in header.items()}

@@ -121,3 +121,23 @@ def test_fasta_store_and_slice_stage(tmp_path):
     assert out.iloc[0]["seq"] == "ACGT"
     assert out.iloc[0]["upstream"] == "ACGT"
     assert out.iloc[1]["seq"] == reverse_complement("GGGG")
+
+
+def test_parse_obo_header_camel_and_lists():
+    from agr_loader_ray.sources.stanza import parse_obo_header
+
+    text = (
+        "format-version: 1.2\n"
+        'saved-by: "someone"\n'
+        "subsetdef: a sub\n"
+        "subsetdef: b sub\n"
+        "default-namespace: gene_ontology\n"
+        "\n"
+        "[Term]\nid: GO:1\n"
+    )
+    h = parse_obo_header(text)
+    assert h["formatVersion"] == "1.2"
+    assert h["savedBy"] == "'someone'"          # quote rewrite
+    assert h["subsetdef"] == ["a sub", "b sub"]  # repeated → list
+    assert h["defaultNamespace"] == "gene_ontology"
+    assert "id" not in h                          # stops at the stanza
