@@ -26,7 +26,9 @@ OUT_COLS = [
 
 def synth_mitab_file(sf_dir: str) -> str:
     """Write the deterministic MITAB fixture for ``sf_dir`` (cached)."""
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    # tag includes a rule version: bump when the synthesis rule changes so a
+    # stale /tmp fixture can never be reused against a newer oracle
+    tag = hashlib.sha1(f"{sf_dir}|mitab-v1".encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"agr_mitab_{tag}.tsv")
     if os.path.exists(path):
         return path

@@ -116,7 +116,8 @@ def hgvs_variant_names(sf_dir: str):
 
 def synth_species_yaml(sf_dir: str) -> str:
     """Deterministic species.yaml from the nation table (cached)."""
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    # rule-versioned tag: a stale /tmp fixture can never meet a newer oracle
+    tag = hashlib.sha1(f"{sf_dir}|species-v1".encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"agr_species_{tag}.yaml")
     if os.path.exists(path):
         return path
