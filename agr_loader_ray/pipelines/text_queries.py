@@ -451,8 +451,13 @@ def _replay_lake(sf_dir: str) -> str:
                    dup_ts_frac=0.05,
                    schema_events=((0.5, '{"kind": "add_column", "name": "lang", "type": "string", "default": null}'),))
     wal_root = os.path.join(tempfile.gettempdir(), f"agr_q_wal_{n}")
-    generate_wal(wal_root, spec)
-    lake_root = os.path.join(tempfile.gettempdir(), f"agr_q_lake_{n}")
+    meta = generate_wal(wal_root, spec)
+    # lake dir keyed to the WAL spec: a spec change can never replay into a
+    # stale lake whose committed manifests would short-circuit the work
+    import hashlib
+
+    skey = hashlib.sha1(str(meta.get("spec_key", "")).encode()).hexdigest()[:10]
+    lake_root = os.path.join(tempfile.gettempdir(), f"agr_q_lake_{n}_{skey}")
     eng = CdcEngine(lake_root, n_partitions=16)
     eng.replay(wal_root)
     return lake_root
