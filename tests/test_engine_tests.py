@@ -376,3 +376,16 @@ def test_foreign_unsealed_wal_still_readable(tmp_lake, tmp_wal):
         os.remove(os.path.join(tmp_wal, f"epoch={e}", "_SEALED"))
     eng = CdcEngine(tmp_lake, n_partitions=4)
     assert eng.wal_epochs(tmp_wal) == [0, 1]
+
+
+def test_bench_scale_partition_count_oracle_equality(tmp_lake, tmp_wal):
+    """Oracle equality at the BENCH partition count (64) and a larger WAL:
+    guards against partition-count-dependent bugs the small fixtures
+    (n_partitions=4) cannot see."""
+    spec = WalSpec(n_events=100_000, n_convs=3_000, n_epochs=4,
+                   update_frac=0.25, delete_frac=0.05, zipf_a=1.2,
+                   out_of_order_frac=0.05, dup_ts_frac=0.02)
+    generate_wal(tmp_wal, spec)
+    eng = CdcEngine(tmp_lake, n_partitions=64)
+    eng.replay(tmp_wal)
+    _assert_equals_oracle(tmp_lake, tmp_wal)
