@@ -790,7 +790,8 @@ def dag_closure_edges(sf_dir: str):
     edges = read_table(sf_dir, "part", columns=["p_partkey"]).map_batches(
         make_edges, batch_format="pyarrow", zero_copy_batch=True,
     )
-    return closure_path_doubling(edges)
+    # part keys are bounded ints → packed single-column distincts
+    return closure_path_doubling(edges, packable=True)
 
 
 # ---------------------------------------------------------------------------

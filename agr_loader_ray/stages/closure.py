@@ -34,10 +34,41 @@ import ray
 import ray.data
 
 
-def _distinct_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
+def _distinct_pairs(ds: ray.data.Dataset, packable: bool = False) -> ray.data.Dataset:
     """Distinct (node, ancestor) via per-batch dedup partial + one exchange
-    (groupby-count, not per-group Python — many tiny groups)."""
+    (groupby-count, not per-group Python — many tiny groups).
+
+    ``packable=True``: both ids are known < 2^31 (caller-guaranteed, e.g.
+    derived from bounded keys), so the pair packs losslessly into one
+    int64 — a single-column exchange sorts markedly faster than a
+    two-column one.  Each batch still asserts the range.
+    """
     from ray.data.aggregate import Count
+
+    if packable:
+        def pack(t: pa.Table) -> pa.Table:
+            n = t["node"].to_numpy(zero_copy_only=False)
+            a = t["ancestor"].to_numpy(zero_copy_only=False)
+            assert (len(n) == 0) or (
+                n.min() >= 0 and a.min() >= 0
+                and n.max() < (1 << 31) and a.max() < (1 << 31)
+            ), "packable distinct requires ids in [0, 2^31)"
+            key = (n.astype(np.int64) << np.int64(31)) | a.astype(np.int64)
+            return pa.table({"pk": pa.array(np.unique(key))})
+
+        agg = (
+            ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("pk").aggregate(Count(alias_name="_c"))
+        )
+
+        def unpack(t: pa.Table) -> pa.Table:
+            k = t["pk"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "node": pa.array(k >> np.int64(31)),
+                "ancestor": pa.array(k & np.int64((1 << 31) - 1)),
+            })
+
+        return agg.map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)
 
     pre = ds.map_batches(
         lambda t: t.group_by(["node", "ancestor"]).aggregate([]),
@@ -54,8 +85,13 @@ def closure_path_doubling(
     parent_col: str = "parent",
     max_rounds: int = 20,
     num_partitions: int | None = None,
+    packable: bool = False,
 ) -> ray.data.Dataset:
-    """Full (node, ancestor) reachability closure by distributed path doubling."""
+    """Full (node, ancestor) reachability closure by distributed path doubling.
+
+    ``packable``: pass True when ids fit [0, 2^31) — single-column
+    distinct exchanges (see ``_distinct_pairs``).
+    """
     from ..functions.pools import join_parts
 
     nparts = num_partitions or join_parts()
@@ -64,7 +100,7 @@ def closure_path_doubling(
         lambda t: pa.table({"node": t[child_col], "ancestor": t[parent_col]}),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    r = _distinct_pairs(r).materialize()
+    r = _distinct_pairs(r, packable=packable).materialize()
     n = r.count()
     for _ in range(max_rounds):
         # R ∘ R: (node, mid) ⋈ (mid, ancestor) — doubles max path length
@@ -81,13 +117,51 @@ def closure_path_doubling(
             lambda t: pa.table({"node": t["node"], "ancestor": t["ancestor"]}),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-        r2 = _distinct_pairs(r.union(stepped)).materialize()
+        r2 = _distinct_pairs(r.union(stepped), packable=packable).materialize()
         n2 = r2.count()
         r = r2
         if n2 == n:  # fixpoint
             break
         n = n2
     return r
+
+
+#: edge-count threshold for the auto dispatcher: below it the edge list
+#: broadcasts (~16 B/edge → ≤ 80 MB object) and BFS runs exchange-free;
+#: above it the join-based doubling path runs.  Measured at sf0.1 (27 k
+#: edges → 500 k closure pairs): BFS ≈ 3.5 s, doubling ≈ 90 s — the
+#: doubling rounds pay Ray's per-exchange fixed cost plus path-multiplied
+#: join fan-out, which is only worth it when the edges cannot broadcast.
+BROADCAST_EDGE_LIMIT = 5_000_000
+
+
+def closure_auto(
+    edges: ray.data.Dataset,
+    child_col: str = "child",
+    parent_col: str = "parent",
+    **doubling_kwargs,
+) -> ray.data.Dataset:
+    """Size-dispatched closure: broadcast BFS for ontology-sized edge
+    lists, distributed path doubling beyond ``BROADCAST_EDGE_LIMIT``."""
+    import pyarrow.compute as pc
+
+    pruned = edges.map_batches(
+        lambda t: t.select([child_col, parent_col]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    if pruned.count() <= BROADCAST_EDGE_LIMIT:
+        tbl = pa.concat_tables(
+            pruned.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+        # globally-distinct start nodes, derived from the already-collected
+        # edge table (free — no extra exchange)
+        nodes = ray.data.from_arrow(
+            pa.table({"node": pc.unique(tbl[child_col].combine_chunks())})
+        )
+        return closure_broadcast_bfs(nodes, tbl, child_col=child_col,
+                                     parent_col=parent_col)
+    return closure_path_doubling(pruned, child_col=child_col,
+                                 parent_col=parent_col, **doubling_kwargs)
 
 
 def closure_broadcast_bfs(

@@ -152,3 +152,34 @@ def test_key_to_float_roundtrip():
     for v in vals:
         k = int(_float_keys(np.array([v]))[0])
         assert _key_to_float(k) == v or (v == 0.0 and _key_to_float(k) == 0.0)
+
+
+def test_closure_auto_dispatch_equivalence():
+    """closure_auto(BFS path) ≡ closure_path_doubling on the same
+    multi-parent DAG; threshold forces each path."""
+    import pyarrow as pa
+
+    import ray.data
+    from agr_loader_ray.stages import closure as C
+
+    k = np.arange(2, 400)
+    child = np.concatenate([k, k[k % 3 == 0]])
+    parent = np.concatenate([k // 2, k[k % 3 == 0] // 3])
+    edges = ray.data.from_arrow(pa.table({
+        "child": pa.array(child, pa.int64()),
+        "parent": pa.array(parent, pa.int64()),
+    }))
+
+    via_bfs = C.closure_auto(edges).to_pandas()
+    assert len(via_bfs) > 0
+
+    old = C.BROADCAST_EDGE_LIMIT
+    try:
+        C.BROADCAST_EDGE_LIMIT = 0  # force the doubling path
+        via_doubling = C.closure_auto(edges, packable=True).to_pandas()
+    finally:
+        C.BROADCAST_EDGE_LIMIT = old
+
+    a = set(zip(via_bfs["node"], via_bfs["ancestor"]))
+    b = set(zip(via_doubling["node"], via_doubling["ancestor"]))
+    assert a == b
