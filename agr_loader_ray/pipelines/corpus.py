@@ -9,11 +9,13 @@ skip-if-done).
 
 Scale shape: the only shuffles are the exact-dedup groupby (hash of
 normalized text) and the LSH bucket exchange over tiny (band, hash)
-rows; documents themselves stream once.  Near-dup group resolution runs
-DISTRIBUTED min-label propagation over the candidate-pair graph
-(``stages/dedup.resolve_duplicate_groups_distributed``) and the
-non-minimal members are removed with a hash-partitioned left_anti join —
-no driver-side pair list or drop set at any scale.
+rows; documents themselves stream once.  Near-dup group resolution is
+HYBRID: a candidate-pair list under ``_PAIR_DRIVER_LIMIT`` union-finds
+on the driver (bounded state, zero extra exchanges); above the limit
+the distributed min-label propagation
+(``stages/dedup.resolve_duplicate_groups_distributed``) runs and the
+non-minimal members drop via a hash-partitioned left_anti join — pair
+state is never unbounded driver memory.
 """
 
 from __future__ import annotations
@@ -32,6 +34,10 @@ from ..stages.dedup import minhash_lsh_candidates, resolve_duplicate_groups_dist
 from ..stages.partition import stable_hash_strings
 from ..stages.text import LangId, token_quality_batch
 from ..state.manifest import _atomic_write_json
+
+#: pair-count bound for driver-side union-find; above it resolution runs
+#: as distributed min-label propagation (16 B/pair → ≤ ~32 MiB driver)
+_PAIR_DRIVER_LIMIT = 2_000_000
 
 
 def build_clean_corpus(sf_dir: str, out_dir: str, min_tokens: int = 10,
@@ -82,28 +88,47 @@ def build_clean_corpus(sf_dir: str, out_dir: str, min_tokens: int = 10,
     exact_unique = exact_unique.materialize()
     n_exact = exact_unique.count()
 
-    # 4. near-dup removal: LSH candidates → distributed label propagation →
-    #    drop non-minimal members via a hash-partitioned anti join
+    # 4. near-dup removal: LSH candidates → duplicate-group resolution →
+    #    drop non-minimal members.  Hybrid resolution (same contract as the
+    #    hot-bucket prefilter): a pair list under _PAIR_DRIVER_LIMIT is
+    #    union-found on the driver (bounded memory, no per-round
+    #    exchanges); above it the distributed min-label propagation runs
+    #    and the drop side becomes a hash-partitioned left_anti join.
     from ..functions.pools import join_parts
+    from ..stages.dedup import resolve_duplicate_groups
 
     pairs = minhash_lsh_candidates(
         exact_unique.map_batches(
             lambda df: pa.Table.from_pandas(df[["doc_id", "text"]], preserve_index=False),
             batch_format="pandas",
         )
-    )
-    labels = resolve_duplicate_groups_distributed(pairs)
-    drop_ds = labels.map_batches(
-        lambda t: pa.table({"drop_id": t.filter(
-            pc.not_equal(t["doc_id"], t["group"]))["doc_id"]}),
-        batch_format="pyarrow",
-    )
-    final = exact_unique.map_batches(
+    ).materialize()
+    n_pairs = pairs.count()
+
+    stream = exact_unique.map_batches(
         lambda df: pa.Table.from_pandas(df, preserve_index=False), batch_format="pandas"
-    ).join(
-        drop_ds, join_type="left_anti", num_partitions=join_parts(),
-        on=("doc_id",), right_on=("drop_id",),
-    ).map_batches(
+    )
+    if n_pairs <= _PAIR_DRIVER_LIMIT:
+        pair_df = pairs.to_pandas()
+        roots = resolve_duplicate_groups(list(zip(pair_df["id_a"], pair_df["id_b"])))
+        drop = {d for d, root in roots.items() if d != root}
+        drop_arr = pa.array(np.fromiter(drop, dtype=np.int64)) if drop else pa.array([], pa.int64())
+        final = stream.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=drop_arr))),
+            batch_format="pyarrow",
+        )
+    else:
+        labels = resolve_duplicate_groups_distributed(pairs)
+        drop_ds = labels.map_batches(
+            lambda t: pa.table({"drop_id": t.filter(
+                pc.not_equal(t["doc_id"], t["group"]))["doc_id"]}),
+            batch_format="pyarrow",
+        )
+        final = stream.join(
+            drop_ds, join_type="left_anti", num_partitions=join_parts(),
+            on=("doc_id",), right_on=("drop_id",),
+        )
+    final = final.map_batches(
         lambda t: t.select(["doc_id", "text", "source", "n_tokens", "stop_ratio", "en_ratio"]),
         batch_format="pyarrow",
     )

@@ -27,3 +27,23 @@ def test_build_clean_corpus(tmp_path):
     # resume: second call is a manifest no-op
     info2 = build_clean_corpus(SF, out)
     assert info2 == info
+
+
+def test_clean_corpus_distributed_branch_same_output(tmp_path, monkeypatch):
+    """Forcing the distributed label-propagation branch produces the
+    identical final corpus as the driver union-find branch."""
+    import agr_loader_ray.pipelines.corpus as corpus_mod
+    import ray.data
+
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    sf = "/root/testdata/sf0.001"
+
+    info_a = corpus_mod.build_clean_corpus(sf, out_a)
+    monkeypatch.setattr(corpus_mod, "_PAIR_DRIVER_LIMIT", 0)
+    info_b = corpus_mod.build_clean_corpus(sf, out_b)
+
+    da = ray.data.read_parquet(info_a["path"]).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    db = ray.data.read_parquet(info_b["path"]).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert info_a["final_docs"] == info_b["final_docs"]
+    assert (da["doc_id"] == db["doc_id"]).all()
