@@ -80,6 +80,8 @@ def json_bake(t: pa.Table, string_cols: list[str], numeric_cols: list[str]) -> p
     for c in numeric_cols:
         pieces.append(pc.binary_join_element_wise(
             pa.scalar(f'"{c}": '), pc.cast(t[c], pa.string()), ""))
+    if not pieces:  # no columns at all → a row of empty objects
+        return pa.array(["{}"] * t.num_rows, pa.string())
     body = pieces[0]
     for p in pieces[1:]:
         body = pc.binary_join_element_wise(body, p, ", ")

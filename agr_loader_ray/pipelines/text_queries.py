@@ -97,11 +97,30 @@ def bpe_token_counts(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# doc_fingerprints — rolling-hash content fingerprint per document
-# (deterministic polynomial hash; SQL cannot express it → rows-only gate,
-# exactness is asserted in tests/test_text_tests.py instead).
+# doc_fingerprints — rolling-hash content fingerprint per document.
+# The polynomial hash runs over Unicode code points mod 2^64, so the
+# DuckDB oracle is an exact Horner ``list_reduce`` over ``unicode()``
+# values in HUGEINT arithmetic — full typed-hash gate, any input text.
 # ---------------------------------------------------------------------------
-@query("doc_fingerprints")
+@query(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           CASE WHEN h >= 9223372036854775808::HUGEINT
+                THEN CAST(h - 18446744073709551616::HUGEINT AS BIGINT)
+                ELSE CAST(h AS BIGINT) END AS fingerprint
+    FROM (
+      SELECT doc_id,
+             CASE WHEN length(coalesce(text, '')) = 0 THEN 0::HUGEINT
+                  ELSE list_reduce(
+                         list_prepend(0::HUGEINT,
+                           list_transform(string_split_regex(coalesce(text, ''), ''),
+                                          c -> unicode(c)::HUGEINT)),
+                         (h, c) -> (h * 257 + c) % 18446744073709551616)
+             END AS h
+      FROM documents)
+    """,
+)
 def doc_fingerprints(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow",
@@ -293,11 +312,17 @@ def tumbling_window_counts(sf_dir: str):
 @query(
     "heavy_model_scores",
     """
-    WITH bi AS (
+    WITH ascii_docs AS (
+      -- the model is byte-level (65 536-entry table); SQL substring is
+      -- per CHARACTER, so the gate runs on the chars==bytes subset —
+      -- explicit on BOTH sides, not an implicit fixture assumption
+      SELECT doc_id, text FROM documents
+      WHERE octet_length(encode(text)) = length(text) AND length(text) >= 2
+    ), bi AS (
       SELECT doc_id, substring(text, CAST(i AS INT), 2) AS bg
-      FROM documents,
-           generate_series(1, 4096) AS g(i)
-      WHERE i <= length(text) - 1
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 1)) AS i
+            FROM ascii_docs)
     ), model AS (
       SELECT bg, count(*) AS c FROM bi GROUP BY bg
     )
@@ -311,10 +336,13 @@ def tumbling_window_counts(sf_dir: str):
 def heavy_model_scores(sf_dir: str):
     import os
 
-    from ..stages.scoring import BigramScorer
+    from ..stages.scoring import BigramScorer, is_ascii_mask
 
     train_path = os.path.join(sf_dir, "documents.parquet")
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda t: t.filter(is_ascii_mask(t["text"])),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
     scored = ds.map_batches(
         BigramScorer, fn_constructor_args=(train_path,),
         batch_format="pyarrow", zero_copy_batch=True, concurrency=_pool(),
@@ -573,7 +601,7 @@ def url_template_sources(sf_dir: str):
 def embedding_near_dup_pairs(sf_dir: str):
     import ray as _ray
 
-    from ..stages.similarity import _batch_matrix
+    from ..stages.similarity import _batch_matrix, round_half_away
 
     full = read_small(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     mat = _batch_matrix(full, "embedding")
@@ -590,7 +618,7 @@ def embedding_near_dup_pairs(sf_dir: str):
             m = _batch_matrix(batch, "embedding")
             n = np.linalg.norm(m, axis=1)
             n[n == 0] = 1.0
-            sims = np.round((m / n[:, None]) @ self.all_mat.T, 6)
+            sims = round_half_away((m / n[:, None]) @ self.all_mat.T, 6)
             ids = batch["vec_id"].to_numpy(zero_copy_only=False)
             rows_a, rows_b, rows_s = [], [], []
             mask = sims >= self.threshold

@@ -443,6 +443,7 @@ def resolve_duplicate_groups_distributed(
         ).sum("s")
 
     prev = label_sum(labels)
+    converged = False
     for _ in range(max_rounds):
         # propagate: u ← min(label(u), label(v)) over edges (u, v)
         lab_v = labels.map_batches(
@@ -465,8 +466,18 @@ def resolve_duplicate_groups_distributed(
         ).materialize()
         cur = label_sum(labels)
         if cur == prev:  # fixpoint: labels are component minima
+            converged = True
             break
         prev = cur
+    if not converged:
+        # min-label spreads one hop per round, so a component whose
+        # label-space diameter exceeds max_rounds (long boilerplate
+        # duplicate chains) would silently get WRONG group labels —
+        # fail loudly instead (raise the cap or pre-split the chain).
+        raise RuntimeError(
+            f"duplicate-group label propagation did not converge in "
+            f"{max_rounds} rounds; component diameter exceeds the cap"
+        )
     return labels.map_batches(
         lambda t: pa.table({"doc_id": t["u"], "group": t["label"]}),
         batch_format="pyarrow",

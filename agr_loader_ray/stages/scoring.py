@@ -25,14 +25,32 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
-class BigramScorer:
-    """Actor-pool stage: text → (bigram_hits, n_bigrams) vs a corpus model."""
+def is_ascii_mask(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """True where a string is pure ASCII (UTF-8 bytes == chars) — the
+    subset on which the byte-level model is exactly mirrored by the
+    character-level SQL oracle.  Vectorized: char count vs byte count."""
+    import pyarrow.compute as pc
 
-    def __init__(self, train_path: str, text_col: str = "text"):
+    nchars = pc.utf8_length(col)
+    nbytes = pc.binary_length(col.cast(pa.binary()))
+    return pc.fill_null(pc.equal(nchars, nbytes), False)
+
+
+class BigramScorer:
+    """Actor-pool stage: text → (bigram_hits, n_bigrams) vs a corpus model.
+
+    ``ascii_only=True`` (default) trains the model on the pure-ASCII
+    subset of the corpus, mirroring the character-level SQL oracle's
+    explicit ASCII gate; pass False for raw byte-level training."""
+
+    def __init__(self, train_path: str, text_col: str = "text",
+                 ascii_only: bool = True):
         counts = np.zeros(1 << 16, dtype=np.int64)
         pf = pq.ParquetFile(train_path)
         for rg in range(pf.num_row_groups):  # stream, don't hold the corpus
             col = pf.read_row_group(rg, columns=[text_col])[text_col]
+            if ascii_only:
+                col = col.filter(is_ascii_mask(col))
             idx, _, _ = self._pair_indices(col)
             counts += np.bincount(idx, minlength=1 << 16)
         self.counts = counts  # the per-actor model (512 KiB table)

@@ -24,6 +24,17 @@ import ray.data
 from ..functions.pools import pool
 
 
+def round_half_away(x: np.ndarray, ndigits: int = 6) -> np.ndarray:
+    """Decimal rounding HALF AWAY FROM ZERO — matches SQL ``round(x, n)``
+    exactly.  ``np.round`` is banker's (half-even): a value whose
+    (n+1)-th decimal digit is an exact 5 (any dyadic, e.g. 2^-7) hashes
+    differently between the two.  Use this for every float that feeds a
+    typed-hash compare against a DuckDB oracle."""
+    p = 10.0 ** ndigits
+    scaled = np.asarray(x, dtype=np.float64) * p
+    return np.trunc(scaled + np.sign(scaled) * 0.5) / p
+
+
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
     """(n, d) float64 matrix from a list<float> column — zero-copy flatten."""
     import pyarrow.compute as pc
@@ -54,7 +65,7 @@ def brute_force_topk(ds: "ray.data.Dataset", query_vec: np.ndarray, k: int = 10,
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             mat = _batch_matrix(batch, vec_col)
-            sims = np.round(cosine_scores(mat, self.q), 6)
+            sims = round_half_away(cosine_scores(mat, self.q), 6)
             # local top-k prune: only k rows per batch reach the merge
             order = np.lexsort((batch[id_col].to_numpy(zero_copy_only=False), -sims))[: self.k]
             return pa.table(
@@ -207,7 +218,7 @@ def quantize_embeddings_batch(batch: pa.Table, vec_col: str = "embedding") -> pa
     checksum = (q * weights[None, :]).sum(axis=1)
     return pa.table({
         "vec_id": batch["vec_id"],
-        "scale": pa.array(np.round(m, 6), pa.float64()),
+        "scale": pa.array(round_half_away(m, 6), pa.float64()),
         "q_checksum": pa.array(checksum.astype(np.int64)),
-        "max_err": pa.array(np.round(err, 6), pa.float64()),
+        "max_err": pa.array(round_half_away(err, 6), pa.float64()),
     })

@@ -94,14 +94,18 @@ class LangId:
 def fingerprint_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit polynomial rolling-hash fingerprint per document.
 
-    ``h = sum(byte[i] * B^(n-1-i)) mod 2^64`` with B=257 — deterministic
-    across processes, vectorized per row over the raw UTF-8 bytes.
+    ``h = sum(cp[i] * B^(n-1-i)) mod 2^64`` with B=257 over the Unicode
+    CODE POINTS (not UTF-8 bytes) — deterministic across processes and
+    exactly mirrored by the DuckDB ``list_reduce`` Horner oracle
+    (``unicode()`` yields code points, so the choice makes the gate
+    correct for non-ASCII documents too).  Vectorized via a single
+    UTF-32 decode per row.
     """
     col = t[text_col].combine_chunks()
     texts = col.to_pylist()
-    bufs = [s.encode("utf-8") if s is not None else b"" for s in texts]
-    lens = np.array([len(b) for b in bufs], dtype=np.int64)
-    all_bytes = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.uint64)
+    bufs = [s.encode("utf-32-le") if s is not None else b"" for s in texts]
+    lens = np.array([len(b) // 4 for b in bufs], dtype=np.int64)
+    all_bytes = np.frombuffer(b"".join(bufs), dtype=np.uint32).astype(np.uint64)
     B = np.uint64(257)
     max_len = int(lens.max(initial=0)) + 1
     with np.errstate(over="ignore"):
