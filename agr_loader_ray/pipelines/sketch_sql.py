@@ -1,0 +1,181 @@
+"""Exact DuckDB oracles for the sketch operators (MinHash-LSH, SimHash,
+LSH-verified Jaccard).
+
+The sketches are seed-derived: every permutation parameter, multiplier
+and power is a deterministic constant, so the whole signature pipeline
+is expressible in SQL by inlining those constants and running the same
+wrap-mod-2^64 arithmetic in HUGEINT.  These oracles are therefore full
+independent SQL reimplementations of the operators — typed-hash exact,
+not recall-dependent:
+
+- shingle hash  = Σ cp[i+j]·F^j  (mod 2^64) over code points, k=5
+- minhash sig   = min over shingles of ((a·h mod 2^64) + b mod 2^64) mod P
+- band hash     = fold over r rows: bh ← (bh·F mod 2^64) XOR sig
+- simhash sig   = per-bit shingle majority, 4×16-bit chunk banding
+- verified pair = LSH candidate ∧ exact distinct-shingle Jaccard ≥ t
+
+Mirrors ``stages/dedup.py`` (MinHasher/SimHasher/minhash_lsh_candidates/
+simhash_near_dup_pairs/verify_pairs_jaccard) constant for constant.
+Documents shorter than k are excluded on both sides (the Python
+fallback hash for sub-k docs is not SQL-expressible; the registered
+queries carry the same ``length(text) >= k`` filter).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MASK = "18446744073709551615"  # 2^64 - 1: x & _MASK == x mod 2^64 for
+# non-negative x — HUGEINT `%` is a 128-bit division (~70x slower than the
+# bitwise AND on the 16M-row signature projection)
+_PRIME = "2305843009213693951"  # 2^61 - 1
+_F = 1099511628211
+
+
+def _fpows(k: int) -> list[int]:
+    """F^j mod 2^64 for j in 0..k-1 (numpy wrap, same as MinHasher)."""
+    with np.errstate(over="ignore"):
+        p = np.power(np.uint64(_F), np.arange(k, dtype=np.uint64))
+    return [int(x) for x in p]
+
+
+def _shingle_ctes(k: int = 5) -> str:
+    """Shared CTE prefix: docs → per-window code-point polynomial hash."""
+    pows = _fpows(k)
+    terms = " + ".join(
+        f"unicode(substring(text, i + {j}, 1))::HUGEINT * {pows[j]}"
+        for j in range(k)
+    )
+    return f"""
+    docs AS (
+      SELECT doc_id, text FROM documents WHERE length(text) >= {k}
+    ),
+    shp AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - {k - 1})) AS i
+      FROM docs
+    ),
+    shh AS MATERIALIZED (
+      SELECT doc_id, ({terms}) & {_MASK} AS h FROM shp
+    )"""
+
+
+def _minhash_pair_ctes(num_perm: int = 64, bands: int = 16, k: int = 5,
+                       seed: int = 42, max_bucket: int = 64) -> str:
+    """CTE chain ending in ``cand(id_a, id_b)`` — the LSH candidate pairs."""
+    from ..stages.dedup import MinHasher
+
+    mh = MinHasher(num_perm=num_perm, k=k, seed=seed)
+    r = num_perm // bands
+    a_lst = "[" + ", ".join(str(int(x)) for x in mh.a) + "]"
+    b_lst = "[" + ", ".join(str(int(x)) for x in mh.b) + "]"
+    # band fold, unrolled over the r rows of each band:
+    # bh = 0; for each row: bh = (bh*F mod 2^64) xor sig  →  first row is sig
+    fold = "ss[1]"
+    for j in range(2, r + 1):
+        fold = f"xor((({fold} * {_F}) & {_MASK}), ss[{j}])"
+    return f"""{_shingle_ctes(k)},
+    hm AS (
+      -- h < 2^64: the mod-P reduce runs in UBIGINT (64-bit division)
+      SELECT doc_id, h::UBIGINT % {_PRIME} AS hp FROM shh
+    ),
+    perms AS MATERIALIZED (
+      -- materialized: otherwise the list literals are rebuilt per joined row
+      SELECT i AS p, ({a_lst}::HUGEINT[])[i] AS pa, ({b_lst}::HUGEINT[])[i] AS pb
+      FROM (SELECT unnest(generate_series(1, {num_perm})) AS i)
+    ),
+    sig AS (
+      -- numpy wraps a*h and +b at 2^64 before the mod-P reduce; mirror it
+      SELECT doc_id, p,
+             min(((((pa * hp) & {_MASK}) + pb) & {_MASK})::UBIGINT
+                 % {_PRIME})::HUGEINT AS s
+      FROM hm CROSS JOIN perms GROUP BY doc_id, p
+    ),
+    bsig AS (
+      SELECT doc_id, (p - 1) // {r} AS band, list(s ORDER BY p) AS ss
+      FROM sig GROUP BY doc_id, (p - 1) // {r}
+    ),
+    bh AS MATERIALIZED (
+      SELECT doc_id, band, {fold} AS bhv FROM bsig
+    ),
+    bsize AS (
+      SELECT band, bhv, count(*) AS n FROM bh GROUP BY band, bhv
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bh a
+      JOIN bh b ON a.band = b.band AND a.bhv = b.bhv AND a.doc_id < b.doc_id
+      JOIN bsize s ON s.band = a.band AND s.bhv = a.bhv
+      WHERE s.n <= {max_bucket}
+    )"""
+
+
+def minhash_near_dup_sql(num_perm: int = 64, bands: int = 16, k: int = 5,
+                         seed: int = 42, max_bucket: int = 64) -> str:
+    return f"""
+    WITH {_minhash_pair_ctes(num_perm, bands, k, seed, max_bucket)}
+    SELECT id_a, id_b FROM cand
+    """
+
+
+def minhash_verified_pairs_sql(threshold: float = 0.5, num_perm: int = 64,
+                               bands: int = 16, k: int = 5, seed: int = 42,
+                               max_bucket: int = 64) -> str:
+    """LSH candidates ∩ exact distinct-shingle Jaccard ≥ threshold."""
+    return f"""
+    WITH {_minhash_pair_ctes(num_perm, bands, k, seed, max_bucket)},
+    dsh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, h FROM shh
+    ),
+    sizes AS (
+      SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS c
+      FROM cand c
+      JOIN dsh a ON a.doc_id = c.id_a
+      JOIN dsh b ON b.doc_id = c.id_b AND b.h = a.h
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= {threshold}
+    """
+
+
+def simhash_near_dup_sql(k: int = 5, max_hamming: int = 3) -> str:
+    pow16 = "[" + ", ".join(str(1 << (16 * c)) for c in range(4)) + "]"
+    return f"""
+    WITH {_shingle_ctes(k)},
+    nsh AS (
+      SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id
+    ),
+    bitc AS (
+      -- per (doc, bit): count of shingle hashes with that bit set
+      SELECT doc_id, k,
+             count(*) FILTER (((h::UBIGINT >> k) & 1) = 1) AS c1
+      FROM (SELECT doc_id, h, unnest(generate_series(0, 63)) AS k FROM shh)
+      GROUP BY doc_id, k
+    ),
+    sig AS MATERIALIZED (
+      -- bit set iff the majority vote is positive: 2*c1 > n_shingles
+      SELECT b.doc_id,
+             CAST(sum(CASE WHEN 2 * b.c1 > nsh.n
+                           THEN (1::UBIGINT << b.k)::HUGEINT ELSE 0::HUGEINT END)
+                  AS HUGEINT) AS sg
+      FROM bitc b JOIN nsh ON nsh.doc_id = b.doc_id
+      GROUP BY b.doc_id
+    ),
+    buck AS MATERIALIZED (
+      SELECT doc_id, sg, c, (sg // ({pow16}::HUGEINT[])[c + 1]) % 65536 AS chash
+      FROM (SELECT doc_id, sg, unnest(generate_series(0, 3)) AS c FROM sig)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sg::UBIGINT, b.sg::UBIGINT)) AS BIGINT) AS hamming
+    FROM buck a
+    JOIN buck b ON a.c = b.c AND a.chash = b.chash AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sg::UBIGINT, b.sg::UBIGINT)) <= {max_hamming}
+    """

@@ -232,31 +232,48 @@ def quantize_embeddings(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # minhash_near_dup / simhash_near_dup — sketch-based near-dup candidate
-# pairs (rows-only gate; exactness vs brute-force Jaccard in tests).
+# pairs.  The sketches are seed-derived, so the DuckDB oracles are FULL
+# independent SQL reimplementations (inlined permutation constants,
+# wrap-mod-2^64 HUGEINT arithmetic — pipelines/sketch_sql.py): exact
+# typed-hash gates, not recall-dependent.  Sub-k docs are excluded on
+# both sides (the Python fallback hash for them is not SQL-expressible).
 # ---------------------------------------------------------------------------
-@query("minhash_near_dup")
+from .sketch_sql import (  # noqa: E402
+    minhash_near_dup_sql,
+    minhash_verified_pairs_sql,
+    simhash_near_dup_sql,
+)
+
+
+def _docs_min_k(sf_dir: str, k: int = 5):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(pc.utf8_length(t["text"]), k)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+@query("minhash_near_dup", minhash_near_dup_sql(num_perm=64, bands=16, k=5))
 def minhash_near_dup(sf_dir: str):
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_lsh_candidates(ds, num_perm=64, bands=16, k=5)
+    return minhash_lsh_candidates(_docs_min_k(sf_dir), num_perm=64, bands=16, k=5)
 
 
-@query("simhash_near_dup")
+@query("simhash_near_dup", simhash_near_dup_sql(k=5, max_hamming=3))
 def simhash_near_dup(sf_dir: str):
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return simhash_near_dup_pairs(ds, max_hamming=3)
+    return simhash_near_dup_pairs(_docs_min_k(sf_dir), max_hamming=3)
 
 
 # ---------------------------------------------------------------------------
 # minhash_verified_pairs — LSH candidates → exact n-gram-Jaccard verify
 # (the false-positive filter): two hash joins attach the pair texts,
-# per-pair shingle Jaccard, threshold keep.  Rows-only; verified-subset
-# and exact-score properties asserted in tests.
+# per-pair shingle Jaccard, threshold keep.  Oracle = candidate CTE ∩
+# exact distinct-shingle Jaccard ≥ threshold.
 # ---------------------------------------------------------------------------
-@query("minhash_verified_pairs")
+@query("minhash_verified_pairs", minhash_verified_pairs_sql(threshold=0.5))
 def minhash_verified_pairs(sf_dir: str):
     from ..stages.dedup import verify_pairs_jaccard
 
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = _docs_min_k(sf_dir)
     cand = minhash_lsh_candidates(docs, num_perm=64, bands=16, k=5)
     return verify_pairs_jaccard(cand, docs, threshold=0.5, k=5)
 

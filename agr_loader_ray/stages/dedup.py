@@ -40,15 +40,18 @@ _BROADCAST_HOT_LIMIT = 2_000_000
 
 
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """uint64 hashes of the k-char shingles of a document."""
+    """uint64 hashes of the k-char shingles of a document.
+
+    The polynomial runs over Unicode CODE POINTS (one UTF-32 decode per
+    doc), not UTF-8 bytes, so the DuckDB sketch oracles — which see
+    characters via ``unicode(substring(...))`` — mirror it exactly for
+    any input text (``pipelines/sketch_sql.py``)."""
     if text is None or len(text) < k:
         return np.array([stable_hash_strings(np.array([text or ""], dtype=object))[0]],
                         dtype=np.uint64)
-    b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
-    if len(b) < k:
-        return np.array([b.astype(np.uint64).sum()], dtype=np.uint64)
-    # rolling window view → hash each k-byte window (vectorized dot)
-    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    # rolling window view → hash each k-codepoint window (vectorized dot)
+    win = np.lib.stride_tricks.sliding_window_view(cp, k)
     mult = np.power(np.uint64(1099511628211), np.arange(k, dtype=np.uint64))
     with np.errstate(over="ignore"):
         return (win * mult).sum(axis=1, dtype=np.uint64)
