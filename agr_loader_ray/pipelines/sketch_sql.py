@@ -179,3 +179,83 @@ def simhash_near_dup_sql(k: int = 5, max_hamming: int = 3) -> str:
     JOIN buck b ON a.c = b.c AND a.chash = b.chash AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sg::UBIGINT, b.sg::UBIGINT)) <= {max_hamming}
     """
+
+
+# ---------------------------------------------------------------------------
+# ANN oracles: the hyperplane matrix / centroid choice is deterministic, so
+# the bucketing + pruning + exact-cosine-top-k pipeline is SQL-expressible.
+# ---------------------------------------------------------------------------
+def ann_lsh_topk_sql(dim: int = 64, n_planes: int = 6, probe_hamming: int = 2,
+                     k: int = 10, seed: int = 42) -> str:
+    """Mirror of ``lsh_bucketed_topk``: inlines the seed-42 hyperplane
+    matrix (full float64 repr round-trips exactly through the SQL parser),
+    computes each vector's sign-pattern bucket, prunes to buckets within
+    ``probe_hamming`` of the query's, then exact cosine top-k.  ``dim``
+    must match the embeddings table (fixture: 64)."""
+    from ..stages.similarity import HyperplaneLSH
+
+    planes = HyperplaneLSH(dim, n_planes, seed).planes  # (dim, n_planes)
+    bucket_terms = " + ".join(
+        "CASE WHEN list_dot_product(v, [{}]) > 0 THEN {} ELSE 0 END".format(
+            ", ".join(repr(float(x)) for x in planes[:, j]), 1 << j)
+        for j in range(n_planes)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    bucketed AS MATERIALIZED (
+      SELECT vec_id, v, ({bucket_terms}) AS bucket FROM base
+    ),
+    qb AS (
+      SELECT bucket AS b, v AS qv FROM bucketed WHERE vec_id = 0
+    )
+    SELECT t.vec_id, round(list_cosine_similarity(t.v, qb.qv), 6) AS sim
+    FROM bucketed t, qb
+    WHERE t.vec_id <> 0
+      AND bit_count(xor(t.bucket::BIGINT, qb.b::BIGINT)) <= {probe_hamming}
+    ORDER BY sim DESC, t.vec_id
+    LIMIT {k}
+    """
+
+
+def ann_ivf_topk_sql(n_cells: int = 16, n_probe: int = 6, k: int = 10) -> str:
+    """Mirror of ``ivf_topk`` with deterministic centroids = the embedding
+    vectors of vec_id 1..n_cells (cell c ⇔ vec_id c+1).  Assignment is
+    argmin distance (ties → lowest cell, both sides); only the n_probe
+    cells nearest the query are scanned; exact cosine top-k inside."""
+    return f"""
+    WITH cents AS MATERIALIZED (
+      SELECT vec_id - 1 AS cell, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id BETWEEN 1 AND {n_cells}
+    ),
+    base AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT b.vec_id, c.cell,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY list_distance(b.v, c.cv), c.cell) AS rn
+        FROM base b CROSS JOIN cents c) t
+      WHERE rn = 1
+    ),
+    qv AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    probe AS (
+      SELECT cell FROM (
+        SELECT c.cell, row_number() OVER (ORDER BY list_distance(c.cv, qv.qv),
+                                          c.cell) AS rn
+        FROM cents c, qv) t
+      WHERE rn <= {n_probe}
+    )
+    SELECT b.vec_id, round(list_cosine_similarity(b.v, qv.qv), 6) AS sim
+    FROM base b
+    JOIN assign a ON a.vec_id = b.vec_id
+    JOIN probe p ON p.cell = a.cell
+    CROSS JOIN qv
+    ORDER BY sim DESC, b.vec_id
+    LIMIT {k}
+    """

@@ -155,10 +155,16 @@ def ann_cosine_topk(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# ann_lsh_topk — LSH-bucketed approximate variant (the 100 TB scale path);
-# recall vs the exact result is asserted in tests → rows-only gate here.
+# ann_lsh_topk — LSH-bucketed approximate variant (the 100 TB scale path).
+# The hyperplane matrix is seed-derived, so the oracle inlines it and
+# mirrors bucket → hamming-probe → exact cosine top-k in SQL — a full
+# typed-hash gate (sketch_sql.ann_lsh_topk_sql); recall vs exact is
+# additionally asserted in tests.
 # ---------------------------------------------------------------------------
-@query("ann_lsh_topk")
+from .sketch_sql import ann_ivf_topk_sql, ann_lsh_topk_sql  # noqa: E402
+
+
+@query("ann_lsh_topk", ann_lsh_topk_sql(dim=64, n_planes=6, probe_hamming=2, k=10))
 def ann_lsh_topk(sf_dir: str):
     q_tbl = read_small(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qvec = np.asarray(
@@ -172,12 +178,14 @@ def ann_lsh_topk(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# ann_ivf_topk — IVF (inverted-file) approximate variant: k-means-lite
-# cells trained on a bounded sample, per-batch assignment against
-# broadcast centroids, only the n_probe nearest cells scanned.  Recall
-# vs exact asserted in tests → rows-only gate here.
+# ann_ivf_topk — IVF (inverted-file) approximate variant: coarse
+# quantizer cells, per-batch assignment against broadcast centroids,
+# only the n_probe nearest cells scanned.  The registered query uses
+# deterministic data-vector centroids (vec_id 1..16) so the whole
+# assign → probe → top-k path is mirrored in SQL; the k-means-trained
+# configuration is exercised in tests (recall + assignment invariants).
 # ---------------------------------------------------------------------------
-@query("ann_ivf_topk")
+@query("ann_ivf_topk", ann_ivf_topk_sql(n_cells=16, n_probe=6, k=10))
 def ann_ivf_topk(sf_dir: str):
     from ..stages.similarity import ivf_topk
 
@@ -185,11 +193,15 @@ def ann_ivf_topk(sf_dir: str):
     qvec = np.asarray(
         q_tbl.filter(pc.equal(q_tbl["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64
     )
+    cent_tbl = q_tbl.filter(
+        pc.and_(pc.greater_equal(q_tbl["vec_id"], 1), pc.less_equal(q_tbl["vec_id"], 16))
+    ).sort_by("vec_id")
+    centroids = np.array(cent_tbl["embedding"].to_pylist(), dtype=np.float64)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
         lambda t: t.filter(pc.not_equal(t["vec_id"], 0)),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    return ivf_topk(ds, qvec, k=10, n_cells=16, n_probe=6)
+    return ivf_topk(ds, qvec, k=10, n_probe=6, centroids=centroids)
 
 
 # ---------------------------------------------------------------------------

@@ -153,6 +153,14 @@ class IVFIndex:
                     cents[c] = sample[m].mean(axis=0)
         self.centroids = cents
 
+    @classmethod
+    def from_centroids(cls, centroids: np.ndarray) -> "IVFIndex":
+        """Index with externally-chosen centroids (e.g. deterministic
+        data-vector centroids, making the whole IVF path SQL-mirrorable)."""
+        idx = cls.__new__(cls)
+        idx.centroids = np.asarray(centroids, dtype=np.float64)
+        return idx
+
     def assign(self, mat: np.ndarray) -> np.ndarray:
         d2 = ((mat[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
         return d2.argmin(axis=1).astype(np.int64)
@@ -165,15 +173,21 @@ class IVFIndex:
 def ivf_topk(ds: "ray.data.Dataset", query_vec: np.ndarray, k: int = 10,
              n_cells: int = 16, n_probe: int = 4, sample_n: int = 4096,
              seed: int = 42, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> "ray.data.Dataset":
+             vec_col: str = "embedding",
+             centroids: np.ndarray | None = None) -> "ray.data.Dataset":
     """Approximate top-k via IVF cells: train on a bounded sample, assign
-    per batch against broadcast centroids, scan only the probed cells."""
+    per batch against broadcast centroids, scan only the probed cells.
+    Pass ``centroids`` to skip training (deterministic data-vector
+    centroids — the SQL-mirrorable configuration)."""
     import pyarrow.compute as pc
 
     q = np.asarray(query_vec, dtype=np.float64)
-    sample_tbl = ds.limit(sample_n).take_all()  # bounded driver sample
-    sample = np.array([r[vec_col] for r in sample_tbl], dtype=np.float64)
-    index = IVFIndex(sample, n_cells=n_cells, seed=seed)
+    if centroids is not None:
+        index = IVFIndex.from_centroids(centroids)
+    else:
+        sample_tbl = ds.limit(sample_n).take_all()  # bounded driver sample
+        sample = np.array([r[vec_col] for r in sample_tbl], dtype=np.float64)
+        index = IVFIndex(sample, n_cells=n_cells, seed=seed)
     probe_arr = pa.array(index.probe_cells(q, n_probe))
     iref = ray.put(index)
 
