@@ -259,3 +259,80 @@ def ann_ivf_topk_sql(n_cells: int = 16, n_probe: int = 6, k: int = 10) -> str:
     ORDER BY sim DESC, b.vec_id
     LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Multimodal oracles: synth payload bytes come from a multiplicative-hash
+# formula (stages/multimodal._hash_bytes), so decode → integer feature
+# extraction is byte-exactly recomputable in SQL with no media input —
+# the gate proves the codec/slicing inverted the encoder exactly.
+# ---------------------------------------------------------------------------
+_HASH_A = 6364136223846793005
+
+
+def multimodal_image_sql(n: int = 256, seed: int = 42, size: int = 16) -> str:
+    """Mirror of synth_media_table → png_encode → DecodeImage(real):
+    pixel(m, i) = ((A·((m+seed)·65536 + i + 1)) mod 2^64 >> 24) % 256."""
+    npx = size * size
+    return f"""
+    WITH px AS (
+      SELECT m, i,
+             ((({_HASH_A}::HUGEINT * ((m + {seed}) * 65536 + i + 1))
+               & {_MASK})::UBIGINT >> 24)::BIGINT % 256 AS p
+      FROM (SELECT unnest(generate_series(0, {n - 1})) AS m)
+      CROSS JOIN (SELECT unnest(generate_series(0, {npx - 1})) AS i)
+    )
+    SELECT m AS media_id,
+           CAST(sum(p) AS BIGINT) AS px_sum,
+           CAST(sum(p * (i + 1)) AS BIGINT) AS px_checksum,
+           count(*) AS n_px
+    FROM px GROUP BY m
+    """
+
+
+def multimodal_audio_sql(n: int = 128, samples: int = 8000) -> str:
+    """Mirror of synth_audio_hash_table → DecodeAudioPCM integer features:
+    s(m, t) = hash16(m·samples + t) - 32768; sumsq = Σ s², zc_count =
+    sign flips (s < 0 vs previous)."""
+    return f"""
+    WITH samp AS (
+      SELECT m, t,
+             ((({_HASH_A}::HUGEINT * (m * {samples} + t + 1))
+               & {_MASK})::UBIGINT >> 24)::BIGINT % 65536 - 32768 AS s
+      FROM (SELECT unnest(generate_series(0, {n - 1})) AS m)
+      CROSS JOIN (SELECT unnest(generate_series(0, {samples - 1})) AS t)
+    )
+    SELECT m AS media_id,
+           count(*) AS n_samples,
+           CAST(sum(s * s) AS BIGINT) AS sumsq,
+           CAST(count(*) FILTER (prev IS NOT NULL AND (s < 0) <> (prev < 0))
+                AS BIGINT) AS zc_count
+    FROM (SELECT m, s, lag(s) OVER (PARTITION BY m ORDER BY t) AS prev FROM samp)
+    GROUP BY m
+    """
+
+
+def multimodal_frames_sql(n: int = 32, seed: int = 42, n_frames: int = 24,
+                          frame_bytes: int = 1024, every_k: int = 8,
+                          max_frames: int = 8) -> str:
+    """Mirror of synth_video_table → SampleFrames → frame_checksums:
+    byte(m, j) = hash8((m+seed)·2^24 + j); sampled frames are every_k-th
+    up to max_frames; weights are 1-based within-frame positions."""
+    lim = min(n_frames, every_k * max_frames)
+    picks = "[" + ", ".join(str(i) for i in range(0, lim, every_k)) + "]::BIGINT[]"
+    return f"""
+    WITH fb AS (
+      SELECT m, fi, t,
+             ((({_HASH_A}::HUGEINT * ((m + {seed}) * 16777216
+                                      + fi * {frame_bytes} + t + 1))
+               & {_MASK})::UBIGINT >> 24)::BIGINT % 256 AS b
+      FROM (SELECT unnest(generate_series(0, {n - 1})) AS m)
+      CROSS JOIN (SELECT unnest({picks}) AS fi)
+      CROSS JOIN (SELECT unnest(generate_series(0, {frame_bytes - 1})) AS t)
+    )
+    SELECT m AS media_id, fi AS frame_idx,
+           CAST(sum(b) AS BIGINT) AS frame_sum,
+           CAST(sum(b * (t + 1)) AS BIGINT) AS frame_checksum,
+           count(*) AS frame_len
+    FROM fb GROUP BY m, fi
+    """

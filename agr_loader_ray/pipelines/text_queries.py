@@ -1,10 +1,14 @@
 """Training-data operator queries: text analysis, dedup, similarity.
 
 Registered into the same QUERIES/ORACLE_SQL registries as
-``pipelines/queries.py``.  SQL-expressible ops get DuckDB oracles; the
-sketch-based ops (MinHash-LSH, SimHash, LSH-ANN) are verified in
-``tests/`` against exact baselines instead and appear here as rows-only
-checks (driver records the weaker gate; SURVEY §5 strategy).
+``pipelines/queries.py``.  Every operator here carries a full typed-hash
+DuckDB oracle: the sketch/ANN ops mirror their seed-derived signature
+pipelines in SQL (``sketch_sql.py``), and the multimodal ops are gated
+on exact integer features recomputed from the generative payload
+formulas.  The only rows-only entries left are the lake-input pipelines
+(cdc_engine_replay / derived_* / clean_corpus), whose inputs are engine
+state rather than registered views; their oracle equality is asserted
+in tests/ instead.
 """
 
 from __future__ import annotations
@@ -434,56 +438,73 @@ def hopping_window_counts(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# multimodal_decode_features — binary media column → feature vectors via the
-# actor-pool decode stage (codec stubbed with the deterministic fake; the
-# Ray-side plumbing — schema, small batches for wide rows, actor pool — is
-# real).  Rows-only gate; determinism asserted in tests.
+# multimodal_decode_features — binary media column → features via the
+# actor-pool decode stage running the REAL stdlib PNG codec (zlib +
+# per-scanline filter reconstruction; fixtures encode with rotating
+# filters so every path is hit).  The SQL oracle recomputes the exact
+# integer pixel features from the generative hash formula — the gate
+# proves decode inverted the encoder byte-exactly.
 # ---------------------------------------------------------------------------
-@query("multimodal_decode_features")
+from .sketch_sql import (  # noqa: E402
+    multimodal_audio_sql,
+    multimodal_frames_sql,
+    multimodal_image_sql,
+)
+
+
+@query("multimodal_decode_features", multimodal_image_sql(n=256, seed=42, size=16))
 def multimodal_decode_features(sf_dir: str):
     import ray.data as _rd
 
     from ..stages.multimodal import DecodeImage, synth_media_table
 
-    media = _rd.from_arrow(synth_media_table(n=256, seed=42))
-    return media.map_batches(
-        DecodeImage, fn_constructor_kwargs={"fake": True, "out_size": 16},
+    media = _rd.from_arrow(synth_media_table(n=256, seed=42, size=16))
+    decoded = media.map_batches(
+        DecodeImage, fn_constructor_kwargs={"out_size": 16},
         batch_format="pyarrow", batch_size=32,  # small batches: wide binary rows
         concurrency=_pool(),
     )
+    return decoded.select_columns(["media_id", "px_sum", "px_checksum", "n_px"])
 
 
 # ---------------------------------------------------------------------------
 # multimodal_audio_features — REAL audio decode path (raw s16le PCM needs
-# no external codec): windowed RMS / zero-crossing / FFT spectral centroid
-# per payload, actor pool with small batches (wide rows).  Rows-only gate;
-# feature correctness asserted against signal ground truth in tests.
+# no external codec).  The registered gate compares the EXACT integer
+# features (sumsq, zc_count) against the SQL mirror of the hash-formula
+# fixture; the float features (rms/zcr/FFT centroid) are asserted
+# against signal ground truth in tests.
 # ---------------------------------------------------------------------------
-@query("multimodal_audio_features")
+@query("multimodal_audio_features", multimodal_audio_sql(n=128, samples=8000))
 def multimodal_audio_features(sf_dir: str):
     import ray.data as _rd
 
-    from ..stages.multimodal import DecodeAudioPCM, synth_audio_table
+    from ..stages.multimodal import DecodeAudioPCM, synth_audio_hash_table
 
-    audio = _rd.from_arrow(synth_audio_table(n=128, seed=42))
-    return audio.map_batches(DecodeAudioPCM, batch_format="pyarrow",
-                             batch_size=16, concurrency=_pool())
+    audio = _rd.from_arrow(synth_audio_hash_table(n=128, samples=8000))
+    feats = audio.map_batches(DecodeAudioPCM, batch_format="pyarrow",
+                              batch_size=16, concurrency=_pool())
+    return feats.select_columns(["media_id", "n_samples", "sumsq", "zc_count"])
 
 
 # ---------------------------------------------------------------------------
 # multimodal_frame_sample — video frame sampling (explode to every-kth
-# frame) feeding the image-decode pool; byte-grid math real, pixel codec
-# stubbed (container has no image libs).  Rows-only gate.
+# frame): vectorized byte-grid slicing over the Arrow binary buffers,
+# then exact per-frame integer checksums.  The SQL oracle recomputes
+# them from the generative formula — slicing is proven byte-exact.
 # ---------------------------------------------------------------------------
-@query("multimodal_frame_sample")
+@query("multimodal_frame_sample",
+       multimodal_frames_sql(n=32, seed=42, n_frames=24, frame_bytes=1024,
+                             every_k=8, max_frames=8))
 def multimodal_frame_sample(sf_dir: str):
     import ray.data as _rd
 
-    from ..stages.multimodal import SampleFrames, synth_video_table
+    from ..stages.multimodal import SampleFrames, frame_checksums, synth_video_table
 
     video = _rd.from_arrow(synth_video_table(n=32, seed=42))
-    return video.map_batches(SampleFrames, batch_format="pyarrow",
-                             batch_size=8, concurrency=_pool())
+    sampled = video.map_batches(SampleFrames, batch_format="pyarrow",
+                                batch_size=8, concurrency=_pool())
+    return sampled.map_batches(frame_checksums, batch_format="pyarrow",
+                               zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------

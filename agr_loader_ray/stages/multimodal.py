@@ -1,4 +1,4 @@
-"""Multimodal (image/audio/video) column plumbing.
+"""Multimodal (image/audio/video) column stages.
 
 Media payloads are opaque ``binary`` columns with typed metadata
 (mime, width/height or sample-rate, …).  Decode / resize /
@@ -6,12 +6,20 @@ feature-extract run as actor-pool ``map_batches`` stages with SMALL
 batch sizes (large binary payloads: cap block bytes, not row counts —
 SURVEY §7.5.5 wide-rows rule).
 
-The decode libraries (Pillow, torchaudio, ffmpeg) are NOT in this
-container, so the codec step is stubbed: ``DecodeImage`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder (seeded from the payload bytes) produces
-fixed-shape arrays — making the Ray-side plumbing (schema, batch
-sizing, actor signature, output layout) real and testable.
+All three decode paths are REAL in this container:
+
+- **image**: pure-stdlib PNG codec (``stages/png.py`` — zlib inflate +
+  per-scanline filter reconstruction), grayscale/RGB/RGBA 8-bit.
+- **audio**: raw s16le PCM needs no codec — windowed RMS /
+  zero-crossing / Hann-FFT spectral centroid, plus exact integer
+  columns (sumsq, zc_count) for the typed-hash oracle gate.
+- **video**: fixed-size frame-grid byte slicing (every-kth frame),
+  fully vectorized offset math over the Arrow binary buffers.
+
+The synth fixtures derive every payload byte from a multiplicative-hash
+formula (``_hash_bytes``) that is exactly mirrorable in DuckDB HUGEINT
+arithmetic, so decode → feature extraction is verified byte-exactly by
+SQL oracles with no media input files (``pipelines/sketch_sql.py``).
 
 Reference analogue: the FASTA random-access helper — a heavy binary
 resource opened once per worker and sliced per record
@@ -24,6 +32,12 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .png import png_decode, png_encode
+
+#: multiplicative-hash constant (odd, 64-bit) for synth payload bytes —
+#: inlined into the SQL oracles; see sketch_sql.multimodal oracles.
+HASH_A = 6364136223846793005
+
 MEDIA_SCHEMA = pa.schema(
     [
         pa.field("media_id", pa.int64()),
@@ -35,72 +49,99 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def synth_media_table(n: int = 64, seed: int = 42, payload_bytes: int = 4096) -> pa.Table:
-    """Deterministic fake media table (no external data)."""
-    rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, size=payload_bytes, dtype=np.uint8).tobytes() for _ in range(n)]
+def _hash_bytes(base: int, n: int, shift: int = 24, mod: int = 256) -> np.ndarray:
+    """Deterministic pseudo-random bytes: ((A*(base+i+1)) mod 2^64 >> shift)
+    % mod for i in 0..n-1 — exactly mirrorable in SQL HUGEINT math."""
+    idx = np.arange(n, dtype=np.uint64) + np.uint64(base + 1)
+    with np.errstate(over="ignore"):
+        v = np.uint64(HASH_A) * idx
+    return ((v >> np.uint64(shift)) % np.uint64(mod)).astype(np.uint64)
+
+
+def synth_media_table(n: int = 64, seed: int = 42, size: int = 16) -> pa.Table:
+    """Deterministic PNG media table: pixel(id, y, x) = hash formula,
+    REAL-encoded with a rotating per-row scanline filter (y % 5) so the
+    decoder reconstructs through every filter path.  ``seed`` is part of
+    the pixel-index base for fixture variety."""
+    payloads = []
+    for i in range(n):
+        px = _hash_bytes((seed + i) * 65536, size * size).astype(np.uint8)
+        img = px.reshape(size, size)
+        payloads.append(png_encode(img, [y % 5 for y in range(size)]))
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),
             "payload": pa.array(payloads, pa.binary()),
             "mime": pa.array(["image/png"] * n),
-            "width": pa.array(rng.integers(16, 64, n).astype(np.int32)),
-            "height": pa.array(rng.integers(16, 64, n).astype(np.int32)),
+            "width": pa.array(np.full(n, size, dtype=np.int32)),
+            "height": pa.array(np.full(n, size, dtype=np.int32)),
         },
         schema=MEDIA_SCHEMA,
     )
 
 
 class DecodeImage:
-    """Actor-pool stage: binary payload → fixed-size feature vector.
+    """Actor-pool stage: PNG payload → features (REAL stdlib codec).
 
-    Real pipelines plug a codec into ``_decode``; here it is stubbed.
-    ``fake=True`` uses a deterministic stand-in so tests exercise the
-    batch plumbing end-to-end.  Use with::
+    Emits per image: an ``out_size``-wide feature vector (column means
+    of the mean-pool-resized grayscale), plus exact integer columns
+    (px_sum, px_checksum, n_px) over the flattened pixel bytes — the
+    SQL-comparable proof that decode inverted the encoder byte-exactly.
 
-        ds.map_batches(DecodeImage, fn_constructor_kwargs={"fake": True},
-                       batch_format="pyarrow", batch_size=32,   # small: wide rows
+    ``fake=True`` keeps the old deterministic stand-in as a test seam
+    (hash-seeded pseudo-pixels, no codec).  Use with::
+
+        ds.map_batches(DecodeImage, batch_format="pyarrow",
+                       batch_size=32,   # small: wide binary rows
                        concurrency=(1, 4), num_cpus=1)
     """
 
     def __init__(self, out_size: int = 16, fake: bool = False):
         self.out_size = out_size
         self.fake = fake
-        # real decoders would be constructed ONCE here (model load etc.)
+        # real decoders would load heavier state ONCE here (ICC tables,
+        # model weights); the PNG path needs none
 
     def _decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
-        if not self.fake:
-            raise NotImplementedError(
-                "image codec not available in this environment; "
-                "pass fake=True for the deterministic stub"
-            )
-        # deterministic fake: hash-seeded pseudo-pixels at the target size
-        seed = int.from_bytes(payload[:8], "little", signed=False)
-        rng = np.random.default_rng(seed)
-        return rng.random((self.out_size, self.out_size), dtype=np.float32)
+        if self.fake:
+            # deterministic fake: hash-seeded pseudo-pixels (test seam)
+            seed = int.from_bytes(payload[:8], "little", signed=False)
+            rng = np.random.default_rng(seed)
+            return (rng.random((height, width)) * 255).astype(np.uint8)
+        return png_decode(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = []
+        feats, sums, checks, npx = [], [], [], []
         for payload, w, h in zip(
             batch["payload"].to_pylist(),
             batch["width"].to_pylist(),
             batch["height"].to_pylist(),
         ):
             img = self._decode(payload, w, h)
-            feats.append(img.mean(axis=0))  # toy feature: column means
-        flat = pa.array(
-            np.concatenate(feats).astype(np.float32).tolist(), pa.float32()
-        )
-        feat_col = pa.FixedSizeListArray.from_arrays(flat, self.out_size)
+            flat = img.reshape(-1).astype(np.int64)
+            sums.append(int(flat.sum()))
+            checks.append(int((flat * (np.arange(len(flat)) + 1)).sum()))
+            npx.append(len(flat))
+            gray = img.astype(np.float64)
+            if gray.ndim == 3:
+                gray = gray.mean(axis=2)
+            small = meanpool_resize(gray, self.out_size, self.out_size)
+            feats.append(small.mean(axis=0).astype(np.float32))
+        flat_f = pa.array(np.concatenate(feats).tolist(), pa.float32())
+        feat_col = pa.FixedSizeListArray.from_arrays(flat_f, self.out_size)
         return pa.table(
-            {"media_id": batch["media_id"], "feature": feat_col}
+            {
+                "media_id": batch["media_id"],
+                "feature": feat_col,
+                "px_sum": pa.array(sums, pa.int64()),
+                "px_checksum": pa.array(checks, pa.int64()),
+                "n_px": pa.array(npx, pa.int64()),
+            }
         )
 
 
 # ---------------------------------------------------------------------------
-# Audio: raw PCM is decodable with numpy alone — this stage is REAL end to
-# end (no stub): int16 little-endian payload → windowed RMS / zero-crossing
-# / spectral-centroid features, fully vectorized per batch.
+# Audio: raw PCM is decodable with numpy alone — REAL end to end.
 # ---------------------------------------------------------------------------
 AUDIO_SCHEMA = pa.schema(
     [
@@ -113,7 +154,8 @@ AUDIO_SCHEMA = pa.schema(
 
 def synth_audio_table(n: int = 64, seed: int = 42, samples: int = 8000,
                       sample_rate: int = 8000) -> pa.Table:
-    """Deterministic synthetic PCM: per-row sine + noise."""
+    """Deterministic synthetic PCM: per-row sine + noise (signal
+    ground-truth fixtures: rms ≈ a/√2, zcr ≈ 2f/sr, centroid ≈ f)."""
     rng = np.random.default_rng(seed)
     rows = []
     t = np.arange(samples) / sample_rate
@@ -131,26 +173,55 @@ def synth_audio_table(n: int = 64, seed: int = 42, samples: int = 8000,
     )
 
 
+def synth_audio_hash_table(n: int = 128, samples: int = 8000,
+                           sample_rate: int = 8000) -> pa.Table:
+    """PCM payloads whose int16 samples come from the SQL-mirrorable
+    hash formula: s(id, t) = hash16(id*samples + t) - 32768 — the
+    typed-hash oracle fixture (exact integer features both sides)."""
+    rows = []
+    for i in range(n):
+        s = _hash_bytes(i * samples, samples, shift=24, mod=65536).astype(np.int64)
+        rows.append((s - 32768).astype("<i2").tobytes())
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "payload": pa.array(rows, pa.binary()),
+            "sample_rate": pa.array(np.full(n, sample_rate, dtype=np.int32)),
+        },
+        schema=AUDIO_SCHEMA,
+    )
+
+
 class DecodeAudioPCM:
-    """Actor-pool stage: s16le PCM payload → (rms, zero_crossing_rate,
-    spectral_centroid_hz, n_samples).  A REAL decoder — raw PCM needs no
-    external codec; FFT work is the per-batch heavy compute."""
+    """Actor-pool stage: s16le PCM payload → features.
+
+    Float features (rms, zero_crossing_rate, spectral_centroid_hz) plus
+    EXACT integer features (n_samples, sumsq = Σ s², zc_count = sign
+    flips) — the integer pair is what the SQL oracle compares, immune
+    to float summation-order differences.  Raw PCM needs no external
+    codec; the FFT is the per-batch heavy compute."""
 
     def __init__(self, frame: int = 1024):
         self.frame = frame  # analysis window (once per actor)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rms_out, zcr_out, cent_out, n_out = [], [], [], []
+        sumsq_out, zc_out = [], []
         for payload, sr in zip(batch["payload"].to_pylist(),
                                batch["sample_rate"].to_pylist()):
-            x = np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
+            s = np.frombuffer(payload, dtype="<i2").astype(np.int64)
+            x = s.astype(np.float64) / 32768.0
             n = len(x)
             n_out.append(n)
+            sumsq_out.append(int((s * s).sum()))
             if n == 0:
                 rms_out.append(0.0); zcr_out.append(0.0); cent_out.append(0.0)
+                zc_out.append(0)
                 continue
+            flips = np.signbit(x[1:]) != np.signbit(x[:-1])
+            zc_out.append(int(np.count_nonzero(flips)))
             rms_out.append(float(np.sqrt(np.mean(x * x))))
-            zcr_out.append(float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))))
+            zcr_out.append(float(np.mean(flips)) if n > 1 else 0.0)
             k = min(self.frame, n)
             # Hann window + power weighting: suppress leakage sidelobes so
             # the centroid tracks the dominant tone
@@ -164,13 +235,14 @@ class DecodeAudioPCM:
             "zero_crossing_rate": pa.array(zcr_out, pa.float64()),
             "spectral_centroid_hz": pa.array(cent_out, pa.float64()),
             "n_samples": pa.array(n_out, pa.int64()),
+            "sumsq": pa.array(sumsq_out, pa.int64()),
+            "zc_count": pa.array(zc_out, pa.int64()),
         })
 
 
 # ---------------------------------------------------------------------------
-# Video: frame sampling.  The byte-slicing layout math is REAL (fixed-size
-# frame grid, every-kth selection); only the per-frame pixel decode reuses
-# the DecodeImage stub/fake.
+# Video: frame sampling — vectorized byte-grid slicing over the Arrow
+# binary buffers (no per-row Python).
 # ---------------------------------------------------------------------------
 VIDEO_SCHEMA = pa.schema(
     [
@@ -184,9 +256,13 @@ VIDEO_SCHEMA = pa.schema(
 
 def synth_video_table(n: int = 16, seed: int = 42, n_frames: int = 24,
                       frame_bytes: int = 1024) -> pa.Table:
-    rng = np.random.default_rng(seed)
-    rows = [rng.integers(0, 256, size=n_frames * frame_bytes,
-                         dtype=np.uint8).tobytes() for _ in range(n)]
+    """Deterministic frame grids: byte(id, j) = hash formula over the
+    flat payload index — SQL-mirrorable (``seed`` offsets the base)."""
+    rows = [
+        _hash_bytes((seed + i) * (1 << 24), n_frames * frame_bytes)
+        .astype(np.uint8).tobytes()
+        for i in range(n)
+    ]
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),
@@ -198,13 +274,24 @@ def synth_video_table(n: int = 16, seed: int = 42, n_frames: int = 24,
     )
 
 
+def _binary_parts(col: pa.ChunkedArray | pa.Array):
+    """(offsets[int64], values[uint8]) of a binary column — zero-copy."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    values = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return off, values
+
+
 class SampleFrames:
     """Actor-pool stage: video payload → every-kth-frame rows (explode).
 
     Output: one row per sampled frame (media_id, frame_idx, frame
-    payload) — the shape a downstream DecodeImage pool consumes.  Keep
-    ``batch_size`` small: rows are wide and the explode widens them
-    further.
+    payload) — the shape a downstream DecodeImage pool consumes.  Fully
+    vectorized: frame byte ranges are computed with offset arithmetic
+    over the Arrow binary buffers and gathered in one fancy-index.
+    Keep ``batch_size`` small: rows are wide and the explode widens
+    them further.
     """
 
     def __init__(self, every_k: int = 8, max_frames: int = 8):
@@ -212,21 +299,60 @@ class SampleFrames:
         self.max_frames = max_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, idxs, frames = [], [], []
-        for mid, payload, nf, fb in zip(
-            batch["media_id"].to_pylist(), batch["payload"].to_pylist(),
-            batch["n_frames"].to_pylist(), batch["frame_bytes"].to_pylist(),
-        ):
-            picks = range(0, min(nf, self.every_k * self.max_frames), self.every_k)
-            for i in picks:
-                ids.append(mid)
-                idxs.append(i)
-                frames.append(payload[i * fb:(i + 1) * fb])
+        off, values = _binary_parts(batch["payload"])
+        nf = batch["n_frames"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fb = batch["frame_bytes"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mids = batch["media_id"].to_numpy(zero_copy_only=False)
+        lim = np.minimum(nf, self.every_k * self.max_frames)
+        n_pick = (lim + self.every_k - 1) // self.every_k  # len(range(0, lim, k))
+        row = np.repeat(np.arange(len(nf)), n_pick)
+        pick_start = np.concatenate(([0], np.cumsum(n_pick)[:-1]))
+        local = np.arange(int(n_pick.sum()), dtype=np.int64) - pick_start[row]
+        fidx = local * self.every_k
+        # gather the frame bytes: one fancy-index over the values buffer
+        fstart = off[row] + fidx * fb[row]
+        flen = fb[row]
+        out_off = np.concatenate(([0], np.cumsum(flen)))
+        pos_row = np.repeat(np.arange(len(flen)), flen)
+        within = np.arange(int(flen.sum()), dtype=np.int64) - out_off[pos_row]
+        data = values[fstart[pos_row] + within]
+        frames = pa.Array.from_buffers(
+            pa.binary(), len(flen),
+            [None, pa.py_buffer(out_off.astype(np.int32).tobytes()),
+             pa.py_buffer(data.tobytes())],
+        )
         return pa.table({
-            "media_id": pa.array(ids, pa.int64()),
-            "frame_idx": pa.array(idxs, pa.int32()),
-            "frame": pa.array(frames, pa.binary()),
+            "media_id": pa.array(mids[row], pa.int64()),
+            "frame_idx": pa.array(fidx.astype(np.int32)),
+            "frame": frames,
         })
+
+
+def frame_checksums(t: pa.Table, col: str = "frame") -> pa.Table:
+    """Exact integer features per frame: sum of bytes and the
+    position-weighted checksum Σ byte[j]·(j+1) — vectorized segment
+    sums over the binary buffer (reduceat), no per-row Python."""
+    off, values = _binary_parts(t[col])
+    starts, ends = off[:-1], off[1:]
+    lens = ends - starts
+    v = values.astype(np.int64)
+    csum = np.concatenate(([0], np.cumsum(v)))
+    fsum = csum[ends] - csum[starts]
+    # position weights: byte j (0-based within frame) gets weight j+1
+    pos_row = np.repeat(np.arange(len(lens)), lens)
+    bounds = np.concatenate(([0], np.cumsum(lens)))
+    within = np.arange(int(lens.sum()), dtype=np.int64) - bounds[pos_row]
+    seg = values[starts[pos_row] + within].astype(np.int64)
+    wsum_all = np.concatenate(([0], np.cumsum(seg * (within + 1))))
+    wsum = wsum_all[bounds[1:]] - wsum_all[bounds[:-1]]
+    return pa.table({
+        "media_id": t["media_id"],
+        "frame_idx": pa.array(t["frame_idx"].to_numpy(zero_copy_only=False)
+                              .astype(np.int64)),
+        "frame_sum": pa.array(fsum, pa.int64()),
+        "frame_checksum": pa.array(wsum, pa.int64()),
+        "frame_len": pa.array(lens, pa.int64()),
+    })
 
 
 def meanpool_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

@@ -31,10 +31,39 @@ def test_fingerprint_polynomial_exact():
     assert out[0] == out[2]
 
 
-def test_decode_image_stub_raises_without_fake():
-    dec = DecodeImage()
-    with pytest.raises(NotImplementedError):
-        dec._decode(b"xxxxxxxx", 4, 4)
+def test_png_codec_roundtrip_all_filters():
+    """Encode with every scanline filter (incl. rotating per-row) and
+    decode back byte-exactly — gray, RGB and RGBA, odd shapes."""
+    from agr_loader_ray.stages.png import png_decode, png_encode
+
+    rng = np.random.default_rng(7)
+    for shape in [(16, 16), (16, 16, 3), (16, 16, 4), (7, 13), (5, 9, 3), (1, 1)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for f in [None, 0, 1, 2, 3, 4, [y % 5 for y in range(shape[0])]]:
+            np.testing.assert_array_equal(png_decode(png_encode(img, f)), img)
+
+
+def test_png_decode_rejects_garbage():
+    from agr_loader_ray.stages.png import png_decode
+
+    with pytest.raises(ValueError):
+        png_decode(b"xxxxxxxxxxxx")
+
+
+def test_decode_image_real_codec_exact():
+    """DecodeImage (real codec, default) must recover the exact pixel
+    grid the synth fixture encoded — filter reconstruction proven."""
+    from agr_loader_ray.stages.multimodal import _hash_bytes, synth_media_table
+
+    tbl = synth_media_table(n=4, seed=42, size=16)
+    out = DecodeImage(out_size=8)(tbl).to_pylist()
+    for row in out:
+        i = row["media_id"]
+        px = _hash_bytes((42 + i) * 65536, 256).astype(np.int64)
+        assert row["px_sum"] == int(px.sum())
+        assert row["px_checksum"] == int((px * (np.arange(256) + 1)).sum())
+        assert row["n_px"] == 256
+        assert len(row["feature"]) == 8
 
 
 def test_multimodal_pipeline_with_fake_codec():
@@ -120,5 +149,24 @@ def test_audio_query_deterministic():
 
     a = tq.multimodal_audio_features("unused").to_pandas().sort_values("media_id")
     b = tq.multimodal_audio_features("unused").to_pandas().sort_values("media_id")
-    assert (a["rms"].to_numpy() == b["rms"].to_numpy()).all()
+    assert (a["sumsq"].to_numpy() == b["sumsq"].to_numpy()).all()
+    assert (a["zc_count"].to_numpy() == b["zc_count"].to_numpy()).all()
     assert len(a) == 128
+
+
+def test_frame_checksums_exact():
+    """Vectorized frame slicing + checksum must equal the per-frame
+    Python recomputation byte for byte."""
+    from agr_loader_ray.stages.multimodal import (
+        SampleFrames, frame_checksums, synth_video_table)
+
+    tbl = synth_video_table(n=3, n_frames=24, frame_bytes=64)
+    sampled = SampleFrames(every_k=8, max_frames=8)(tbl)
+    out = frame_checksums(sampled).to_pylist()
+    payloads = {r["media_id"]: r["payload"] for r in tbl.to_pylist()}
+    for row in out:
+        frame = payloads[row["media_id"]][row["frame_idx"] * 64:(row["frame_idx"] + 1) * 64]
+        b = np.frombuffer(frame, np.uint8).astype(np.int64)
+        assert row["frame_sum"] == int(b.sum())
+        assert row["frame_checksum"] == int((b * (np.arange(64) + 1)).sum())
+        assert row["frame_len"] == 64
