@@ -67,6 +67,26 @@ _EXTRA_FIELDS = [pa.field(OFFSET_COL, pa.int64()), pa.field(DELETED_COL, pa.bool
 NO_COUNT = -1
 NO_CHECKSUM = ""
 
+#: reserved partition id for poison events (SURVEY §4.1: bounded
+#: quarantine instead of the reference's unbounded requeue,
+#: ``/root/reference/src/transactors/neo4j_transactor.py:108-118``).
+#: Rows that fail validation ride the SAME exchange as good rows but
+#: land in a quarantine sink + manifest counter, never in the lake.
+QUARANTINE_PART = -1
+
+_VALID_OPS = pa.array(["I", "U", "D"])
+
+
+def _invalid_event_mask(batch: pa.Table) -> pa.Array:
+    """True where an event can NEVER be applied (poison): null key
+    components, null LWW ordering fields, or an unknown op.  Vectorized;
+    evaluated once per block before the pre-fold."""
+    m = pc.is_null(batch["conv_id"])
+    for col in ("turn_idx", "ts", "offset"):
+        m = pc.or_(m, pc.is_null(batch[col]))
+    m = pc.or_(m, pc.invert(pc.fill_null(pc.is_in(batch["op"], value_set=_VALID_OPS), False)))
+    return m
+
 
 def _live_checksum(tbl: pa.Table) -> str:
     """Order-insensitive content checksum of live rows (lineage).
@@ -137,21 +157,34 @@ class _PreFoldPartition:
         self.n = n_partitions
         self.keep_epoch = keep_epoch
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.not_equal(batch["op"], "S"))
-        key = ["conv_id", "turn_idx"] + (["epoch"] if self.keep_epoch else [])
-        if batch.num_rows:
-            batch = lww_last_per_key(batch, key, ["ts", "offset"])
-        deleted = pc.equal(batch["op"], "D")
+    def _to_lake_layout(self, batch: pa.Table) -> pa.Table:
+        deleted = pc.fill_null(pc.equal(batch["op"], "D"), False)
         # "op" survives to the merge for the update-on-missing-key metric
         # (the reference's MATCH drops such rows silently — we count them
         # into lineage instead, SURVEY §7.5.4 / A5); dropped before write.
         drop = [] if self.keep_epoch else ["epoch"]
         batch = (batch.drop_columns(drop) if drop else batch).append_column(DELETED_COL, deleted)
-        batch = batch.rename_columns(
+        return batch.rename_columns(
             [OFFSET_COL if c == "offset" else c for c in batch.column_names]
         )
-        return add_partition_column(batch, self.n)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # keep null-op rows: they are poison, not schema events
+        batch = batch.filter(pc.fill_null(pc.not_equal(batch["op"], "S"), True))
+        bad_mask = _invalid_event_mask(batch)
+        bad = batch.filter(bad_mask)
+        batch = batch.filter(pc.invert(bad_mask))
+        key = ["conv_id", "turn_idx"] + (["epoch"] if self.keep_epoch else [])
+        if batch.num_rows:
+            batch = lww_last_per_key(batch, key, ["ts", "offset"])
+        out = add_partition_column(self._to_lake_layout(batch), self.n)
+        if bad.num_rows:
+            # poison rows ride the same exchange under the reserved
+            # partition id; the merge stage diverts them to the sink
+            bad_out = self._to_lake_layout(bad).append_column(
+                PART_COL, pa.array(np.full(bad.num_rows, QUARANTINE_PART, np.int32)))
+            out = pa.concat_tables([out, bad_out.select(out.column_names)])
+        return out
 
 
 def _info_files(info: dict | None) -> list[str]:
@@ -170,8 +203,8 @@ class _PartitionApplier:
     compaction), shared by the sequential and catch-up paths so the two
     produce byte-identical files and manifests."""
 
-    def __init__(self, lake_root: str, compact_every: int):
-        self.manifest = LakeManifest(lake_root)
+    def __init__(self, lake_root: str, compact_every: int, commit_io=None):
+        self.manifest = LakeManifest(lake_root, commit_io)
         self.compact_every = compact_every
 
     def _read_conformed(self, rel: str, registry: SchemaRegistry) -> pa.Table:
@@ -260,11 +293,9 @@ class _PartitionApplier:
         return info, new_existing
 
     def _write(self, rel: str, tbl: pa.Table) -> None:
-        from ..state.commit_io import DEFAULT_COMMIT_IO
-
         # all data-file publishes go through the commit-I/O seam (atomic
         # rename locally; single-shot PUT on object stores — commit_io.py)
-        DEFAULT_COMMIT_IO.publish_table(self.manifest.abspath(rel), tbl)
+        self.manifest.commit_io.publish_table(self.manifest.abspath(rel), tbl)
 
 
 def _manifest_row_table(rows: list[dict]) -> pa.Table:
@@ -291,7 +322,8 @@ def _manifest_row_table(rows: list[dict]) -> pa.Table:
 
 def _make_catchup_apply(lake_root: str, epochs: list[int],
                         registries_by_epoch: dict[int, dict],
-                        prev_parts: dict[int, dict], compact_every: int):
+                        prev_parts: dict[int, dict], compact_every: int,
+                        commit_io=None):
     """Catch-up merge-apply: one shuffle for a whole epoch backlog.
 
     The group holds ALL events of partition ``part`` for ``epochs``
@@ -302,12 +334,36 @@ def _make_catchup_apply(lake_root: str, epochs: list[int],
     all-to-all exchange is paid once per backlog instead of once per
     epoch.
     """
-    applier = _PartitionApplier(lake_root, compact_every)
+    applier = _PartitionApplier(lake_root, compact_every, commit_io)
 
     def merge_apply(group: pa.Table) -> pa.Table:
         part = int(group[PART_COL][0].as_py())
         group = group.drop_columns([PART_COL])
         epoch_np = group["epoch"].to_numpy(zero_copy_only=False)
+
+        if part == QUARANTINE_PART:
+            # poison sink: park the rows (deterministic per-epoch file,
+            # idempotent on retry) + a lineage row; never applied
+            out_rows = []
+            for e in epochs:
+                raw = group.filter(pa.array(epoch_np == e)).drop_columns(["epoch"])
+                if raw.num_rows == 0:
+                    continue
+                staged = applier.manifest.read_staged(e, QUARANTINE_PART)
+                if staged is None:
+                    rel = os.path.join("quarantine", f"epoch={e}.parquet")
+                    applier._write(rel, raw)
+                    offs = pc.max(raw[OFFSET_COL]).as_py()
+                    staged = {
+                        "part": QUARANTINE_PART, "base": rel, "deltas": [],
+                        "rows": raw.num_rows, "live_rows": NO_COUNT,
+                        "checksum": NO_CHECKSUM, "delta_rows": raw.num_rows,
+                        "max_offset": -1 if offs is None else int(offs),
+                        "u_on_missing": 0, "epoch": e,
+                    }
+                    applier.manifest.write_staged(e, QUARANTINE_PART, staged)
+                out_rows.append(staged)
+            return _manifest_row_table(out_rows)
 
         info = prev_parts.get(part)
         existing: "np.ndarray | None" = None
@@ -334,8 +390,9 @@ class CdcEngine:
 
     def __init__(self, lake_root: str, n_partitions: int = 32,
                  base_schema: pa.Schema = TRANSCRIPT_SCHEMA,
-                 compact_every: int = 4):
-        self.manifest = LakeManifest(lake_root)
+                 compact_every: int = 4, commit_io=None):
+        self.commit_io = commit_io
+        self.manifest = LakeManifest(lake_root, commit_io)
         self.n_partitions = n_partitions
         self.base_schema = base_schema
         self.compact_every = max(1, compact_every)
@@ -343,26 +400,38 @@ class CdcEngine:
 
     # -- WAL introspection --------------------------------------------------
     @staticmethod
-    def wal_epochs(wal_root: str) -> list[int]:
+    def wal_epochs(wal_root: str, trust_unsealed: bool = False) -> list[int]:
         """Epochs safe to consume.
 
         An epoch directory is *sealed* once the writer drops a ``_SEALED``
         sentinel as its last write (``wal/generator.py``).  Tailers must
         only apply sealed epochs: applying a half-written epoch would
         commit its manifest and then skip the late segments forever.
-        Foreign at-rest WALs that never seal are still readable — if NO
-        epoch in the root carries a sentinel, all are assumed sealed
-        (such a WAL must not be written concurrently with a tailer).
+
+        Sealed-mode is EXPLICIT, not inferred: our writer drops a
+        root-level ``_WAL_SEALED_MODE`` marker *before* its first epoch
+        directory, so a concurrent tailer polling mid-write never sees
+        "zero sentinels ⇒ assume all sealed" and swallows a half-written
+        epoch 0 (the inference race).  Foreign at-rest WALs (no marker,
+        no sentinels anywhere) are readable only with an explicit
+        ``trust_unsealed=True`` — the caller asserts nothing is writing.
         """
         dirs = {
             int(d.split("=", 1)[1]): os.path.join(wal_root, d)
             for d in os.listdir(wal_root)
             if d.startswith("epoch=") and os.path.isdir(os.path.join(wal_root, d))
         }
+        sealed_mode = os.path.exists(os.path.join(wal_root, "_WAL_SEALED_MODE"))
         sealed = [e for e, p in dirs.items()
                   if os.path.exists(os.path.join(p, "_SEALED"))]
-        if not sealed and dirs:
-            return sorted(dirs)  # foreign sealed-at-rest WAL
+        if not sealed_mode and not sealed and dirs:
+            if trust_unsealed:
+                return sorted(dirs)  # foreign sealed-at-rest WAL, asserted
+            raise ValueError(
+                f"{wal_root} has epoch dirs but no _SEALED sentinels and no "
+                "_WAL_SEALED_MODE marker — it may be mid-write; pass "
+                "trust_unsealed=True only if nothing is writing it"
+            )
         return sorted(sealed)
 
     def _load_registry(self) -> SchemaRegistry:
@@ -435,7 +504,7 @@ class CdcEngine:
         )
         apply_fn = _make_catchup_apply(
             self.manifest.lake_root, epochs, registries_by_epoch, prev_parts,
-            self.compact_every,
+            self.compact_every, self.commit_io,
         )
         rows = [
             r for r in
@@ -444,18 +513,27 @@ class CdcEngine:
         ]
 
         # Commit each epoch in order (carry forward untouched partitions).
+        # Quarantine rows are lineage, not state: they join the manifest
+        # as a counter + file pointer, never the partition map.
         parts = dict(prev_parts)
         stats = []
         for e in epochs:
-            erows = [r for r in rows if r["epoch"] == e]
+            erows = [r for r in rows if r["epoch"] == e and r["part"] != QUARANTINE_PART]
+            qrows = [r for r in rows if r["epoch"] == e and r["part"] == QUARANTINE_PART]
             for r in erows:
                 parts[r["part"]] = {k: v for k, v in r.items() if k != "part"}
             max_off = max((r["max_offset"] for r in erows), default=None)
+            quarantine = (
+                {"rows": sum(r["rows"] for r in qrows), "files": [r["base"] for r in qrows]}
+                if qrows else None
+            )
             self.manifest.commit_epoch(
                 e, registries_by_epoch[e], parts,
                 (None, max_off) if max_off is not None else None,
+                quarantine=quarantine,
             )
-            stats.append({"epoch": e, "skipped": False, "touched_partitions": len(erows)})
+            stats.append({"epoch": e, "skipped": False, "touched_partitions": len(erows),
+                          "quarantined": quarantine["rows"] if quarantine else 0})
         return {"epochs": stats, "events": n_events, "sec": time.perf_counter() - t0}
 
     def apply_epoch(self, wal_root: str, epoch: int) -> dict:
@@ -471,7 +549,8 @@ class CdcEngine:
         }
 
     def replay(self, wal_root: str, upto_epoch: int | None = None,
-               catchup: bool = True, max_catchup: int = 64) -> dict:
+               catchup: bool = True, max_catchup: int = 64,
+               trust_unsealed: bool = False) -> dict:
         """Replay all WAL epochs not yet committed (resumable).
 
         ``catchup=True`` (default) applies the pending backlog in batched
@@ -483,7 +562,7 @@ class CdcEngine:
         """
         t0 = time.perf_counter()
         pending = [
-            e for e in self.wal_epochs(wal_root)
+            e for e in self.wal_epochs(wal_root, trust_unsealed=trust_unsealed)
             if (upto_epoch is None or e <= upto_epoch)
         ]
         todo = [e for e in pending
@@ -562,11 +641,12 @@ class CdcEngine:
 
         reg_ref = ray.put(registry.to_dict())
         lake_root = self.manifest.lake_root
+        commit_io = self.commit_io
 
         @ray.remote
         def compact_part(part: int, info: dict) -> dict:
             reg = SchemaRegistry.from_dict(ray.get(reg_ref))
-            ap = _PartitionApplier(lake_root, 1)
+            ap = _PartitionApplier(lake_root, 1, commit_io)
             tables = [ap._read_conformed(rel, reg) for rel in _info_files(info)]
             merged = lww_last_per_key(
                 pa.concat_tables(tables), ["conv_id", "turn_idx"], ["ts", OFFSET_COL]
@@ -614,6 +694,7 @@ def lake_metrics(lake_root: str) -> dict:
                 ),
                 "compacted_partitions": sum(1 for p in parts if not p.get("deltas")),
                 "u_on_missing": sum(p.get("u_on_missing", 0) for p in parts),
+                "quarantined": m.get("quarantine", {}).get("rows", 0),
                 "schema_version": m["schema_registry"]["version"],
                 "max_offset": m.get("wal_offsets", [None, None])[1] if m.get("wal_offsets") else None,
             }

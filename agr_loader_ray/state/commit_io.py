@@ -50,3 +50,48 @@ class LocalCommitIO:
 
 
 DEFAULT_COMMIT_IO = LocalCommitIO()
+
+
+class FakeObjectStoreClient:
+    """Local stand-in for an object store: ``put(key, bytes)`` makes the
+    object visible all-or-nothing (emulated with a temp file + rename —
+    the atomicity a real store's single-shot PUT provides natively).
+    Overwrites are idempotent, matching the engine's deterministic-name
+    retry contract.  Picklable (workers hold only the root path)."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def put(self, key: str, data: bytes) -> None:
+        path = os.path.join(self.root, key.lstrip("/"))
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.put.{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, path)  # the "PUT became visible" instant
+
+
+class ObjectStoreCommitIO:
+    """Single-shot-PUT commit I/O for object stores (S3/GCS semantics).
+
+    Serializes the full payload in memory and hands it to the client in
+    ONE put — objects appear atomically, so no rename step exists or is
+    needed.  Combined with deterministic final names (idempotent
+    overwrite on retry) and manifest-written-last, the commit protocol
+    is identical to ``LocalCommitIO`` — swap the class, keep the engine.
+
+    ``client`` needs one method: ``put(key: str, data: bytes)``.  Keys
+    are the absolute lake paths (the engine's name scheme already
+    encodes epoch/partition uniqueness).
+    """
+
+    def __init__(self, client):
+        self.client = client
+
+    def publish_table(self, path: str, tbl: pa.Table) -> None:
+        sink = pa.BufferOutputStream()
+        pq.write_table(tbl, sink)
+        self.client.put(path, sink.getvalue().to_pybytes())
+
+    def publish_json(self, path: str, obj: Any) -> None:
+        self.client.put(path, json.dumps(obj).encode("utf-8"))

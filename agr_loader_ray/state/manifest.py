@@ -40,17 +40,25 @@ _EPOCH_RE_PREFIX = "epoch="
 
 
 def _atomic_write_json(path: str, obj: Any) -> None:
+    """Default-commit-IO JSON publish (derived/corpus manifest sidecars)."""
     from .commit_io import DEFAULT_COMMIT_IO
 
     DEFAULT_COMMIT_IO.publish_json(path, obj)
 
 
 class LakeManifest:
-    """Driver-side view of a lake's commit log (cheap, picklable)."""
+    """Driver-side view of a lake's commit log (cheap, picklable).
 
-    def __init__(self, lake_root: str):
+    ``commit_io``: the atomic-publish implementation (default POSIX
+    rename; inject ``ObjectStoreCommitIO`` for single-shot-PUT stores —
+    every manifest/staged write routes through it)."""
+
+    def __init__(self, lake_root: str, commit_io=None):
+        from .commit_io import DEFAULT_COMMIT_IO
+
         self.lake_root = lake_root
         self.manifest_dir = os.path.join(lake_root, "_manifests")
+        self.commit_io = commit_io or DEFAULT_COMMIT_IO
 
     # ---- epoch commits ----------------------------------------------------
     def epoch_manifest_path(self, epoch: int) -> str:
@@ -74,17 +82,22 @@ class LakeManifest:
             return json.load(fh)
 
     def commit_epoch(self, epoch: int, schema_registry: dict, partitions: dict[int, dict],
-                     wal_offsets: tuple[int, int] | None) -> dict:
+                     wal_offsets: tuple[int, int] | None,
+                     quarantine: dict | None = None) -> dict:
         """Atomically publish epoch ``epoch``.  ``partitions`` maps
         part-id → {"path": rel_path|None, "rows": n, "live_rows": n,
-        "checksum": hex, "max_offset": o, "epoch": last_write_epoch}."""
+        "checksum": hex, "max_offset": o, "epoch": last_write_epoch}.
+        ``quarantine``: poison-event lineage ({"rows": n, "files": [...]})
+        — recorded, never part of the partition map."""
         manifest = {
             "epoch": epoch,
             "schema_registry": schema_registry,
             "wal_offsets": wal_offsets,
             "partitions": {str(p): info for p, info in sorted(partitions.items())},
         }
-        _atomic_write_json(self.epoch_manifest_path(epoch), manifest)
+        if quarantine:
+            manifest["quarantine"] = quarantine
+        self.commit_io.publish_json(self.epoch_manifest_path(epoch), manifest)
         return manifest
 
     # ---- per-partition staging (intra-epoch resume) -----------------------
@@ -102,7 +115,7 @@ class LakeManifest:
             return None
 
     def write_staged(self, epoch: int, part: int, info: dict) -> None:
-        _atomic_write_json(self.staged_path(epoch, part), info)
+        self.commit_io.publish_json(self.staged_path(epoch, part), info)
 
     # ---- data files -------------------------------------------------------
     def partition_file(self, part: int, epoch: int) -> str:

@@ -219,6 +219,11 @@ def generate_wal(out_dir: str, spec: WalSpec = T1_SMOKE, overwrite: bool = False
         import shutil
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
+    # declare sealed-mode BEFORE the first epoch dir exists: a concurrent
+    # tailer then requires per-epoch _SEALED sentinels from its very first
+    # poll (no "zero sentinels ⇒ assume at-rest" inference race)
+    with open(os.path.join(out_dir, "_WAL_SEALED_MODE"), "w") as fh:
+        fh.write("")
     epochs = tbl["epoch"].to_numpy(zero_copy_only=False)
     n_epochs = int(epochs.max()) + 1
     for e in range(n_epochs):

@@ -165,6 +165,7 @@ def test_tombstone_blocks_late_resurrection(tmp_lake, tmp_wal):
         t = t.set_column(t.schema.get_field_index("ts"), "ts",
                          pa.array(np.array([r["ts"] for r in rows], dtype="datetime64[us]")))
         pq.write_table(t, os.path.join(d, "segment-0000.parquet"))
+        open(os.path.join(d, "_SEALED"), "w").close()
 
     eng = CdcEngine(tmp_lake, n_partitions=2)
     eng.replay(tmp_wal)
@@ -366,16 +367,50 @@ def test_unsealed_epoch_invisible_until_sealed(tmp_lake, tmp_wal, tmp_path):
     _assert_equals_oracle(tmp_lake, staging)
 
 
-def test_foreign_unsealed_wal_still_readable(tmp_lake, tmp_wal):
-    """A WAL with no sentinels at all (foreign, sealed-at-rest) lists
-    every epoch."""
+def test_foreign_unsealed_wal_requires_explicit_trust(tmp_lake, tmp_wal):
+    """A WAL with no sentinels and no sealed-mode marker (foreign,
+    sealed-at-rest) is readable ONLY with trust_unsealed=True; without
+    it the engine refuses (it may be mid-write).  With the sealed-mode
+    marker present, unsealed epochs are simply invisible — never an
+    assume-all-sealed inference."""
     import os
+
+    import pytest as _pytest
 
     generate_wal(tmp_wal, WalSpec(n_events=1_000, n_convs=50, n_epochs=2))
     for e in (0, 1):
         os.remove(os.path.join(tmp_wal, f"epoch={e}", "_SEALED"))
     eng = CdcEngine(tmp_lake, n_partitions=4)
-    assert eng.wal_epochs(tmp_wal) == [0, 1]
+    # sealed-mode marker present, zero sentinels -> nothing consumable
+    assert eng.wal_epochs(tmp_wal) == []
+    os.remove(os.path.join(tmp_wal, "_WAL_SEALED_MODE"))
+    with _pytest.raises(ValueError):
+        eng.wal_epochs(tmp_wal)
+    assert eng.wal_epochs(tmp_wal, trust_unsealed=True) == [0, 1]
+
+
+def test_unsealed_epoch0_invisible_during_initial_write(tmp_lake, tmp_wal):
+    """The ADVICE race: at the very start of a generator-written WAL,
+    epoch=0 segments exist before its _SEALED does.  A tailer polling in
+    that window must see NO consumable epochs (the root marker forces
+    sentinel-only mode), not assume-all-sealed."""
+    import os
+    import shutil
+
+    staging = tmp_wal + "-staging"
+    generate_wal(staging, WalSpec(n_events=1_000, n_convs=50, n_epochs=2))
+    os.makedirs(tmp_wal, exist_ok=True)
+    shutil.copy(os.path.join(staging, "_WAL_SEALED_MODE"),
+                os.path.join(tmp_wal, "_WAL_SEALED_MODE"))
+    src0, dst0 = os.path.join(staging, "epoch=0"), os.path.join(tmp_wal, "epoch=0")
+    os.makedirs(dst0)
+    segs = sorted(f for f in os.listdir(src0) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(src0, segs[0]), os.path.join(dst0, segs[0]))
+    eng = CdcEngine(tmp_lake, n_partitions=4)
+    assert eng.wal_epochs(tmp_wal) == []  # half-written epoch 0 invisible
+    shutil.rmtree(dst0)
+    shutil.copytree(src0, dst0)
+    assert eng.wal_epochs(tmp_wal) == [0]
 
 
 def test_bench_scale_partition_count_oracle_equality(tmp_lake, tmp_wal):
@@ -388,4 +423,126 @@ def test_bench_scale_partition_count_oracle_equality(tmp_lake, tmp_wal):
     generate_wal(tmp_wal, spec)
     eng = CdcEngine(tmp_lake, n_partitions=64)
     eng.replay(tmp_wal)
+    _assert_equals_oracle(tmp_lake, tmp_wal)
+
+
+def _poison_wal(tmp_wal, n_epochs=2):
+    """Generated WAL + hand-injected poison events in epoch 0 (null key /
+    null ts / unknown op)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from agr_loader_ray.schemas import WAL_SCHEMA
+
+    generate_wal(tmp_wal, WalSpec(n_events=2_000, n_convs=100, n_epochs=n_epochs,
+                                  update_frac=0.2, delete_frac=0.05))
+
+    def row(offset, op, conv, ts):
+        return {
+            "offset": offset, "epoch": 0, "op": op, "conv_id": conv,
+            "turn_idx": 0, "role": "user", "text": "poison", "tool": "",
+            "ts": ts, "schema_change": "",
+        }
+
+    bad_rows = [
+        row(10_000_000, "U", None, 1_000),   # null key
+        row(10_000_001, "X", "c-bad", 1_000),  # unknown op
+        row(10_000_002, "U", "c-bad", None),   # null LWW ts
+    ]
+    t = pa.Table.from_pylist(bad_rows, schema=WAL_SCHEMA.remove_metadata())
+    ts_vals = np.array([pd.Timestamp(r["ts"], unit="us") if r["ts"] is not None else None
+                        for r in bad_rows], dtype="datetime64[us]")
+    t = t.set_column(t.schema.get_field_index("ts"), "ts", pa.array(ts_vals))
+    pq.write_table(t, os.path.join(tmp_wal, "epoch=0", "segment-9999.parquet"))
+    return bad_rows
+
+
+def test_poison_events_quarantined_not_fatal(tmp_lake, tmp_wal):
+    """SURVEY §4.1: malformed events must not fail the replay (the
+    reference's unbounded requeue, neo4j_transactor.py:108-118, bounded
+    here): they land in a quarantine parquet + manifest counter, the
+    valid events apply normally, and the lake equals the oracle over the
+    valid subset."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    bad_rows = _poison_wal(tmp_wal)
+    eng = CdcEngine(tmp_lake, n_partitions=4)
+    stats = eng.replay(tmp_wal)
+    assert sum(s.get("quarantined", 0) for s in stats["epochs"]) == len(bad_rows)
+
+    qfile = os.path.join(tmp_lake, "quarantine", "epoch=0.parquet")
+    assert os.path.exists(qfile)
+    q = pq.read_table(qfile)
+    assert q.num_rows == len(bad_rows)
+    assert sorted(q["text"].to_pylist()) == ["poison"] * 3
+
+    m = eng.manifest.read_epoch(0)
+    assert m["quarantine"]["rows"] == len(bad_rows)
+    assert m["quarantine"]["files"] == ["quarantine/epoch=0.parquet"]
+
+    # lake state: oracle over the VALID events only (generated WAL)
+    want = oracle_reduce(
+        _wal_df(tmp_wal).query("offset < 10_000_000")).reset_index(drop=True)
+    got = _export_df(tmp_lake)[want.columns.tolist()]
+    for c in want.columns:
+        want[c] = want[c].astype(got[c].dtype)
+    pd.testing.assert_frame_equal(got, want)
+
+    # idempotent: a re-run applies nothing new and keeps the counter
+    stats2 = eng.replay(tmp_wal)
+    assert stats2["events_applied"] == 0
+    assert eng.manifest.read_epoch(0)["quarantine"]["rows"] == len(bad_rows)
+
+    # convergence: the FIXED event arrives later as a normal CDC upsert
+    # (new epoch), and the key materializes
+    import numpy as np
+    import pyarrow as pa
+
+    from agr_loader_ray.schemas import WAL_SCHEMA
+
+    fixed = [{
+        "offset": 10_000_010, "epoch": 9, "op": "I", "conv_id": "c-bad",
+        "turn_idx": 0, "role": "user", "text": "fixed", "tool": "",
+        "ts": 2_000, "schema_change": "",
+    }]
+    t = pa.Table.from_pylist(fixed, schema=WAL_SCHEMA.remove_metadata())
+    t = t.set_column(t.schema.get_field_index("ts"), "ts",
+                     pa.array(np.array([2_000], dtype="datetime64[us]")))
+    edir = os.path.join(tmp_wal, "epoch=9")
+    os.makedirs(edir)
+    pq.write_table(t, os.path.join(edir, "segment-0000.parquet"))
+    open(os.path.join(edir, "_SEALED"), "w").close()
+    eng.replay(tmp_wal)
+    out = _export_df(tmp_lake)
+    assert (out.query("conv_id == 'c-bad'")["text"] == "fixed").all()
+
+
+def test_engine_with_object_store_commit_io(tmp_lake, tmp_wal):
+    """The single-shot-PUT commit path: inject ObjectStoreCommitIO (fake
+    client whose namespace is the filesystem) and the whole replay —
+    data files, staged manifests, epoch commits — runs through PUTs with
+    no rename step, producing an oracle-equal lake.  Re-publishing under
+    the same deterministic names (a retried epoch) is an idempotent
+    overwrite."""
+    from agr_loader_ray.state.commit_io import (
+        FakeObjectStoreClient, ObjectStoreCommitIO)
+
+    cio = ObjectStoreCommitIO(FakeObjectStoreClient("/"))
+    generate_wal(tmp_wal, WalSpec(n_events=3_000, n_convs=100, n_epochs=3,
+                                  update_frac=0.2, delete_frac=0.05))
+    eng = CdcEngine(tmp_lake, n_partitions=4, commit_io=cio)
+    eng.replay(tmp_wal)
+    _assert_equals_oracle(tmp_lake, tmp_wal)
+
+    # deterministic-name idempotent overwrite: wipe ONE epoch manifest
+    # and re-replay — same names re-PUT, same final state
+    import os
+    os.remove(eng.manifest.epoch_manifest_path(2))
+    eng2 = CdcEngine(tmp_lake, n_partitions=4, commit_io=cio)
+    eng2.replay(tmp_wal)
     _assert_equals_oracle(tmp_lake, tmp_wal)
