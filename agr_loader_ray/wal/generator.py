@@ -22,6 +22,11 @@ import pyarrow.parquet as pq
 
 from ..schemas import WAL_SCHEMA
 
+#: on-disk WAL layout version; bump whenever generate_wal's directory
+#: contract changes (sentinels, markers, sidecars) so cached fixtures
+#: from an older generator regenerate instead of being reused
+WAL_FORMAT = 2
+
 _BASE_TS_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z, arbitrary fixed origin
 _ROLES = np.array(["user", "assistant", "system", "tool"])
 _TOOLS = np.array(["search", "python", "browser", "calculator"])
@@ -209,7 +214,7 @@ def generate_wal(out_dir: str, spec: WalSpec = T1_SMOKE, overwrite: bool = False
     if not overwrite and os.path.exists(meta_path):
         with open(meta_path) as fh:
             meta = json.load(fh)
-        if meta.get("spec_key") == spec_key:
+        if meta.get("spec_key") == spec_key and meta.get("format") == WAL_FORMAT:
             return meta
 
     tbl = build_events(spec)
@@ -257,6 +262,7 @@ def generate_wal(out_dir: str, spec: WalSpec = T1_SMOKE, overwrite: bool = False
 
     meta = {
         "spec_key": spec_key,
+        "format": WAL_FORMAT,
         "n_events": tbl.num_rows,
         "n_epochs": n_epochs,
         "out_dir": out_dir,

@@ -183,3 +183,66 @@ def test_closure_auto_dispatch_equivalence():
     a = set(zip(via_bfs["node"], via_bfs["ancestor"]))
     b = set(zip(via_doubling["node"], via_doubling["ancestor"]))
     assert a == b
+
+
+def test_closure_doubling_all_dispatch_paths():
+    """Semi-naive doubling ≡ brute-force BFS on a multi-parent DAG for
+    every dispatch combination: packable × (broadcast-delta, join
+    fallback) — the join path is forced with broadcast_delta_limit=0."""
+    import pyarrow as pa
+
+    import ray.data
+    from agr_loader_ray.stages import closure as C
+
+    k = np.arange(2, 300)
+    child = np.concatenate([k, k[k % 3 == 0]])
+    parent = np.concatenate([k // 2, k[k % 3 == 0] // 3])
+    pm: dict[int, list[int]] = {}
+    for c_, p_ in zip(child.tolist(), parent.tolist()):
+        pm.setdefault(c_, []).append(p_)
+    want = set()
+    for n in set(child.tolist()):
+        seen: set[int] = set()
+        stack = list(pm.get(n, []))
+        while stack:
+            a = stack.pop()
+            if a in seen:
+                continue
+            seen.add(a)
+            stack.extend(pm.get(a, []))
+        want |= {(n, a) for a in seen}
+
+    edges_t = pa.table({"child": pa.array(child, pa.int64()),
+                        "parent": pa.array(parent, pa.int64())})
+    for packable in (True, False):
+        for lim in (C.BROADCAST_DELTA_LIMIT, 0):
+            got = C.closure_path_doubling(
+                ray.data.from_arrow(edges_t), packable=packable,
+                broadcast_delta_limit=lim).to_pandas()
+            assert set(zip(got["node"], got["ancestor"])) == want, (packable, lim)
+
+
+def test_closure_bfs_vectorized_matches_brute_force():
+    """Level-synchronized CSR BFS ≡ per-node brute force, including nodes
+    absent from the edge vocabulary (no parents → no rows) and diamond
+    re-convergence (each ancestor exactly once per node)."""
+    import pyarrow as pa
+
+    import ray.data
+    from agr_loader_ray.stages import closure as C
+
+    # diamond + chain + multi-parent: 10→{8,9}, 8→7, 9→7, 7→1; 20 isolated
+    child = np.array([10, 10, 8, 9, 7, 30], dtype=np.int64)
+    parent = np.array([8, 9, 7, 7, 1, 10], dtype=np.int64)
+    edges_t = pa.table({"child": pa.array(child), "parent": pa.array(parent)})
+    nodes = ray.data.from_arrow(pa.table({
+        "node": pa.array([10, 7, 30, 999], pa.int64())}))
+    got = C.closure_broadcast_bfs(nodes, edges_t).to_pandas()
+    pairs = set(zip(got["node"], got["ancestor"]))
+    assert pairs == {
+        (10, 8), (10, 9), (10, 7), (10, 1),
+        (7, 1),
+        (30, 10), (30, 8), (30, 9), (30, 7), (30, 1),
+    }
+    # exactly-once: no duplicated (node, ancestor) rows from the diamond
+    assert len(got) == len(pairs)
