@@ -51,8 +51,12 @@ def build_clean_corpus(sf_dir: str, out_dir: str, min_tokens: int = 10,
         with open(mpath) as fh:
             return json.load(fh)
 
+    from ..functions.tables import table_path
+    import pyarrow.parquet as pq
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
-    n_input = ds.count()
+    # input count from parquet footer metadata — no extra dataset pass
+    n_input = pq.read_metadata(table_path(sf_dir, "documents")).num_rows
 
     # 1. quality scoring + filter (vectorized kernel)
     scored = ds.map_batches(token_quality_batch, batch_format="pyarrow",
@@ -61,28 +65,51 @@ def build_clean_corpus(sf_dir: str, out_dir: str, min_tokens: int = 10,
 
     kept = scored.map_batches(
         lambda t: t.filter(pc.greater_equal(t["n_tokens"], min_tokens)),
-        batch_format="pyarrow",
+        batch_format="pyarrow", zero_copy_batch=True,
     )
 
     # 2. language ID (actor pool) + filter
-    from ..functions.pools import pool
+    from ..functions.pools import join_parts, pool
 
-    lang_kept = kept.map_batches(LangId, batch_format="pandas", concurrency=pool()
-                                 ).map_batches(
-        lambda df: df[df["pred_lang"] == lang], batch_format="pandas"
+    lang_kept = kept.map_batches(
+        LangId, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=pool(),
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["pred_lang"], lang)),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
 
-    # 3. exact dedup by normalized text hash (first-writer/min-doc_id wins)
+    # 3. exact dedup by normalized text hash (first-writer/min-doc_id wins,
+    #    in-group norm-text equality confirm so a 64-bit collision cannot
+    #    merge unrelated docs).  Exchange shape: hash partitions +
+    #    vectorized lexsort survivors kernel per partition — same design
+    #    as dedup_exact_text (queries.py) and the closure min-merge, never
+    #    per-text-hash map_groups.
+    nparts = join_parts()
+
     def add_hash(t: pa.Table) -> pa.Table:
         norm = pc.utf8_lower(pc.utf8_trim_whitespace(t["text"]))
         h = stable_hash_strings(norm.combine_chunks()).astype(np.int64)
-        return t.append_column("text_hash", pa.array(h))
+        t = t.append_column("text_hash", pa.array(h))
+        return t.append_column(
+            "part", pa.array(((h.astype(np.uint64)) % nparts).astype(np.int32)))
 
-    hashed = lang_kept.map_batches(
-        lambda df: pa.Table.from_pandas(df, preserve_index=False), batch_format="pandas"
-    ).map_batches(add_hash, batch_format="pyarrow")
-    exact_unique = hashed.groupby("text_hash").map_groups(
-        lambda g: g.sort_values("doc_id").head(1), batch_format="pandas"
+    def survivors_part(g: pa.Table) -> pa.Table:
+        h = g["text_hash"].to_numpy(zero_copy_only=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        norm = np.asarray(
+            pc.utf8_lower(pc.utf8_trim_whitespace(
+                g["text"].combine_chunks())).to_numpy(zero_copy_only=False),
+            dtype=object)
+        order = np.lexsort((doc, norm, h))
+        hs, ns = h[order], norm[order]
+        first = np.concatenate([[True], (hs[1:] != hs[:-1]) | (ns[1:] != ns[:-1])])
+        return g.take(pa.array(order[first])).drop_columns(["part"])
+
+    exact_unique = (
+        lang_kept.map_batches(add_hash, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("part").map_groups(survivors_part, batch_format="pyarrow")
     )
     # pin: reused by the near-dup pass AND the final write
     exact_unique = exact_unique.materialize()
@@ -94,20 +121,17 @@ def build_clean_corpus(sf_dir: str, out_dir: str, min_tokens: int = 10,
     #    union-found on the driver (bounded memory, no per-round
     #    exchanges); above it the distributed min-label propagation runs
     #    and the drop side becomes a hash-partitioned left_anti join.
-    from ..functions.pools import join_parts
     from ..stages.dedup import resolve_duplicate_groups
 
     pairs = minhash_lsh_candidates(
         exact_unique.map_batches(
-            lambda df: pa.Table.from_pandas(df[["doc_id", "text"]], preserve_index=False),
-            batch_format="pandas",
+            lambda t: t.select(["doc_id", "text"]),
+            batch_format="pyarrow", zero_copy_batch=True,
         )
     ).materialize()
     n_pairs = pairs.count()
 
-    stream = exact_unique.map_batches(
-        lambda df: pa.Table.from_pandas(df, preserve_index=False), batch_format="pandas"
-    )
+    stream = exact_unique
     if n_pairs <= _PAIR_DRIVER_LIMIT:
         pair_df = pairs.to_pandas()
         roots = resolve_duplicate_groups(list(zip(pair_df["id_a"], pair_df["id_b"])))

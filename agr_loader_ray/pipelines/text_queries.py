@@ -72,7 +72,8 @@ def text_quality_scores(sf_dir: str):
 )
 def lang_id_counts(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["text"])
-    scored = ds.map_batches(LangId, batch_format="pandas", concurrency=_pool())
+    scored = ds.map_batches(LangId, batch_format="pyarrow",
+                            zero_copy_batch=True, concurrency=_pool())
     return scored.groupby("pred_lang").aggregate(Count(alias_name="n_docs"))
 
 
@@ -670,19 +671,14 @@ def embedding_near_dup_pairs(sf_dir: str):
             n[n == 0] = 1.0
             sims = round_half_away((m / n[:, None]) @ self.all_mat.T, 6)
             ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-            rows_a, rows_b, rows_s = [], [], []
-            mask = sims >= self.threshold
-            # keep only (a < b) ordered pairs
-            for i in range(len(ids)):
-                js = np.nonzero(mask[i] & (self.all_ids > ids[i]))[0]
-                rows_a.append(np.full(len(js), ids[i]))
-                rows_b.append(self.all_ids[js])
-                rows_s.append(sims[i][js])
+            # (a < b) ordered pairs over threshold: one 2-D mask + nonzero
+            mask = (sims >= self.threshold) & (self.all_ids[None, :] > ids[:, None])
+            ri, ci = np.nonzero(mask)
             return pa.table(
                 {
-                    "id_a": pa.array(np.concatenate(rows_a), pa.int64()),
-                    "id_b": pa.array(np.concatenate(rows_b), pa.int64()),
-                    "sim": pa.array(np.concatenate(rows_s), pa.float64()),
+                    "id_a": pa.array(ids[ri], pa.int64()),
+                    "id_b": pa.array(self.all_ids[ci], pa.int64()),
+                    "sim": pa.array(sims[ri, ci], pa.float64()),
                 }
             )
 

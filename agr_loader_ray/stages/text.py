@@ -15,7 +15,6 @@ generalized to the text operators a 100 TB document pipeline needs.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -67,10 +66,11 @@ class LangId:
         # marker value_set built once per actor
         self.markers = pa.array(sorted(_ENGLISH_MARKERS), pa.string())
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        col = pa.array(batch["text"].to_numpy(), pa.string())
+        col = batch["text"].combine_chunks() if isinstance(
+            batch["text"], pa.ChunkedArray) else batch["text"]
         # token runs of [a-z'] == split on the complement, drop empties —
         # identical multiset to findall("[a-z']+"), fully vectorized
         lists = pc.split_pattern_regex(pc.utf8_lower(col), pattern="[^a-z']+")
@@ -81,14 +81,17 @@ class LangId:
         row_idx = np.repeat(np.arange(len(counts_all)), counts_all)
         nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
         marker = pc.is_in(flat, value_set=self.markers).to_numpy(zero_copy_only=False)
-        n = len(batch)
+        n = batch.num_rows
         tok_counts = np.bincount(row_idx[nonempty], minlength=n)
         marker_counts = np.bincount(row_idx[marker], minlength=n)
         # unrounded: identical int inputs → identical double → identical
         # threshold compare on the SQL-oracle side
-        batch["en_ratio"] = marker_counts / np.maximum(1, tok_counts)
-        batch["pred_lang"] = np.where(batch["en_ratio"] > self.threshold, "en", "other")
-        return batch
+        en_ratio = marker_counts / np.maximum(1, tok_counts)
+        batch = batch.append_column("en_ratio", pa.array(en_ratio, pa.float64()))
+        return batch.append_column(
+            "pred_lang",
+            pa.array(np.where(en_ratio > self.threshold, "en", "other"), pa.string()),
+        )
 
 
 def fingerprint_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
