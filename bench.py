@@ -102,9 +102,14 @@ def run_bench() -> dict:
     import ray.data as _rd
     _rd.range(1_000_000).map_batches(lambda b: b, batch_format="pyarrow").count()
 
-    # best-of-3 trials: steady-state throughput, not scheduler noise
+    # best-of-N trials: steady-state throughput, not scheduler noise.
+    # N=3 for the full bench; the scaling legs use N=5 (RAY_GRAFT_TRIALS)
+    # because the efficiency ratio is the deliverable and each leg's
+    # best-of-N must converge to its true floor — 3 samples leave the
+    # ratio swinging ±0.08 with co-tenant noise.
+    n_trials = int(os.environ.get("RAY_GRAFT_TRIALS", "3"))
     wal_sec, stats = None, None
-    for _ in range(3):
+    for _ in range(n_trials):
         lake_root = tempfile.mkdtemp(prefix="graft_bench_lake_")
         try:
             eng = CdcEngine(lake_root, n_partitions=64)
@@ -136,14 +141,19 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "wal_events": stats["events_applied"],
         "events_per_sec": round(stats["events_applied"] / wal_sec, 1),
+        # ambient context: this is a shared box and co-tenant load moves
+        # measured numbers ±2× (BASELINE.md §2b) — a reader must be able
+        # to tell a loaded run from a quiet one
+        "loadavg_1m": round(os.getloadavg()[0], 2),
     }
     ray.shutdown()
     return out
 
 
 def run_scaling() -> dict:
-    def run(ncpu: int) -> dict:
+    def run_leg(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   RAY_GRAFT_TRIALS="5",
                    RAY_GRAFT_SKIP_QUERIES="1")  # legs measure replay only
         cmd = [sys.executable, os.path.abspath(__file__)]
         if shutil.which("taskset"):
@@ -155,9 +165,14 @@ def run_scaling() -> dict:
         time.sleep(5)  # let the previous leg's raylet/workers fully drain
         return json.loads(out.strip().splitlines()[-1])
 
-    # 32-CPU leg first: it is the noise-sensitive one (the 8-CPU leg only
-    # contends for a quarter of the cores)
-    hi, lo = run(32), run(8)
+    # One fresh pinned process per leg, best-of-5 replays inside each
+    # (identical treatment both legs): the per-leg floor is the least
+    # noise-contaminated estimate of that parallelism level's capacity,
+    # and 5 samples make it converge where 3 left the ratio swinging
+    # ±0.08 under co-tenant noise (BASELINE.md §2b).  32-CPU leg first:
+    # it is the noise-sensitive one (the 8-CPU leg only contends for a
+    # quarter of the cores).
+    hi, lo = run_leg(32), run_leg(8)
     eps_lo, eps_hi = lo["events_per_sec"], hi["events_per_sec"]
     eff = (eps_hi / eps_lo) / (32 / 8)
     return {
@@ -169,6 +184,8 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         "sf": lo["sf"],
         "wal_events": lo["wal_events"],
+        "loadavg_leg32": hi.get("loadavg_1m"),
+        "loadavg_leg8": lo.get("loadavg_1m"),
     }
 
 
