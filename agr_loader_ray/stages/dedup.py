@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -244,6 +245,16 @@ def jaccard_ngram(a: str, b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+#: bounds for the verify stage's broadcast text attachment: the pair
+#: list may be pulled to the driver up to VERIFY_BROADCAST_PAIR_LIMIT
+#: rows (16 B/pair -> ~32 MB), and the id->text map broadcasts only if
+#: the DISTINCT referenced docs stay under VERIFY_BROADCAST_TEXT_LIMIT
+#: (~250 MB object at 500 B/doc).  Above either bound, two hash joins
+#: attach texts instead (never unbounded driver/object-store state).
+VERIFY_BROADCAST_PAIR_LIMIT = 2_000_000
+VERIFY_BROADCAST_TEXT_LIMIT = 500_000
+
+
 def verify_pairs_jaccard(
     pairs: "ray.data.Dataset",
     docs: "ray.data.Dataset",
@@ -253,11 +264,85 @@ def verify_pairs_jaccard(
     text_col: str = "text",
 ) -> "ray.data.Dataset":
     """Exact n-gram-Jaccard verification of candidate pairs (the LSH
-    false-positive filter): two hash joins attach both texts, then the
-    per-pair shingle-set Jaccard runs inside map_batches (bounded by the
-    candidate count — the verify stage is already past the corpus-scale
-    prune).  Returns {id_a, id_b, jaccard} with jaccard ≥ threshold."""
-    from ..functions.pools import join_parts
+    false-positive filter).  Returns {id_a, id_b, jaccard} with
+    jaccard ≥ threshold.
+
+    HYBRID text attachment (same contract as the hot-bucket prefilter):
+    a candidate set under ``VERIFY_BROADCAST_PAIR_LIMIT`` pulls only the
+    REFERENCED texts in one streaming filter pass over docs and
+    broadcasts the id→text map (``ray.put`` once, fetched once per
+    actor) — no join exchange at all; a larger candidate set goes
+    through two hash joins.  Either way the per-pair shingle-set
+    Jaccard runs inside map_batches, bounded by the candidate count —
+    the verify stage is already past the corpus-scale prune."""
+    from ..functions.pools import join_parts, pool
+
+    pairs = pairs.materialize()
+    use_broadcast = pairs.count() <= VERIFY_BROADCAST_PAIR_LIMIT
+    if use_broadcast:
+        pair_tbl = pa.concat_tables(
+            pairs.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        ids = np.unique(np.concatenate([
+            pair_tbl["id_a"].to_numpy(zero_copy_only=False),
+            pair_tbl["id_b"].to_numpy(zero_copy_only=False),
+        ])) if pair_tbl.num_rows else np.empty(0, np.int64)
+        use_broadcast = len(ids) <= VERIFY_BROADCAST_TEXT_LIMIT
+    if use_broadcast:
+        import ray as _ray
+
+        ids_arr = pa.array(ids)
+        needed = docs.map_batches(
+            lambda t: pa.table({
+                "id": t[id_col], "text": t[text_col]
+            }).filter(pc.is_in(t[id_col], value_set=ids_arr)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        texts: dict = {}
+        for b in needed.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            texts.update(zip(b["id"].to_pylist(), b["text"].to_pylist()))
+        ref = _ray.put(texts)
+
+        class ScoreBroadcast:
+            """Per-actor shingle-set cache: each doc's sorted distinct
+            shingle hashes are computed at most once per actor (hot docs
+            appear in MANY candidate pairs — re-shingling per pair was
+            the stage's dominant cost), and the pair Jaccard is a
+            sorted-array membership count (searchsorted), identical to
+            ``jaccard_ngram``'s set arithmetic on the same hashes."""
+
+            def __init__(self, ref):
+                self.texts = _ray.get(ref)  # once per actor
+                self._sets: dict = {}
+
+            def _shingles(self, doc_id) -> np.ndarray:
+                s = self._sets.get(doc_id)
+                if s is None:
+                    s = np.unique(_shingle_hashes(self.texts.get(doc_id, ""), k))
+                    self._sets[doc_id] = s
+                return s
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                ja = np.empty(t.num_rows)
+                for i, (a, b) in enumerate(zip(t["id_a"].to_pylist(),
+                                               t["id_b"].to_pylist())):
+                    sa, sb = self._shingles(a), self._shingles(b)
+                    if len(sa) > len(sb):
+                        sa, sb = sb, sa
+                    loc = np.searchsorted(sb, sa)
+                    loc[loc == len(sb)] = len(sb) - 1 if len(sb) else 0
+                    inter = int((sb[loc] == sa).sum()) if len(sb) else 0
+                    union = len(sa) + len(sb) - inter
+                    ja[i] = inter / union if union else 0.0
+                keep = ja >= threshold
+                return pa.table({
+                    "id_a": t["id_a"].combine_chunks().filter(pa.array(keep)),
+                    "id_b": t["id_b"].combine_chunks().filter(pa.array(keep)),
+                    "jaccard": pa.array(ja[keep], pa.float64()),
+                })
+
+        return pairs.map_batches(ScoreBroadcast, fn_constructor_args=(ref,),
+                                 batch_format="pyarrow", zero_copy_batch=True,
+                                 batch_size=8192, concurrency=pool())
 
     a_side = docs.map_batches(
         lambda t: pa.table({"a_id": t[id_col], "a_text": t[text_col]}),

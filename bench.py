@@ -66,6 +66,10 @@ def run_bench() -> dict:
     import ray
     from ray.data import DataContext
 
+    # ambient load BEFORE this process spins anything up — captured at
+    # the end it would mostly measure our own ray workers
+    loadavg_ambient = os.getloadavg()[0]
+
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     ctx = DataContext.get_current()
@@ -144,7 +148,7 @@ def run_bench() -> dict:
         # ambient context: this is a shared box and co-tenant load moves
         # measured numbers ±2× (BASELINE.md §2b) — a reader must be able
         # to tell a loaded run from a quiet one
-        "loadavg_1m": round(os.getloadavg()[0], 2),
+        "loadavg_1m": round(loadavg_ambient, 2),
     }
     ray.shutdown()
     return out
