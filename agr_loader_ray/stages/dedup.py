@@ -39,6 +39,55 @@ _PRIME = np.uint64((1 << 61) - 1)
 #: state); above it the filter runs as a distributed left_semi join.
 _BROADCAST_HOT_LIMIT = 2_000_000
 
+_MULT64 = np.uint64(0x9E3779B97F4A7C15)
+
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array (numpy<2 lacks bitwise_count)."""
+    return _POP8[x.view(np.uint8)].reshape(len(x), 8).sum(axis=1).astype(np.int64)
+
+
+def _hash_part_col(t: pa.Table, key_col: str, nparts: int,
+                   out: str = "part") -> pa.Table:
+    """Append a bounded hash-partition column derived from ``key_col`` —
+    the exchange key for the groupby(part) + vectorized-kernel pattern
+    (per-key ``groupby().aggregate``/``map_groups`` over 10^5+ tiny
+    groups measured 25-40 s where this shape runs in ~2 s)."""
+    k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        part = ((k * _MULT64) >> np.uint64(33)) % np.uint64(nparts)
+    return t.append_column(out, pa.array(part.astype(np.int32)))
+
+
+def _hot_bucket_keys(banded: "ray.data.Dataset", nparts: int) -> "ray.data.Dataset":
+    """{hkey} = bucket keys with ≥2 members: per-block partial counts →
+    ONE hash-partition exchange → per-partition reduceat sum, emitting
+    only colliding keys (fuses the count aggregate and the hot filter)."""
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        u = t.select(["bkey"]).group_by("bkey").aggregate([("bkey", "count")])
+        return _hash_part_col(u, "bkey", nparts)
+
+    def hot_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"hkey": pa.array([], pa.int64())})
+        k = g["bkey"].to_numpy(zero_copy_only=False)
+        c = g["bkey_count"].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks, cs = k[order], c[order]
+        first = np.nonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))[0]
+        sums = np.add.reduceat(cs, first)
+        keys = ks[first]
+        return pa.table({"hkey": pa.array(keys[sums > 1])})
+
+    return (
+        banded.map_batches(partial_counts, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("part").map_groups(hot_part, batch_format="pyarrow")
+    )
+
 
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """uint64 hashes of the k-char shingles of a document.
@@ -98,24 +147,41 @@ class MinHasher:
 
 
 def _dedup_pairs(cand: "ray.data.Dataset", extra_cols: list[str] = []) -> "ray.data.Dataset":
-    """Exact distinct over (id_a, id_b) pair rows — vectorized (combined
-    pair key + arrow aggregate), never per-group Python: candidate sets
-    can reach 10^5+ pairs and map_groups(head) over that many groups is
-    the dominant cost."""
-    import pyarrow.compute as _pc
-    from ray.data.aggregate import Min as _Min
+    """Exact distinct over (id_a, id_b) pair rows — ONE hash-partition
+    exchange + a per-partition lexsort dedup kernel, never per-pair
+    aggregation (candidate sets reach 10^5+ pairs; per-pair
+    ``groupby().aggregate`` over that many groups measured 25-40 s where
+    this shape runs in ~2 s).  The first occurrence of each pair keeps
+    any extra columns (``extra_cols`` kept for API compatibility —
+    duplicates of a pair come from different bands and carry equal
+    extras, so first ≡ min)."""
+    from ..functions.pools import join_parts as _jp
 
-    def pkey(t: pa.Table) -> pa.Table:
+    nparts = _jp()
+
+    def add_part(t: pa.Table) -> pa.Table:
         a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
         b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
         with np.errstate(over="ignore"):
-            key = a * np.uint64(0x9E3779B97F4A7C15) ^ b
-        return t.append_column("pkey", pa.array(key.astype(np.int64)))
+            key = (a * _MULT64) ^ b
+            part = ((key * _MULT64) >> np.uint64(33)) % np.uint64(nparts)
+        return t.append_column("ppart", pa.array(part.astype(np.int32)))
 
-    aggs = [_Min("id_a", alias_name="id_a"), _Min("id_b", alias_name="id_b")]
-    aggs += [_Min(c, alias_name=c) for c in extra_cols]
-    out = cand.map_batches(pkey, batch_format="pyarrow").groupby("pkey").aggregate(*aggs)
-    return out.map_batches(lambda t: t.drop_columns(["pkey"]), batch_format="pyarrow")
+    def distinct_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.drop_columns(["ppart"])
+        a = g["id_a"].to_numpy(zero_copy_only=False)
+        b = g["id_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        first = np.concatenate(
+            [[True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])])
+        return g.take(pa.array(order[first])).drop_columns(["ppart"])
+
+    return (
+        cand.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ppart").map_groups(distinct_part, batch_format="pyarrow")
+    )
 
 
 def minhash_lsh_candidates(ds: "ray.data.Dataset", num_perm: int = 64, bands: int = 16,
@@ -171,7 +237,6 @@ def minhash_lsh_candidates(ds: "ray.data.Dataset", num_perm: int = 64, bands: in
     # size-1 groups was the dominant cost).
     import pyarrow as _pa
     import pyarrow.compute as _pc
-    from ray.data.aggregate import Sum as _Sum
 
     def bucket_key(t: _pa.Table) -> _pa.Table:
         bh = t["bhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -186,26 +251,17 @@ def minhash_lsh_candidates(ds: "ray.data.Dataset", num_perm: int = 64, bands: in
     nblocks = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
     banded = banded.map_batches(bucket_key, batch_format="pyarrow").repartition(nblocks).materialize()
 
-    def partial_counts(t: _pa.Table) -> _pa.Table:
-        return t.select(["bkey"]).group_by("bkey").aggregate([("bkey", "count")])
-
-    counts = (
-        banded.map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("bkey").aggregate(_Sum("bkey_count", alias_name="n"))
-    )
     # colliding buckets: hybrid prefilter.  The hot-key set is bounded by
     # the collision count; up to _BROADCAST_HOT_LIMIT keys it is cheaper
     # to broadcast them and filter with a vectorized is_in (measured 2-4×
     # faster than a hash-shuffle join at this scale — join actors cost a
     # full exchange).  Beyond the limit (boilerplate-heavy corpora at
     # 100 TB) fall back to the distributed left_semi join — never
-    # unbounded driver state.
+    # unbounded driver state.  The count+filter is ONE fused
+    # hash-partition exchange (``_hot_bucket_keys``).
     from ..functions.pools import join_parts as _join_parts
 
-    hot_ds = counts.map_batches(
-        lambda t: _pa.table({"hkey": t.filter(_pc.greater(t["n"], 1))["bkey"]}),
-        batch_format="pyarrow",
-    ).materialize()
+    hot_ds = _hot_bucket_keys(banded, _join_parts()).materialize()
     n_hot = hot_ds.count()
     if n_hot == 0:  # Dataset.join rejects a fully-empty right side
         return ray.data.from_arrow(
@@ -225,14 +281,38 @@ def minhash_lsh_candidates(ds: "ray.data.Dataset", num_perm: int = 64, bands: in
                                 num_partitions=_join_parts(),
                                 on=("bkey",), right_on=("hkey",))
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
-        if len(ids) < 2 or len(ids) > max_bucket:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+    def pairs_part(g: _pa.Table) -> _pa.Table:
+        # vectorized over ALL buckets in the partition: sort rows by
+        # (bkey, id), segment into runs, expand each run's upper triangle
+        empty = _pa.table({"id_a": _pa.array([], _pa.int64()),
+                           "id_b": _pa.array([], _pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        bk = g["bkey"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bk))
+        bks, idss = bk[order], ids[order]
+        starts = np.nonzero(np.concatenate([[True], bks[1:] != bks[:-1]]))[0]
+        sizes = np.diff(np.append(starts, len(bks)))
+        out_a, out_b = [], []
+        for st, sz in zip(starts, sizes):
+            if sz < 2 or sz > max_bucket:
+                continue
+            seg = idss[st:st + sz]
+            ai, bi = np.triu_indices(sz, k=1)
+            out_a.append(seg[ai])
+            out_b.append(seg[bi])
+        if not out_a:
+            return empty
+        return _pa.table({"id_a": _pa.array(np.concatenate(out_a), _pa.int64()),
+                          "id_b": _pa.array(np.concatenate(out_b), _pa.int64())})
 
-    cand = survivors.groupby("bkey").map_groups(pairs, batch_format="pandas")
+    cand = (
+        survivors.map_batches(
+            lambda t: _hash_part_col(t, "bkey", _join_parts(), "bpart"),
+            batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bpart").map_groups(pairs_part, batch_format="pyarrow")
+    )
     # dedup identical pairs found by multiple bands
     return _dedup_pairs(cand)
 
@@ -408,7 +488,6 @@ def simhash_near_dup_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
     """Near-dup pairs by SimHash banding: 4 chunks of 16 bits — any pair
     within hamming ≤ 3 must share at least one exact chunk (pigeonhole)."""
     import pyarrow.compute as _pc
-    from ray.data.aggregate import Sum as _Sum
 
     def explode_chunks(batch: pa.Table) -> pa.Table:
         sh = SimHasher()
@@ -433,19 +512,10 @@ def simhash_near_dup_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
         explode_chunks, batch_format="pyarrow", zero_copy_batch=True
     ).repartition(nblocks).materialize()
 
-    counts = (
-        banded.map_batches(
-            lambda t: t.select(["bkey"]).group_by("bkey").aggregate([("bkey", "count")]),
-            batch_format="pyarrow",
-        )
-        .groupby("bkey").aggregate(_Sum("bkey_count", alias_name="n"))
-    )
     from ..functions.pools import join_parts as _join_parts
 
-    hot_ds = counts.map_batches(
-        lambda t: pa.table({"hkey": t.filter(_pc.greater(t["n"], 1))["bkey"]}),
-        batch_format="pyarrow",
-    ).materialize()
+    # count+hot-filter as ONE fused hash-partition exchange
+    hot_ds = _hot_bucket_keys(banded, _join_parts()).materialize()
     n_hot = hot_ds.count()
     if n_hot == 0:  # Dataset.join rejects a fully-empty right side
         return ray.data.from_arrow(
@@ -466,20 +536,48 @@ def simhash_near_dup_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
                                 num_partitions=_join_parts(),
                                 on=("bkey",), right_on=("hkey",))
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col).drop_duplicates(id_col)
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                                 "id_b": pd.Series(dtype=np.int64),
-                                 "hamming": pd.Series(dtype=np.int64)})
-        ids = g[id_col].to_numpy()
-        sigs = g["simhash"].to_numpy().astype(np.uint64)
-        a, b = np.triu_indices(len(ids), k=1)
-        ham = np.array([bin(int(sigs[i] ^ sigs[j])).count("1") for i, j in zip(a, b)])
+    def pairs_part(g: pa.Table) -> pa.Table:
+        # all buckets of the partition in one pass: sort by (bkey, id),
+        # drop within-bucket id duplicates, expand each run's upper
+        # triangle; hamming distances via vectorized popcount
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        bk = g["bkey"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        sigs = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids, bk))
+        bks, idss, sgs = bk[order], ids[order], sigs[order]
+        uniq = np.concatenate(
+            [[True], (bks[1:] != bks[:-1]) | (idss[1:] != idss[:-1])])
+        bks, idss, sgs = bks[uniq], idss[uniq], sgs[uniq]
+        starts = np.nonzero(np.concatenate([[True], bks[1:] != bks[:-1]]))[0]
+        sizes = np.diff(np.append(starts, len(bks)))
+        out_a, out_b, out_s = [], [], []
+        for st, sz in zip(starts, sizes):
+            if sz < 2:
+                continue
+            ai, bi = np.triu_indices(sz, k=1)
+            out_a.append(idss[st + ai])
+            out_b.append(idss[st + bi])
+            out_s.append(sgs[st + ai] ^ sgs[st + bi])
+        if not out_a:
+            return empty
+        ham = _popcount64(np.concatenate(out_s))
+        a_all, b_all = np.concatenate(out_a), np.concatenate(out_b)
         keep = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[a][keep], "id_b": ids[b][keep], "hamming": ham[keep]})
+        return pa.table({"id_a": pa.array(a_all[keep], pa.int64()),
+                         "id_b": pa.array(b_all[keep], pa.int64()),
+                         "hamming": pa.array(ham[keep], pa.int64())})
 
-    cand = survivors.groupby("bkey").map_groups(pairs, batch_format="pandas")
+    cand = (
+        survivors.map_batches(
+            lambda t: _hash_part_col(t, "bkey", _join_parts(), "bpart"),
+            batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bpart").map_groups(pairs_part, batch_format="pyarrow")
+    )
     return _dedup_pairs(cand, extra_cols=["hamming"])
 
 
