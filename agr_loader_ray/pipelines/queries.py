@@ -452,18 +452,27 @@ def dedup_exact_text(sf_dir: str):
             }
         )
 
-    # group by (h, lang) — the oracle partitions by (norm_text, lang) — and
-    # confirm in-group text equality so a 64-bit hash collision cannot
-    # silently merge unrelated docs: one survivor per DISTINCT norm text.
-    def survivors_fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        first = g.groupby("norm", sort=False).head(1)
+    # partition by hash(h) — the oracle partitions by (norm_text, lang) —
+    # and confirm in-group text equality so a 64-bit hash collision cannot
+    # silently merge unrelated docs: one survivor per DISTINCT (norm,
+    # lang).  One hash-partition exchange + a C-speed groupby.head kernel
+    # per partition, never per-text map_groups (data-scaled group count).
+    from ..functions.pools import join_parts
+    from ..stages.partition import int_key_part_col
+
+    nparts = join_parts()
+
+    def survivors_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        first = g.groupby(["h", "lang", "norm"], sort=False).head(1)
         return first[["lang", "len"]]
 
     survivors = (
         ds.map_batches(norm_hash, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["h", "lang"])
-        .map_groups(survivors_fn, batch_format="pandas")
+        .map_batches(lambda t: int_key_part_col(t, "h", nparts),
+                     batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(survivors_part, batch_format="pandas")
     )
     return survivors.groupby("lang").aggregate(
         Count(alias_name="n_docs"), Sum("len", alias_name="total_chars")
@@ -487,14 +496,29 @@ def dedup_exact_text(sf_dir: str):
     """,
 )
 def topk_orders_per_customer(sf_dir: str):
+    from ..functions.pools import join_parts
+    from ..stages.partition import int_key_part_col
+
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    nparts = join_parts()
 
-    def top3(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(3)
-        g["price_c"] = (g["o_totalprice"] * 100).round().astype(np.int64)
-        return g[["o_custkey", "o_orderkey", "price_c"]]
+    # hash-partition exchange + ONE vectorized kernel per partition
+    # (groupby(o_custkey).map_groups pays a Python call per customer —
+    # data-scaled; pandas' C groupby.head inside the partition does not)
+    def top3_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("o_custkey", sort=False).head(3)
+        return pd.DataFrame({
+            "o_custkey": g["o_custkey"],
+            "o_orderkey": g["o_orderkey"],
+            "price_c": (g["o_totalprice"] * 100).round().astype(np.int64),
+        })
 
-    return ds.groupby("o_custkey").map_groups(top3, batch_format="pandas")
+    return ds.map_batches(
+        lambda t: int_key_part_col(t, "o_custkey", nparts),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("gpart").map_groups(top3_part, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -546,17 +570,33 @@ def global_top10_lineitems(sf_dir: str):
     """,
 )
 def sessionize_events(sf_dir: str):
+    from ..functions.pools import join_parts
+    from ..stages.partition import int_key_part_col
+
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    nparts = join_parts()
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+    def sessions_part(g: pd.DataFrame) -> pd.DataFrame:
+        # all users of the partition in one pass: sort by (user, ts,
+        # event), session break = in-user gap > 30 min, C-speed groupby
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         gaps = g["ts"].astype("int64").diff()
-        n_sessions = int(1 + (gaps > 1_800_000_000).sum())
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions], "n_events": [len(g)]}
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        brk = ((gaps > 1_800_000_000) & same_user).astype(np.int64)
+        res = (
+            pd.DataFrame({"user_id": g["user_id"], "brk": brk})
+            .groupby("user_id", sort=False)
+            .agg(n_sessions=("brk", "sum"), n_events=("brk", "size"))
+            .reset_index()
         )
+        res["n_sessions"] = (res["n_sessions"] + 1).astype(np.int64)
+        res["n_events"] = res["n_events"].astype(np.int64)
+        return res
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return ds.map_batches(
+        lambda t: int_key_part_col(t, "user_id", nparts),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("gpart").map_groups(sessions_part, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -811,26 +851,37 @@ def dag_closure_edges(sf_dir: str):
     """,
 )
 def asof_join_purchase_view(sf_dir: str):
-    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+    from ..functions.pools import join_parts
+    from ..stages.partition import int_key_part_col
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        p = g[g["event_type"] == "purchase"].sort_values("ts")
-        v = g[g["event_type"] == "view"].sort_values("ts")
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+    nparts = join_parts()
+
+    def asof_part(g: pd.DataFrame) -> pd.DataFrame:
+        # every user of the partition in ONE C-speed merge_asof
+        # (by=user_id); last view at-or-before each purchase
+        empty = pd.DataFrame({"event_id": pd.Series(dtype=np.int64),
+                              "user_id": pd.Series(dtype=np.int64),
+                              "view_ts": pd.Series(dtype="datetime64[us]")})
+        p = g[g["event_type"] == "purchase"].sort_values("ts", kind="mergesort")
+        v = g[g["event_type"] == "view"].sort_values("ts", kind="mergesort")
         if p.empty or v.empty:
-            return pd.DataFrame({"event_id": pd.Series(dtype=np.int64),
-                                 "user_id": pd.Series(dtype=np.int64),
-                                 "view_ts": pd.Series(dtype="datetime64[us]")})
-        m = pd.merge_asof(p[["event_id", "user_id", "ts"]], v[["ts"]],
-                          on="ts", direction="backward", suffixes=("", "_v"))
-        # merge_asof on one column: matched v.ts is the join key itself;
-        # re-derive it via searchsorted for the output column
-        idx = np.searchsorted(v["ts"].to_numpy(), p["ts"].to_numpy(), side="right") - 1
-        ok = idx >= 0
-        out = p.loc[ok, ["event_id", "user_id"]].copy()
-        out["view_ts"] = v["ts"].to_numpy()[idx[ok]]
+            return empty
+        m = pd.merge_asof(
+            p[["event_id", "user_id", "ts"]],
+            v[["user_id", "ts"]].assign(view_ts=v["ts"]),
+            on="ts", by="user_id", direction="backward",
+        )
+        out = m.dropna(subset=["view_ts"])[["event_id", "user_id", "view_ts"]]
+        if out.empty:
+            return empty
+        out["view_ts"] = out["view_ts"].astype("datetime64[us]")
         return out
 
-    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return ds.map_batches(
+        lambda t: int_key_part_col(t, "user_id", nparts),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("gpart").map_groups(asof_part, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -901,14 +952,24 @@ def union_user_activity(sf_dir: str):
     """,
 )
 def running_value_per_user(sf_dir: str):
+    from ..functions.pools import join_parts
+    from ..stages.partition import int_key_part_col
+
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "value", "ts"])
+    nparts = join_parts()
 
-    def cumsum(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+    def cumsum_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         cents = (g["value"] * 100).round().astype(np.int64)
-        return pd.DataFrame({"event_id": g["event_id"], "cum_value_c": cents.cumsum()})
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "cum_value_c": cents.groupby(g["user_id"].to_numpy()).cumsum(),
+        })
 
-    return ds.groupby("user_id").map_groups(cumsum, batch_format="pandas")
+    return ds.map_batches(
+        lambda t: int_key_part_col(t, "user_id", nparts),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("gpart").map_groups(cumsum_part, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -53,6 +53,21 @@ def add_partition_column(batch: pa.Table, n_partitions: int,
     return batch.append_column(PART_COL, pa.array(part, pa.int32()))
 
 
+def int_key_part_col(t: pa.Table, key_col: str, n_partitions: int,
+                     out: str = "gpart") -> pa.Table:
+    """Append a bounded hash-partition column derived from an integer key.
+
+    The exchange key for the ``groupby(part).map_groups`` + vectorized
+    per-partition kernel pattern: per-key ``map_groups`` pays a Python
+    call per group (data-scaled), per-key ``aggregate`` measured 25-40 s
+    on ~500 k groups — this shape pays ``n_partitions`` calls and keeps
+    each kernel a handful of numpy/pandas C operations."""
+    k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        part = ((k * _MIX) >> np.uint64(33)) % np.uint64(n_partitions)
+    return t.append_column(out, pa.array(part.astype(np.int32)))
+
+
 def skew_stats(ds, conv_col: str = "conv_id", top_k: int = 20) -> pd.DataFrame:
     """Per-conversation change counts (partial-aggregated) → top-k hot keys.
 
