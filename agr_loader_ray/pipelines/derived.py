@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -103,21 +104,31 @@ def conversation_text(lake_root: str, epoch: int | None = None,
     CDS-per-transcript ordered assembly,
     ``/root/reference/src/etl/protein_sequence_etl.py:175-203`` —
     ``groupby(key).map_groups(sorted concat)``)."""
+    from ..functions.pools import join_parts
+    from ..stages.partition import str_key_part_col
+
     ds = read_lake(lake_root, epoch=epoch, columns=["conv_id", "turn_idx", "role", "text"])
+    nparts = join_parts()
 
-    def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("turn_idx")
-        return pd.DataFrame(
-            {
-                "conv_id": [g["conv_id"].iloc[0]],
-                "n_turns": [len(g)],
-                "dialogue": [sep.join(
-                    f"{r}: {t}" for r, t in zip(g["role"].fillna(""), g["text"].fillna(""))
-                )],
-            }
+    def assemble_part(g: pd.DataFrame) -> pd.DataFrame:
+        # all conversations of the partition in one C-speed groupby —
+        # per-conv map_groups pays a Python call per conversation
+        # (data-scaled)
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        line = g["role"].fillna("") + ": " + g["text"].fillna("")
+        agg = (
+            pd.DataFrame({"conv_id": g["conv_id"], "line": line})
+            .groupby("conv_id", sort=False)
+            .agg(n_turns=("line", "size"), dialogue=("line", sep.join))
+            .reset_index()
         )
+        agg["n_turns"] = agg["n_turns"].astype(np.int64)
+        return agg[["conv_id", "n_turns", "dialogue"]]
 
-    return ds.groupby("conv_id").map_groups(assemble, batch_format="pandas")
+    return ds.map_batches(
+        lambda t: str_key_part_col(t, "conv_id", nparts),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("gpart").map_groups(assemble_part, batch_format="pandas")
 
 
 def conversation_descriptions(lake_root: str, epoch: int | None = None) -> "ray.data.Dataset":

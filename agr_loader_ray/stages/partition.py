@@ -68,6 +68,14 @@ def int_key_part_col(t: pa.Table, key_col: str, n_partitions: int,
     return t.append_column(out, pa.array(part.astype(np.int32)))
 
 
+def str_key_part_col(t: pa.Table, key_col: str, n_partitions: int,
+                     out: str = "gpart") -> pa.Table:
+    """``int_key_part_col`` for string keys (stable SipHash first)."""
+    h = stable_hash_strings(t[key_col])
+    part = (h % np.uint64(n_partitions)).astype(np.int32)
+    return t.append_column(out, pa.array(part, pa.int32()))
+
+
 def skew_stats(ds, conv_col: str = "conv_id", top_k: int = 20) -> pd.DataFrame:
     """Per-conversation change counts (partial-aggregated) → top-k hot keys.
 
@@ -100,12 +108,27 @@ def salted_topk_per_key(ds, key: str, sort_cols: list[str], ascending: list[bool
     exchange over ≤ n_salt × k rows per hot key finishes.  Cold keys take
     salt 0 and skip straight through the same two stages.
 
+    Both exchanges run the partition-kernel shape (bounded ``gpart``
+    hash-partition column → one vectorized pandas kernel per partition)
+    rather than per-key ``map_groups`` — a Python call per (key, salt)
+    group is data-scaled at 100 TB; a sort + ``groupby(...).head(k)``
+    per partition is C-speed.
+
     ``hot_keys``: iterable of hot key values (from ``skew_stats``).
     """
     import pyarrow as pa
     import ray
 
+    from ..functions.pools import join_parts, pool as _pool
+
     hot_ref = ray.put(np.asarray(list(hot_keys)))
+    nparts = join_parts()
+
+    def _key_u64(keys: np.ndarray) -> np.ndarray:
+        if np.issubdtype(keys.dtype, np.integer):
+            with np.errstate(over="ignore"):
+                return (keys.astype(np.uint64) * _MIX) >> np.uint64(17)
+        return stable_hash_strings(keys)
 
     class Salt:
         def __init__(self, ref):
@@ -120,19 +143,29 @@ def salted_topk_per_key(ds, key: str, sort_cols: list[str], ascending: list[bool
                 (np.arange(len(keys), dtype=np.int64) + keys) % n_salt,
                 0,
             ).astype(np.int64)
-            return t.append_column("_salt", pa.array(salt))
+            # first-exchange partition mixes the salt so a hot key's
+            # rows land on n_salt distinct aggregators
+            h = _key_u64(keys)
+            gpart = ((h ^ (salt.astype(np.uint64) + np.uint64(1)) * _MIX)
+                     % np.uint64(nparts)).astype(np.int32)
+            return t.append_column("_salt", pa.array(salt)).append_column(
+                "gpart", pa.array(gpart, pa.int32()))
 
-    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(sort_cols, ascending=ascending).head(k)
+    def local_topk_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+        out = g.groupby([key, "_salt"], sort=False).head(k)
+        keys = out[key].to_numpy()
+        out = out.drop(columns=["gpart"]).copy()
+        out["gpart"] = (_key_u64(keys) % np.uint64(nparts)).astype(np.int32)
+        return out
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        return (g.sort_values(sort_cols, ascending=ascending).head(k)
-                .drop(columns=["_salt"]))
-
-    from ..functions.pools import pool as _pool
+    def final_topk_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+        return (g.groupby(key, sort=False).head(k)
+                .drop(columns=["_salt", "gpart"]))
 
     salted = ds.map_batches(Salt, fn_constructor_args=(hot_ref,),
                             batch_format="pyarrow", zero_copy_batch=True,
                             concurrency=_pool())
-    pre = salted.groupby([key, "_salt"]).map_groups(local_topk, batch_format="pandas")
-    return pre.groupby(key).map_groups(final_topk, batch_format="pandas")
+    pre = salted.groupby("gpart").map_groups(local_topk_part, batch_format="pandas")
+    return pre.groupby("gpart").map_groups(final_topk_part, batch_format="pandas")
