@@ -729,3 +729,196 @@ def clean_corpus(sf_dir: str):
     out = tempfile.mkdtemp(prefix="agr_corpus_")
     info = build_clean_corpus(sf_dir, out)
     return _rd.read_parquet(info["path"])
+
+
+# ---------------------------------------------------------------------------
+# pack_context_windows — greedy sequence packing into token-budget bins,
+# the LLM-training context-window packing op.  Docs are sharded
+# (doc_id % PACK_SHARDS — at scale one shard per writer, packing is
+# per-shard local so no whole-corpus coordination), ordered by doc_id within
+# the shard, and greedily accumulated: a doc that would overflow the
+# budget starts a new bin.  The per-shard kernel is O(n_bins) numpy
+# searchsorted calls on the token cumsum — no per-doc Python.
+# Reference analogue: batched commit sizing (SURVEY §2.2 K2,
+# /root/reference/src/transactors/neo4j_transactor.py:83-101 — fixed
+# 10k-row commit batches); recast as token-budget packing.
+# ---------------------------------------------------------------------------
+PACK_SHARDS = 8
+PACK_BUDGET = 512
+
+@query(
+    "pack_context_windows",
+    f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY doc_id % {PACK_SHARDS}
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ), packed AS (
+      SELECT shard, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin_id, n_tokens AS cum
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+             CASE WHEN p.cum + d.n_tokens <= {PACK_BUDGET}
+                  THEN p.bin_id ELSE p.bin_id + 1 END,
+             CASE WHEN p.cum + d.n_tokens <= {PACK_BUDGET}
+                  THEN p.cum + d.n_tokens ELSE d.n_tokens END
+      FROM docs d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, n_tokens, bin_id FROM packed
+    """,
+)
+def pack_context_windows(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tokens(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        ntok = pc.cast(pc.list_value_length(pc.split_pattern(t["text"], " ")),
+                       pa.int64())
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "shard": pa.array(did % PACK_SHARDS, pa.int64()),
+            "n_tokens": ntok,
+        })
+
+    def pack_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        tok = g["n_tokens"].to_numpy()
+        cum = np.cumsum(tok)
+        n = len(tok)
+        bins = np.zeros(n, dtype=np.int64)
+        start, b, base = 0, 0, 0
+        while start < n:  # O(n_bins) iterations, each a C searchsorted
+            j = int(np.searchsorted(cum, base + PACK_BUDGET, side="right"))
+            if j <= start:  # oversized doc: its own bin
+                j = start + 1
+            bins[start:j] = b
+            b += 1
+            base = int(cum[j - 1])
+            start = j
+        return pd.DataFrame({"doc_id": g["doc_id"], "shard": g["shard"],
+                             "n_tokens": g["n_tokens"], "bin_id": bins})
+
+    return ds.map_batches(tokens, batch_format="pyarrow",
+                          zero_copy_batch=True).groupby("shard").map_groups(
+        pack_part, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# token_repetition_stats — distinct-token ratio per doc (the repetition /
+# boilerplate quality filter: low distinct ratio → templated text).
+# Fully vectorized: one split_pattern pass, factorize the flattened
+# token stream, distinct-per-doc via unique on (doc, code) int64 keys.
+# ---------------------------------------------------------------------------
+@query(
+    "token_repetition_stats",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             AS n_distinct_tokens
+    FROM documents
+    """,
+)
+def token_repetition_stats(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offsets = flat.offsets.to_numpy().astype(np.int64)
+        counts = np.diff(offsets)
+        n = len(counts)
+        values = flat.values.to_numpy(zero_copy_only=False)
+        values = values[offsets[0]:offsets[-1]]
+        if len(values):
+            codes = pd.factorize(values)[0].astype(np.int64)
+            ncodes = int(codes.max()) + 1
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+            uniq = np.unique(doc_idx * ncodes + codes)
+            ndist = np.bincount(uniq // ncodes, minlength=n).astype(np.int64)
+        else:
+            ndist = np.zeros(n, dtype=np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pa.array(counts, pa.int64()),
+                         "n_distinct_tokens": pa.array(ndist, pa.int64())})
+
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# pii_scrub_counts — regex redaction over the corpus (the PII-scrub pass
+# every training pipeline runs before export).  Vectorized RE2 kernels
+# (count_substring_regex + replace_substring_regex) — Arrow and DuckDB
+# both speak RE2, so the oracle is the same pattern verbatim.
+# ---------------------------------------------------------------------------
+_PII_PATTERN = "(key|hash|[0-9]+)"
+
+@query(
+    "pii_scrub_counts",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_PATTERN}')) AS BIGINT)
+             AS n_redacted,
+           CAST(length(regexp_replace(text, '{_PII_PATTERN}', '[PII]', 'g'))
+             AS BIGINT) AS scrubbed_len
+    FROM documents
+    """,
+)
+def pii_scrub_counts(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n_red = pc.cast(pc.count_substring_regex(t["text"], _PII_PATTERN),
+                        pa.int64())
+        scrubbed = pc.replace_substring_regex(t["text"], _PII_PATTERN, "[PII]")
+        return pa.table({"doc_id": t["doc_id"], "n_redacted": n_red,
+                         "scrubbed_len": pc.cast(pc.utf8_length(scrubbed),
+                                                 pa.int64())})
+
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# repeat_turn_counts — adjacent-duplicate turn detection per user
+# (transcript QA: a conversation whose consecutive turns repeat the same
+# role/type is malformed).  Partition-kernel exchange on hash(user) —
+# one vectorized shift-compare per partition, never per user.
+# ---------------------------------------------------------------------------
+@query(
+    "repeat_turn_counts",
+    """
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = prev_et) AS BIGINT)
+             AS n_repeats
+    FROM (SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_et
+          FROM events) t
+    GROUP BY user_id
+    """,
+)
+def repeat_turn_counts(sf_dir: str):
+    from ..functions.pools import join_parts
+    from ..stages.partition import int_key_part_col
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type", "ts"])
+    nparts = join_parts()
+
+    def repeats_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rep = (g["user_id"].eq(g["user_id"].shift())
+               & g["event_type"].eq(g["event_type"].shift())).astype(np.int64)
+        out = (pd.DataFrame({"user_id": g["user_id"], "rep": rep})
+               .groupby("user_id", sort=False)["rep"].sum()
+               .rename("n_repeats").reset_index())
+        out["n_repeats"] = out["n_repeats"].astype(np.int64)
+        return out
+
+    return ds.map_batches(
+        lambda t: int_key_part_col(t, "user_id", nparts),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("gpart").map_groups(repeats_part, batch_format="pandas")

@@ -1,0 +1,115 @@
+"""Round-3 training-data operators: context-window packing, repetition
+stats, PII scrub, repeat-turn QA — asserted with the driver's exact
+typed-hash compare (sorted columns, mergesort rows, dtype-sensitive
+pandas value hash) plus an independent pure-Python greedy reference for
+the packing semantics.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+
+NEW_OPS = [
+    "pack_context_windows",
+    "token_repetition_stats",
+    "pii_scrub_counts",
+    "repeat_turn_counts",
+]
+
+
+def _typed_hash(df: pd.DataFrame):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return (tuple(str(df[c].dtype) for c in df.columns),
+            int(pd.util.hash_pandas_object(df, index=False).sum()))
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", NEW_OPS)
+def test_training_op_typed_hash(name, oracle_con, ray_session):
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    assert name in qs and name in oracles
+    res = qs[name](SF)
+    got = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+    want = oracle_con.sql(oracles[name]).arrow().to_pandas()
+    assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
+    g, w = _typed_hash(got), _typed_hash(want)
+    assert g[0] == w[0], f"{name}: dtypes {g[0]} != {w[0]}"
+    assert g[1] == w[1], f"{name}: value hash mismatch"
+
+
+def test_pack_semantics_vs_greedy_reference(ray_session):
+    """The searchsorted bin kernel ≡ the sequential greedy definition,
+    including oversized docs (own bin) and budget-exact fits."""
+    from agr_loader_ray.pipelines.text_queries import (PACK_BUDGET, PACK_SHARDS,
+                                                       pack_context_windows)
+
+    got = pack_context_windows(SF).to_pandas()
+    # independent reference: sequential greedy per shard
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs["n_tokens"] = docs["text"].str.split(" ").str.len()
+    docs["shard"] = docs["doc_id"] % PACK_SHARDS
+    frames = []
+    for shard, g in docs.sort_values("doc_id").groupby("shard"):
+        cum, b, bins = 0, 0, []
+        for n in g["n_tokens"]:
+            if cum + n <= PACK_BUDGET and cum > 0:
+                cum += n
+            elif cum == 0:
+                cum = n
+            else:
+                b += 1
+                cum = n
+            bins.append(b)
+        frames.append(pd.DataFrame({"doc_id": g["doc_id"], "bin_id": bins}))
+    ref = pd.concat(frames)
+    merged = got.merge(ref, on="doc_id", suffixes=("", "_ref"))
+    assert len(merged) == len(got) == len(ref)
+    assert (merged["bin_id"] == merged["bin_id_ref"]).all()
+    # every bin within budget unless it is a single oversized doc
+    per_bin = got.groupby(["shard", "bin_id"]).agg(
+        total=("n_tokens", "sum"), n=("n_tokens", "size"))
+    bad = per_bin[(per_bin["total"] > PACK_BUDGET) & (per_bin["n"] > 1)]
+    assert bad.empty
+
+
+def test_repetition_bounds(ray_session):
+    from agr_loader_ray.pipelines.text_queries import token_repetition_stats
+
+    df = token_repetition_stats(SF).to_pandas()
+    assert (df["n_distinct_tokens"] <= df["n_tokens"]).all()
+    assert (df["n_distinct_tokens"] > 0).all()
+
+
+def test_pii_scrub_monotonic(ray_session):
+    """Redacting k matches changes length by sum(len('[PII]') - len(match));
+    spot-check one doc end-to-end in pure Python."""
+    import re
+
+    from agr_loader_ray.pipelines.text_queries import (_PII_PATTERN,
+                                                       pii_scrub_counts)
+
+    df = pii_scrub_counts(SF).to_pandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"]).set_index("doc_id")
+    for did in list(docs.index[:5]):
+        text = docs.loc[did, "text"]
+        want_n = len(re.findall(_PII_PATTERN, text))
+        want_len = len(re.sub(_PII_PATTERN, "[PII]", text))
+        assert df.loc[did, "n_redacted"] == want_n
+        assert df.loc[did, "scrubbed_len"] == want_len
