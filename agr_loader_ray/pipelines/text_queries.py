@@ -922,3 +922,48 @@ def repeat_turn_counts(sf_dir: str):
         lambda t: int_key_part_col(t, "user_id", nparts),
         batch_format="pyarrow", zero_copy_batch=True,
     ).groupby("gpart").map_groups(repeats_part, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_overlap — test-set decontamination: training docs sharing
+# a token 4-gram with the benchmark subset (source 'src0'), with the
+# distinct-overlap count.  Hybrid membership: broadcast np.isin below
+# 2M benchmark shingles, distributed left_semi join above
+# (stages/decontam.py).
+# ---------------------------------------------------------------------------
+@query(
+    "decontaminate_overlap",
+    """
+    WITH tok AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+    ), shp AS (
+      SELECT doc_id, source, toks,
+             unnest(generate_series(1, len(toks) - 3)) AS i
+      FROM tok
+    ), sh AS (
+      SELECT DISTINCT doc_id, source,
+             array_to_string(list_slice(toks, i, i + 3), ' ') AS g
+      FROM shp
+    ), bench AS (
+      SELECT DISTINCT g FROM sh WHERE source = 'src0'
+    )
+    SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+    FROM sh s JOIN bench b USING (g)
+    WHERE s.source <> 'src0'
+    GROUP BY s.doc_id
+    """,
+)
+def decontaminate_overlap(sf_dir: str):
+    from ..stages.decontam import contaminated_docs
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def side(want_bench: bool):
+        op = pc.equal if want_bench else pc.not_equal
+        return docs.map_batches(
+            lambda t, op=op: t.filter(op(t["source"], "src0"))
+                              .select(["doc_id", "text"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    return contaminated_docs(side(False), side(True), k=4)

@@ -21,6 +21,7 @@ NEW_OPS = [
     "token_repetition_stats",
     "pii_scrub_counts",
     "repeat_turn_counts",
+    "decontaminate_overlap",
 ]
 
 
@@ -86,6 +87,50 @@ def test_pack_semantics_vs_greedy_reference(ray_session):
         total=("n_tokens", "sum"), n=("n_tokens", "size"))
     bad = per_bin[(per_bin["total"] > PACK_BUDGET) & (per_bin["n"] > 1)]
     assert bad.empty
+
+
+def test_decontam_join_path_equivalent(oracle_con, ray_session):
+    """broadcast_limit=0 forces the distributed left_semi path; it must
+    produce the identical typed-hash result as the broadcast path."""
+    import pyarrow.compute as pc
+
+    from agr_loader_ray.functions.tables import read_table
+    from agr_loader_ray.stages.decontam import contaminated_docs
+
+    docs = read_table(SF, "documents", columns=["doc_id", "text", "source"])
+
+    def side(bench):
+        op = pc.equal if bench else pc.not_equal
+        return docs.map_batches(
+            lambda t, op=op: t.filter(op(t["source"], "src0"))
+                              .select(["doc_id", "text"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    got = contaminated_docs(side(False), side(True), k=4,
+                            broadcast_limit=0).to_pandas()
+    want = oracle_con.sql(
+        entry.oracle_sql()["decontaminate_overlap"]).arrow().to_pandas()
+    assert _typed_hash(got) == _typed_hash(want)
+
+
+def test_ngram_hash_kernel_vs_python():
+    """token_ngram_hashes ≡ per-doc Python shingling on a handcrafted
+    batch with short docs (< k tokens), repeats, and empty-ish rows."""
+    import pyarrow as pa
+
+    from agr_loader_ray.stages.decontam import token_ngram_hashes
+
+    texts = ["a b c d e f", "a b c", "x x x x x", "q w e r"]
+    doc_idx, h = token_ngram_hashes(pa.array(texts), k=4)
+    # doc 0: 3 windows; doc 1: 0; doc 2: 2 (identical); doc 3: 1
+    assert list(np.bincount(doc_idx, minlength=4)) == [3, 0, 2, 1]
+    # identical windows hash identically ('x x x x' twice)
+    d2 = h[doc_idx == 2]
+    assert d2[0] == d2[1]
+    # same window text in different docs hashes identically
+    t2 = ["a b c d", "z z a b c d"]
+    di2, h2 = token_ngram_hashes(pa.array(t2), k=4)
+    assert h2[di2 == 0][0] == h2[di2 == 1][-1]
 
 
 def test_repetition_bounds(ray_session):
