@@ -1,7 +1,8 @@
 """End-to-end training-data corpus cleaning: the operators composed.
 
 quality-score → language-ID → exact dedup → MinHash-LSH near-dup
-removal → partitioned Parquet output with a stage-count manifest.  This
+removal → optional test-set decontamination → partitioned Parquet output
+with a stage-count manifest.  This
 is the "every pipeline a user of the reference runs today" composition
 for the training-data side of the engine: each stage is a Ray Data
 transform from ``stages/`` and the output is resumable (manifest first,
@@ -41,10 +42,16 @@ _PAIR_DRIVER_LIMIT = 2_000_000
 
 
 def build_clean_corpus(sf_dir: str, out_dir: str, min_tokens: int = 10,
-                       lang: str = "en") -> dict:
+                       lang: str = "en",
+                       benchmark_source: str | None = None) -> dict:
     """documents → cleaned corpus parquet + stage-count manifest.
 
     Idempotent: an existing ``_MANIFEST.json`` short-circuits (resume).
+
+    ``benchmark_source``: when set, documents from that source are the
+    held-out evaluation set — they are excluded from the corpus, and any
+    training document sharing a token 4-gram with them is dropped
+    (test-set decontamination, ``stages/decontam.py``).
     """
     mpath = os.path.join(out_dir, "_MANIFEST.json")
     if os.path.exists(mpath):
@@ -157,6 +164,48 @@ def build_clean_corpus(sf_dir: str, out_dir: str, min_tokens: int = 10,
         batch_format="pyarrow",
     )
 
+    # 5. test-set decontamination (optional): drop benchmark docs and any
+    #    training doc overlapping them on a token 4-gram.  The hit list is
+    #    usually tiny (broadcast is_in); a pathological corpus where most
+    #    docs are contaminated flips to a left_anti join — and an empty
+    #    hit list skips the stage (Dataset.join rejects an empty side).
+    n_contaminated = 0
+    n_bench_excluded = 0
+    if benchmark_source is not None:
+        from ..stages.decontam import contaminated_docs
+
+        # output-scale materializations: `train` feeds both the hit scan
+        # and the write, so this avoids recomputing stages 1-4 twice and
+        # makes the stage counts metadata-only
+        final = final.materialize()
+        n_after_neardup = final.count()
+        bench_ds = ds.map_batches(
+            lambda t: t.filter(pc.equal(t["source"], benchmark_source))
+                       .select(["doc_id", "text"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        train = final.map_batches(
+            lambda t: t.filter(pc.not_equal(t["source"], benchmark_source)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).materialize()
+        n_bench_excluded = n_after_neardup - train.count()
+        hits = contaminated_docs(train, bench_ds, k=4).materialize()
+        n_contaminated = hits.count()
+        if n_contaminated == 0:
+            final = train
+        elif n_contaminated <= _PAIR_DRIVER_LIMIT:
+            hit_arr = pa.array(hits.to_pandas()["doc_id"].to_numpy())
+            final = train.map_batches(
+                lambda t: t.filter(pc.invert(
+                    pc.is_in(t["doc_id"], value_set=hit_arr))),
+                batch_format="pyarrow",
+            )
+        else:
+            final = train.join(
+                hits, join_type="left_anti", num_partitions=join_parts(),
+                on=("doc_id",),
+            )
+
     data_dir = os.path.join(out_dir, "data")
     final.write_parquet(data_dir)
     import pyarrow.parquet as pq
@@ -168,7 +217,9 @@ def build_clean_corpus(sf_dir: str, out_dir: str, min_tokens: int = 10,
     info = {
         "input_docs": n_input,
         "after_exact_dedup": n_exact,
-        "near_dup_removed": n_exact - n_final,
+        "near_dup_removed": n_exact - n_final - n_contaminated - n_bench_excluded,
+        "benchmark_excluded": n_bench_excluded,
+        "contaminated_removed": n_contaminated,
         "final_docs": n_final,
         "path": data_dir,
     }

@@ -47,3 +47,37 @@ def test_clean_corpus_distributed_branch_same_output(tmp_path, monkeypatch):
     db = ray.data.read_parquet(info_b["path"]).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert info_a["final_docs"] == info_b["final_docs"]
     assert (da["doc_id"] == db["doc_id"]).all()
+
+
+def test_clean_corpus_with_decontamination(tmp_path):
+    """benchmark_source drops (a) every benchmark doc and (b) every
+    surviving training doc sharing a token 4-gram with the benchmark —
+    cross-checked against a pure-pandas shingle scan of the output."""
+    import numpy as np
+    import pandas as pd
+
+    out = str(tmp_path / "corpus")
+    info = build_clean_corpus(SF, out, min_tokens=10, benchmark_source="src0")
+    assert info["benchmark_excluded"] > 0
+    assert info["contaminated_removed"] >= 0
+    assert info["final_docs"] == (info["after_exact_dedup"]
+                                  - info["near_dup_removed"]
+                                  - info["benchmark_excluded"]
+                                  - info["contaminated_removed"])
+
+    files = [f for f in os.listdir(info["path"]) if f.endswith(".parquet")]
+    t = pq.read_table([os.path.join(info["path"], f) for f in files])
+    df = t.to_pandas()
+    assert (df["source"] != "src0").all()
+
+    # no surviving doc shares a 4-gram with the raw benchmark set
+    raw = pd.read_parquet(f"{SF}/documents.parquet",
+                          columns=["text", "source"])
+    def grams(text):
+        toks = text.split(" ")
+        return {" ".join(toks[i:i + 4]) for i in range(len(toks) - 3)}
+    bench = set()
+    for txt in raw.loc[raw["source"] == "src0", "text"]:
+        bench |= grams(txt)
+    for txt in df["text"]:
+        assert not (grams(txt) & bench)
