@@ -1371,3 +1371,146 @@ def median_value_per_type(sf_dir: str):
     out = pd.DataFrame(out_rows, columns=["event_type", "med_value", "n"])
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# left_outer_order_counts — LEFT OUTER join preserving customers with no
+# orders (completes the join-type inventory next to the inner /
+# broadcast / semi / anti / as-of / interval forms).  Ray-first shape:
+# pre-aggregate orders per custkey (combiner before the exchange) so the
+# outer join's right side is one row per customer, then null-fill.
+# ---------------------------------------------------------------------------
+@query(
+    "left_outer_order_counts",
+    """
+    SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def left_outer_order_counts(sf_dir: str):
+    from ..functions.pools import join_parts
+
+    counts = (
+        read_table(sf_dir, "orders", columns=["o_custkey"])
+        .map_batches(
+            lambda t: t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+                       .rename_columns(["o_custkey", "n"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby("o_custkey").aggregate(Sum("n", alias_name="n_orders"))
+    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    joined = cust.join(counts, join_type="left_outer",
+                       num_partitions=join_parts(),
+                       on=("c_custkey",), right_on=("o_custkey",))
+    return joined.map_batches(
+        lambda t: pa.table({
+            "c_custkey": t["c_custkey"],
+            "n_orders": pc.coalesce(t["n_orders"], pa.scalar(0, pa.int64())),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot_event_type_counts — long→wide pivot (one column per event type).
+# Vectorized per-batch indicator partials before one bounded exchange —
+# the M14/M12 routing family's wide-output sibling.
+# ---------------------------------------------------------------------------
+_PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+@query(
+    "pivot_event_type_counts",
+    """
+    SELECT user_id,
+           """ + ",\n           ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in _PIVOT_TYPES) + """
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_event_type_counts(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        for ty in _PIVOT_TYPES:
+            cols[f"n_{ty}"] = pc.cast(pc.equal(t["event_type"], ty), pa.int64())
+        return pa.table(cols).group_by("user_id").aggregate(
+            [(f"n_{ty}", "sum") for ty in _PIVOT_TYPES]
+        ).rename_columns(["user_id"] + [f"n_{ty}" for ty in _PIVOT_TYPES])
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).groupby("user_id").aggregate(
+        *[Sum(f"n_{ty}", alias_name=f"n_{ty}") for ty in _PIVOT_TYPES]
+    )
+
+
+# ---------------------------------------------------------------------------
+# kmv_distinct_estimate — K-Minimum-Values distinct-count sketch per
+# event type (the mergeable approximate-distinct sketch for 100 TB
+# cardinality estimation; exact COUNT DISTINCT is q:distinct_users_per_type).
+# The hash is seed-derived ((A·x + B) mod 2^64) and the estimator is
+# exact integer arithmetic ((k-1)·2^64 // h_k), so the DuckDB oracle
+# recomputes the IDENTICAL estimate in HUGEINT math — a typed-hash gate
+# on an approximate sketch.  Partials: per-batch distinct + k-min per
+# type; merge: one bounded exchange (|event types| groups).
+# ---------------------------------------------------------------------------
+_KMV_K = 64
+_KMV_A = 6364136223846793005
+_KMV_B = 1442695040888963407
+
+@query(
+    "kmv_distinct_estimate",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             (({_KMV_A}::HUGEINT * user_id::HUGEINT + {_KMV_B}::HUGEINT)
+              % 18446744073709551616::HUGEINT) AS hv
+      FROM events
+    ), ranked AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nd
+      FROM h
+    )
+    SELECT event_type,
+           CAST(CASE WHEN nd < {_KMV_K} THEN nd
+                ELSE ({_KMV_K - 1}::HUGEINT * 18446744073709551616::HUGEINT) / hv
+           END AS BIGINT) AS n_distinct_est
+    FROM ranked
+    WHERE rn = {_KMV_K} OR (nd < {_KMV_K} AND rn = 1)
+    """,
+)
+def kmv_distinct_estimate(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            hv = np.uint64(_KMV_A) * uid + np.uint64(_KMV_B)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": et, "hv": hv}).drop_duplicates()
+        # k smallest per type — C-speed sort + head, no per-type Python
+        df = (df.sort_values(["event_type", "hv"], kind="mergesort")
+                .groupby("event_type", sort=False).head(_KMV_K))
+        return pa.table({"event_type": pa.array(df["event_type"]),
+                         "hv": pa.array(df["hv"].to_numpy(), pa.uint64())})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        hv = np.unique(g["hv"].to_numpy())  # distinct + sorted
+        nd = len(hv)
+        if nd < _KMV_K:
+            est = nd
+        else:
+            est = (_KMV_K - 1) * (1 << 64) // int(hv[_KMV_K - 1])
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "n_distinct_est": np.array([est], dtype=np.int64)})
+
+    # |event types| is bounded (grading-key cardinality), so the merge
+    # exchange is per-type map_groups — same contract as the exact median
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).groupby("event_type").map_groups(
+        merge, batch_format="pandas")

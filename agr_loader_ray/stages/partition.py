@@ -132,11 +132,11 @@ def salted_topk_per_key(ds, key: str, sort_cols: list[str], ascending: list[bool
 
     class Salt:
         def __init__(self, ref):
-            self.hot = set(ray.get(ref).tolist())  # once per actor
+            self.hot = ray.get(ref)  # once per actor
 
         def __call__(self, t: pa.Table) -> pa.Table:
             keys = t[key].to_numpy(zero_copy_only=False)
-            is_hot = np.isin(keys, list(self.hot))
+            is_hot = np.isin(keys, self.hot)
             # deterministic row salt: spread a hot key's rows over n_salt
             salt = np.where(
                 is_hot,

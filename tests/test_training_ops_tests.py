@@ -22,6 +22,9 @@ NEW_OPS = [
     "pii_scrub_counts",
     "repeat_turn_counts",
     "decontaminate_overlap",
+    "left_outer_order_counts",
+    "pivot_event_type_counts",
+    "kmv_distinct_estimate",
 ]
 
 
@@ -131,6 +134,21 @@ def test_ngram_hash_kernel_vs_python():
     t2 = ["a b c d", "z z a b c d"]
     di2, h2 = token_ngram_hashes(pa.array(t2), k=4)
     assert h2[di2 == 0][0] == h2[di2 == 1][-1]
+
+
+def test_kmv_estimate_accuracy(oracle_con, ray_session):
+    """The KMV estimate lands within the sketch's expected relative
+    error (~1/sqrt(k-1) ≈ 12.6% at k=64; allow 3σ) of the exact
+    distinct count — the sketch is a real estimator, not a pass-through."""
+    import __ray_entry__ as e
+
+    got = e.queries()["kmv_distinct_estimate"](SF).to_pandas()
+    exact = oracle_con.sql(
+        "SELECT event_type, count(DISTINCT user_id) AS nd "
+        "FROM events GROUP BY event_type").df()
+    m = got.merge(exact, on="event_type")
+    rel = (m["n_distinct_est"] - m["nd"]).abs() / m["nd"]
+    assert (rel <= 3 / np.sqrt(63)).all(), m
 
 
 def test_repetition_bounds(ray_session):
