@@ -784,20 +784,10 @@ def pack_context_windows(sf_dir: str):
         })
 
     def pack_part(g: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.text import greedy_pack_bins
+
         g = g.sort_values("doc_id", kind="mergesort")
-        tok = g["n_tokens"].to_numpy()
-        cum = np.cumsum(tok)
-        n = len(tok)
-        bins = np.zeros(n, dtype=np.int64)
-        start, b, base = 0, 0, 0
-        while start < n:  # O(n_bins) iterations, each a C searchsorted
-            j = int(np.searchsorted(cum, base + PACK_BUDGET, side="right"))
-            if j <= start:  # oversized doc: its own bin
-                j = start + 1
-            bins[start:j] = b
-            b += 1
-            base = int(cum[j - 1])
-            start = j
+        bins = greedy_pack_bins(g["n_tokens"].to_numpy(), PACK_BUDGET)
         return pd.DataFrame({"doc_id": g["doc_id"], "shard": g["shard"],
                              "n_tokens": g["n_tokens"], "bin_id": bins})
 

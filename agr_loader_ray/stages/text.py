@@ -144,3 +144,31 @@ def bpe_token_count(col) -> "pa.ChunkedArray":
     import pyarrow.compute as pc
 
     return pc.cast(pc.count_substring_regex(col, pattern=BPE_PRETOKEN_RE), pa.int64())
+
+
+def greedy_pack_bins(tok: np.ndarray, budget: int) -> np.ndarray:
+    """Greedy sequential bin packing: accumulate docs in order; a doc
+    that would overflow ``budget`` starts a new bin (an oversized doc
+    gets its own bin).  Returns the 0-based bin id per doc.
+
+    O(n_bins) iterations, each one C-speed ``searchsorted`` on the token
+    cumsum — no per-doc Python.  Equivalent to the sequential
+    definition: ``cum + n <= budget → same bin, else new bin with
+    cum = n`` (the recursive-CTE oracle in pipelines/text_queries.py).
+    """
+    tok = np.asarray(tok, dtype=np.int64)
+    n = len(tok)
+    bins = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return bins
+    cum = np.cumsum(tok)
+    start, b, base = 0, 0, 0
+    while start < n:
+        j = int(np.searchsorted(cum, base + budget, side="right"))
+        if j <= start:  # oversized doc: its own bin
+            j = start + 1
+        bins[start:j] = b
+        b += 1
+        base = int(cum[j - 1])
+        start = j
+    return bins

@@ -136,6 +136,33 @@ def test_ngram_hash_kernel_vs_python():
     assert h2[di2 == 0][0] == h2[di2 == 1][-1]
 
 
+def test_greedy_pack_bins_property():
+    """hypothesis: the searchsorted kernel ≡ the sequential greedy
+    definition on adversarial inputs (exact fits, oversized docs,
+    zero-length edge, long runs of equal sizes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from agr_loader_ray.stages.text import greedy_pack_bins
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=700), max_size=60),
+           st.integers(min_value=1, max_value=600))
+    def check(toks, budget):
+        got = greedy_pack_bins(np.array(toks, dtype=np.int64), budget)
+        cum, b, ref = 0, 0, []
+        for n in toks:
+            if cum == 0 or cum + n <= budget:
+                cum += n
+            else:
+                b += 1
+                cum = n
+            ref.append(b)
+        assert list(got) == ref
+
+    check()
+
+
 def test_kmv_estimate_accuracy(oracle_con, ray_session):
     """The KMV estimate lands within the sketch's expected relative
     error (~1/sqrt(k-1) ≈ 12.6% at k=64; allow 3σ) of the exact
