@@ -1514,3 +1514,85 @@ def kmv_distinct_estimate(sf_dir: str):
     return ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True).groupby("event_type").map_groups(
         merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# rolling_sum4_per_user — ROWS-window rolling aggregate (4-event window)
+# per user, the row-count sibling of the time-window family (§2.9).
+# Integer cents keep the window sum exact on both sides.  Same
+# partition-kernel exchange as running_value_per_user.
+# ---------------------------------------------------------------------------
+@query(
+    "rolling_sum4_per_user",
+    """
+    SELECT event_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS win_sum_c
+    FROM events
+    """,
+)
+def rolling_sum4_per_user(sf_dir: str):
+    from ..functions.pools import join_parts
+    from ..stages.partition import int_key_part_col
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "value", "ts"])
+    nparts = join_parts()
+
+    def roll_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = (g["value"] * 100).round().astype(np.int64)
+        win = (cents.groupby(g["user_id"].to_numpy(), sort=False)
+               .rolling(4, min_periods=1).sum()
+               .reset_index(drop=True).astype(np.int64))
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "win_sum_c": win})
+
+    return ds.map_batches(
+        lambda t: int_key_part_col(t, "user_id", nparts),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("gpart").map_groups(roll_part, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# quartiles_value_per_type — EXACT distributed p25/p50/p75 per type via
+# the generalized multi-rank histogram refine (stages/quantiles.py; same
+# no-full-group-in-one-task design as median_value_per_type, arbitrary
+# rank set).  Integer cents keep rank selection exact; rank convention
+# matches DuckDB quantile_disc (ceil(q·n) − 1).
+# ---------------------------------------------------------------------------
+@query(
+    "quartiles_value_per_type",
+    """
+    SELECT event_type,
+           quantile_disc(CAST(round(value * 100) AS BIGINT), 0.25) AS p25_c,
+           quantile_disc(CAST(round(value * 100) AS BIGINT), 0.50) AS p50_c,
+           quantile_disc(CAST(round(value * 100) AS BIGINT), 0.75) AS p75_c,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def quartiles_value_per_type(sf_dir: str):
+    from ..stages.quantiles import exact_group_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        cents = np.round(v * 100).astype(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "cents": pa.array(cents, pa.int64())})
+
+    cents_ds = ds.map_batches(to_cents, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    res = exact_group_quantiles(cents_ds, "event_type", "cents",
+                                quantiles=((1, 4), (1, 2), (3, 4)),
+                                pool=_pool())
+    counts = res.pop("_n")
+    rows = [{"event_type": g, "p25_c": q[0], "p50_c": q[1], "p75_c": q[2],
+             "n": counts[g]} for g, q in res.items()]
+    out = pd.DataFrame(rows, columns=["event_type", "p25_c", "p50_c", "p75_c", "n"])
+    for c in ("p25_c", "p50_c", "p75_c", "n"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -1,0 +1,185 @@
+"""Exact distributed multi-quantile (order statistics) per group.
+
+Generalizes the exact-median histogram-refine design
+(``pipelines/queries.median_value_per_type``) to ANY set of ranks per
+group, on an int64 key column: no task ever holds a full group (the
+group key is low-cardinality, so per-group ``map_groups`` would
+concentrate ~1/|groups| of the dataset in one task at 100 TB).
+
+    pass 1: per-batch (group, count, min, max) partials → tiny stats
+    pass 2..k: per-batch histograms over each (group, rank)'s active
+      range → bucket counts; the bucket holding the rank defines the
+      next (``buckets``× narrower) range — ≤6 rounds collapse 2^64 keys
+    final: pull only values inside resolved ranges (≤ boundary_limit
+      per (group, rank)) and take the exact order statistic.
+
+Rank convention for DuckDB ``quantile_disc(v, q)`` parity:
+``rank = ceil(q·n) - 1`` (verified empirically; exact integer math via
+``(n·num + den - 1) // den - 1``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+_BUCKETS = 4096
+_BOUNDARY_LIMIT = 262_144
+
+
+def _width(lo: int, hi: int) -> int:
+    return max(1, -((lo - hi - 1) // _BUCKETS))  # ceil-div, ≥1
+
+
+def quantile_disc_rank(q_num: int, q_den: int, n: int) -> int:
+    """0-based rank of DuckDB ``quantile_disc(v, q_num/q_den)``."""
+    return max(0, (n * q_num + q_den - 1) // q_den - 1)
+
+
+def exact_group_quantiles(ds, group_col: str, key_col: str,
+                          quantiles=((1, 4), (1, 2), (3, 4)),
+                          pool=None) -> dict:
+    """→ {group: {q_idx: key_value}, "_n": {group: n}} — exact int64
+    order statistics per group for each (num, den) quantile fraction.
+
+    ``ds`` must already expose ``group_col`` (string) and ``key_col``
+    (int64) columns; ``pool`` is the actor-pool bound for the histogram
+    stages.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table({group_col: t[group_col], "k": t[key_col]})
+        return t2.group_by(group_col).aggregate(
+            [("k", "count"), ("k", "min"), ("k", "max")]
+        )
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .aggregate(Sum("k_count", alias_name="n"),
+                   Min("k_min", alias_name="lo"),
+                   Max("k_max", alias_name="hi"))
+    ).take_all()  # one tiny row per group
+
+    counts: dict[str, int] = {}
+    # (group, qi) -> [lo, hi, rank, below]
+    state: dict[tuple, list] = {}
+    for r in stats:
+        g, n = r[group_col], int(r["n"])
+        counts[g] = n
+        for qi, (num, den) in enumerate(quantiles):
+            state[(g, qi)] = [int(r["lo"]), int(r["hi"]),
+                              quantile_disc_rank(num, den, n), 0]
+
+    def hist_round(ranges: dict):
+        """ranges: (group, qi) -> (lo, hi, width) → bucket-count rows."""
+        ref = ray.put(ranges)
+
+        class Hist:
+            def __init__(self, ref):
+                self.ranges = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                gs_, qs_, bs_, cs_ = [], [], [], []
+                et = t[group_col].to_numpy(zero_copy_only=False)
+                keys = t[key_col].to_numpy(zero_copy_only=False)
+                for (g, qi), (lo, hi, width) in self.ranges.items():
+                    v = keys[(et == g) & (keys >= lo) & (keys <= hi)]
+                    if not len(v):
+                        continue
+                    diff = v.astype(np.uint64) - np.uint64(lo & 0xFFFFFFFFFFFFFFFF)
+                    bc = np.bincount((diff // np.uint64(width)).astype(np.int64),
+                                     minlength=_BUCKETS)
+                    nz = np.nonzero(bc)[0]
+                    gs_.append(np.full(len(nz), g, dtype=object))
+                    qs_.append(np.full(len(nz), qi, dtype=np.int64))
+                    bs_.append(nz)
+                    cs_.append(bc[nz])
+                if not gs_:
+                    return pa.table({group_col: pa.array([], pa.string()),
+                                     "qi": pa.array([], pa.int64()),
+                                     "bucket": pa.array([], pa.int64()),
+                                     "cnt": pa.array([], pa.int64())})
+                return pa.table({
+                    group_col: pa.array(np.concatenate(gs_), pa.string()),
+                    "qi": pa.array(np.concatenate(qs_), pa.int64()),
+                    "bucket": pa.array(np.concatenate(bs_), pa.int64()),
+                    "cnt": pa.array(np.concatenate(cs_).astype(np.int64), pa.int64()),
+                })
+
+        if pool is None:
+            from ..functions.pools import pool as _default_pool
+            kwargs = {"concurrency": _default_pool()}
+        else:
+            kwargs = {"concurrency": pool}
+        return (
+            ds.map_batches(Hist, fn_constructor_args=(ref,),
+                           batch_format="pyarrow", zero_copy_batch=True, **kwargs)
+            .groupby([group_col, "qi", "bucket"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+        ).take_all()  # ≤ |groups|·|quantiles|·_BUCKETS tiny rows
+
+    pending = {gq: (s[0], s[1], _width(s[0], s[1])) for gq, s in state.items()
+               if counts[gq[0]] > _BOUNDARY_LIMIT and s[1] > s[0]}
+    for _ in range(8):
+        if not pending:
+            break
+        rows = hist_round(pending)
+        hists = {gq: np.zeros(_BUCKETS, dtype=np.int64) for gq in pending}
+        for r in rows:
+            hists[(r[group_col], int(r["qi"]))][r["bucket"]] = r["cnt"]
+        nxt = {}
+        for gq, h in hists.items():
+            lo, hi, rank, below = state[gq]
+            width = pending[gq][2]
+            cum = np.concatenate(([0], np.cumsum(h)))
+            b = int(np.searchsorted(cum, rank - below, side="right")) - 1
+            new_lo = lo + b * width
+            new_hi = min(hi, lo + (b + 1) * width - 1)
+            state[gq] = [new_lo, new_hi, rank, below + int(cum[b])]
+            span = int(cum[b + 1] - cum[b])
+            if span > _BOUNDARY_LIMIT and new_hi > new_lo:
+                nxt[gq] = (new_lo, new_hi, _width(new_lo, new_hi))
+        pending = nxt
+
+    resolved: dict[tuple, int] = {}
+    for gq in list(state):
+        if state[gq][0] == state[gq][1]:
+            resolved[gq] = state[gq][0]
+            del state[gq]
+
+    if state:
+        fref = ray.put({gq: (s[0], s[1]) for gq, s in state.items()})
+
+        def boundary_vals(t: pa.Table) -> pa.Table:
+            rngs = ray.get(fref)
+            et = t[group_col].to_numpy(zero_copy_only=False)
+            keys = t[key_col].to_numpy(zero_copy_only=False)
+            gs_, qs_, ks_ = [], [], []
+            for (g, qi), (lo, hi) in rngs.items():
+                v = keys[(et == g) & (keys >= lo) & (keys <= hi)]
+                gs_.append(np.full(len(v), g, dtype=object))
+                qs_.append(np.full(len(v), qi, dtype=np.int64))
+                ks_.append(v)
+            return pa.table({group_col: pa.array(np.concatenate(gs_), pa.string()),
+                             "qi": pa.array(np.concatenate(qs_), pa.int64()),
+                             "k": pa.array(np.concatenate(ks_), pa.int64())})
+
+        pulled = ds.map_batches(boundary_vals, batch_format="pyarrow",
+                                zero_copy_batch=True).take_all()
+        by_gq: dict[tuple, list[int]] = {}
+        for r in pulled:
+            by_gq.setdefault((r[group_col], int(r["qi"])), []).append(int(r["k"]))
+        for gq, s in state.items():
+            _, _, rank, below = s
+            v = np.sort(np.asarray(by_gq[gq], dtype=np.int64), kind="stable")
+            resolved[gq] = int(v[rank - below])
+
+    out: dict = {"_n": counts}
+    for (g, qi), val in resolved.items():
+        out.setdefault(g, {})[qi] = val
+    return out

@@ -25,6 +25,8 @@ NEW_OPS = [
     "left_outer_order_counts",
     "pivot_event_type_counts",
     "kmv_distinct_estimate",
+    "rolling_sum4_per_user",
+    "quartiles_value_per_type",
 ]
 
 
@@ -203,3 +205,31 @@ def test_pii_scrub_monotonic(ray_session):
         want_len = len(re.sub(_PII_PATTERN, "[PII]", text))
         assert df.loc[did, "n_redacted"] == want_n
         assert df.loc[did, "scrubbed_len"] == want_len
+
+
+def test_quantiles_histogram_refine_path(ray_session, monkeypatch):
+    """Shrinking the pull bound + bucket count forces multiple histogram
+    refine rounds; the result must equal the single-pass sort answer."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import agr_loader_ray.stages.quantiles as qmod
+
+    monkeypatch.setattr(qmod, "_BOUNDARY_LIMIT", 8)
+    monkeypatch.setattr(qmod, "_BUCKETS", 4)
+
+    rng = np.random.default_rng(7)
+    groups = np.repeat(["a", "b"], 5000)
+    keys = np.concatenate([
+        rng.integers(-2**62, 2**62, 5000),   # wide range: many rounds
+        rng.integers(0, 50, 5000),            # heavy ties
+    ]).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"g": pa.array(groups), "k": pa.array(keys)}))
+    res = qmod.exact_group_quantiles(ds, "g", "k",
+                                     quantiles=((1, 4), (1, 2), (3, 4)))
+    for g, vals in (("a", keys[:5000]), ("b", keys[5000:])):
+        s = np.sort(vals)
+        n = len(s)
+        for qi, (num, den) in enumerate(((1, 4), (1, 2), (3, 4))):
+            rank = qmod.quantile_disc_rank(num, den, n)
+            assert res[g][qi] == s[rank], (g, qi)
