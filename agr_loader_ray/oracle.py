@@ -21,8 +21,10 @@ Semantics (shared contract with the engine):
 - ``D`` deletes the key iff it is the last writer; a later (by ts)
   I/U resurrects the key.  Tombstones never appear in exported state.
 - ``S`` events mutate the table schema: ``add_column`` (constant
-  default applied to ALL rows, past and future) and ``widen`` (type
-  cast).  Both are commutative with data events, so applying them
+  default applied to ALL rows, past and future), ``widen`` (type
+  cast), ``drop_column`` and ``rename_column``.  All four are
+  commutative with data events (the WAL payload layout is fixed, so
+  data events never carry added/renamed names), so applying them
   after the fold is equivalent to offset-interleaved application.
 """
 
@@ -53,7 +55,12 @@ def apply_schema_changes_pandas(df: pd.DataFrame, changes: list[dict]) -> pd.Dat
                     df[ch["name"]] = df[ch["name"]].astype(_TYPE_MAP.get(ch["type"], "object"))
         elif ch["kind"] == "widen":
             df[ch["name"]] = df[ch["name"]].astype(_TYPE_MAP[ch["to"]])
-        else:  # pragma: no cover - generator only emits the two kinds
+        elif ch["kind"] == "drop_column":
+            df = df.drop(columns=[ch["name"]], errors="ignore")
+        elif ch["kind"] == "rename_column":
+            if ch["from"] in df.columns:
+                df = df.rename(columns={ch["from"]: ch["to"]})
+        else:  # pragma: no cover - generator emits only the four kinds
             raise ValueError(f"unknown schema change kind: {ch['kind']}")
     return df
 

@@ -61,8 +61,14 @@ def read_lake(lake_root: str, epoch: int | None = None,
         registry_dict["defaults"] = {
             k: v for k, v in registry_dict.get("defaults", {}).items() if k in keep
         }
+        registry_dict["aliases"] = {
+            k: v for k, v in registry_dict.get("aliases", {}).items() if k in keep
+        }
     defaults = {k: v for k, v in registry_dict.get("defaults", {}).items() if v is not None}
-    file_cols = [n for n, _ in registry_dict["fields"]] + [OFFSET_COL, DELETED_COL]
+    # renamed columns: old physical files carry a prior name — read those
+    # chunks too (the per-file `avail` intersection keeps this exact)
+    alias_names = [a for als in registry_dict.get("aliases", {}).values() for a in als]
+    file_cols = [n for n, _ in registry_dict["fields"]] + alias_names + [OFFSET_COL, DELETED_COL]
 
     items = []
     for info in m["partitions"].values():

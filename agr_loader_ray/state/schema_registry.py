@@ -11,12 +11,21 @@ the schema is explicit, versioned, and mutated only by ``S`` WAL events:
   rows (past and future).
 - ``{"kind": "widen", "name": n, "to": t}`` — column ``n`` is cast to
   the wider type ``t``.
+- ``{"kind": "drop_column", "name": n}`` — column ``n`` disappears from
+  the logical schema; physical files keep it until their next rewrite
+  (``conform`` drops unknown columns).
+- ``{"kind": "rename_column", "from": a, "to": b}`` — column ``a`` is
+  renamed to ``b`` in place (type and values preserved).  Old physical
+  files — and the WAL events themselves, whose payload layout is fixed —
+  still carry ``a``; ``conform`` resolves it through the alias chain.
 
-Both operations commute with data events, so partitions untouched by an
+All four operations commute with data events (added columns are
+constant-default until the WAL carries payloads for them; rename/drop
+only relabel or remove whole columns), so partitions untouched by an
 epoch evolve lazily: their files keep the old physical schema and are
-conformed (null/default-filled, cast) at the next merge or at read time.
-The registry state is serialized into every epoch manifest, making the
-schema version part of the commit lineage.
+conformed (null/default-filled, cast, re-aliased) at the next merge or
+at read time.  The registry state is serialized into every epoch
+manifest, making the schema version part of the commit lineage.
 """
 
 from __future__ import annotations
@@ -69,10 +78,18 @@ _WIDEN_OK = {
 class SchemaRegistry:
     """Current transcript schema + per-column defaults, with evolution."""
 
-    def __init__(self, base: pa.Schema, version: int = 0, defaults: dict[str, Any] | None = None):
+    #: columns the engine's fold/partition kernels key on — dropping or
+    #: renaming one would orphan the LWW order and the partition map
+    PROTECTED = frozenset({"conv_id", "turn_idx", "ts"})
+
+    def __init__(self, base: pa.Schema, version: int = 0,
+                 defaults: dict[str, Any] | None = None,
+                 aliases: dict[str, list[str]] | None = None):
         self.schema = base
         self.version = version
         self.defaults: dict[str, Any] = dict(defaults or {})
+        #: current name -> prior physical names, oldest first
+        self.aliases: dict[str, list[str]] = {k: list(v) for k, v in (aliases or {}).items()}
 
     # -- evolution ---------------------------------------------------------
     def apply(self, change: dict | str) -> None:
@@ -97,6 +114,37 @@ class SchemaRegistry:
             if frm != to and (frm, to) not in _WIDEN_OK:
                 raise ValueError(f"illegal widen {frm} -> {to}")
             self.schema = self.schema.set(i, pa.field(name, type_from_name(to)))
+        elif kind == "drop_column":
+            name = change["name"]
+            if name in self.PROTECTED:
+                raise ValueError(f"cannot drop key/order column {name!r}")
+            i = self.schema.get_field_index(name)
+            if i == -1:
+                # idempotent re-apply (replayed epoch) — no-op
+                self.version += 1
+                return
+            self.schema = self.schema.remove(i)
+            self.defaults.pop(name, None)
+            self.aliases.pop(name, None)
+        elif kind == "rename_column":
+            frm, to = change["from"], change["to"]
+            if frm in self.PROTECTED:
+                raise ValueError(f"cannot rename key/order column {frm!r}")
+            i = self.schema.get_field_index(frm)
+            if i == -1:
+                if self.schema.get_field_index(to) != -1:
+                    # idempotent re-apply (replayed epoch) — no-op
+                    self.version += 1
+                    return
+                raise ValueError(f"rename of unknown column {frm!r}")
+            if self.schema.get_field_index(to) != -1:
+                raise ValueError(f"rename target {to!r} already exists")
+            self.schema = self.schema.set(i, pa.field(to, self.schema.field(i).type))
+            if frm in self.defaults:
+                self.defaults[to] = self.defaults.pop(frm)
+            # chain: a->b->c leaves aliases[c] == [a, b] so files written
+            # under ANY prior name still conform
+            self.aliases[to] = self.aliases.pop(frm, []) + [frm]
         else:
             raise ValueError(f"unknown schema change kind: {kind!r}")
         self.version += 1
@@ -114,6 +162,13 @@ class SchemaRegistry:
         for f in target:
             i = table.schema.get_field_index(f.name)
             if i == -1:
+                # renamed column: the file may carry a prior physical name
+                # (most recent alias first — a->b->c prefers b over a)
+                for old in reversed(self.aliases.get(f.name, [])):
+                    i = table.schema.get_field_index(old)
+                    if i != -1:
+                        break
+            if i == -1:
                 default = self.defaults.get(f.name)
                 cols.append(pa.nulls(n, f.type) if default is None else pa.array([default] * n, f.type))
             else:
@@ -129,9 +184,11 @@ class SchemaRegistry:
             # copy: to_dict() snapshots must not alias live mutable state
             # (apply_epochs snapshots the registry once per epoch)
             "defaults": dict(self.defaults),
+            "aliases": {k: list(v) for k, v in self.aliases.items()},
         }
 
     @classmethod
     def from_dict(cls, d: dict) -> "SchemaRegistry":
         schema = pa.schema([pa.field(n, type_from_name(t)) for n, t in d["fields"]])
-        return cls(schema, version=d["version"], defaults=d.get("defaults", {}))
+        return cls(schema, version=d["version"], defaults=d.get("defaults", {}),
+                   aliases=d.get("aliases", {}))

@@ -59,6 +59,36 @@ def test_t2_correctness_lww_tombstones_schema(tmp_lake, tmp_wal):
     _assert_equals_oracle(tmp_lake, tmp_wal)
 
 
+def test_schema_rename_and_drop_evolution(tmp_lake, tmp_wal):
+    """rename_column / drop_column S-events: legacy partition files keep
+    the old physical layout and are conformed through the alias chain at
+    merge/read time; final state equals the pandas oracle."""
+    import json as _json
+
+    spec = WalSpec(
+        n_events=12_000, n_convs=400, n_epochs=6,
+        update_frac=0.25, delete_frac=0.08, out_of_order_frac=0.1,
+        schema_events=(
+            (0.2, _json.dumps({"kind": "add_column", "name": "tmp_flag", "type": "bool", "default": True})),
+            (0.5, _json.dumps({"kind": "rename_column", "from": "tool", "to": "tool_name"})),
+            (0.8, _json.dumps({"kind": "drop_column", "name": "tmp_flag"})),
+        ),
+    )
+    generate_wal(tmp_wal, spec)
+    eng = CdcEngine(tmp_lake, n_partitions=8, compact_every=3)
+    eng.replay(tmp_wal)
+    got = _export_df(tmp_lake)
+    assert "tool_name" in got.columns and "tool" not in got.columns
+    assert "tmp_flag" not in got.columns
+    _assert_equals_oracle(tmp_lake, tmp_wal)
+    # column-pruned read resolves the renamed column through the alias
+    # (old files physically carry "tool")
+    from agr_loader_ray.pipelines.export import read_lake
+    pruned = read_lake(tmp_lake, columns=["tool_name"]).to_pandas()
+    assert set(pruned.columns) == {"tool_name"}
+    assert sorted(pruned["tool_name"].fillna("~")) == sorted(got["tool_name"].fillna("~"))
+
+
 def test_epoch_replay_is_idempotent(tmp_lake, tmp_wal):
     generate_wal(tmp_wal, WalSpec(n_events=2_000, n_convs=100, n_epochs=2, update_frac=0.3, delete_frac=0.1))
     eng = CdcEngine(tmp_lake, n_partitions=4)
