@@ -94,6 +94,44 @@ def oracle_reduce(events: pd.DataFrame, upto_epoch: int | None = None) -> pd.Dat
     return out
 
 
+def oracle_change_feed(events: pd.DataFrame, epoch: int) -> pd.DataFrame:
+    """Reference implementation of the lake change-data-feed for one
+    epoch: diff the folded live state at ``epoch - 1`` vs at ``epoch``
+    on the winning ``offset`` (state-defined, so late LWW-losing events
+    emit nothing), with the epoch's schema changes applied to the
+    emitted images — what ``pipelines.export.change_feed`` must match.
+    """
+    key = ["conv_id", "turn_idx"]
+    changes = schema_changes_from_events(events[events["epoch"] <= epoch])
+
+    def live_state(upto: int) -> pd.DataFrame:
+        ev = events[(events["epoch"] <= upto) & (events["op"] != "S")]
+        ev = ev.sort_values(key + ["ts", "offset"], kind="mergesort")
+        last = ev.groupby(key, sort=False).tail(1)
+        alive = last[last["op"] != "D"]
+        return alive[key + ["role", "text", "tool", "ts", "offset"]]
+
+    post = live_state(epoch)
+    pre = live_state(epoch - 1) if epoch > 0 else post.iloc[0:0]
+
+    mk = post[key + ["offset"]].merge(
+        pre[key + ["offset"]], on=key, how="outer",
+        suffixes=("_post", "_pre"), indicator=True,
+    )
+    ins = mk[mk["_merge"] == "left_only"][key]
+    dele = mk[mk["_merge"] == "right_only"][key]
+    upd = mk[(mk["_merge"] == "both") & (mk["offset_post"] != mk["offset_pre"])][key]
+
+    parts = []
+    for tag, kdf, side in (("insert", ins, post), ("update", upd, post), ("delete", dele, pre)):
+        rows = side.merge(kdf, on=key).drop(columns=["offset"])
+        rows.insert(0, "change_type", tag)
+        parts.append(rows)
+    out = pd.concat(parts, ignore_index=True)
+    out = apply_schema_changes_pandas(out, changes)
+    return out.sort_values(["change_type", *key], kind="mergesort").reset_index(drop=True)
+
+
 def oracle_reduce_arrow(events: pa.Table, upto_epoch: int | None = None) -> pa.Table:
     """Arrow-typed oracle output (what the engine's export must equal)."""
     df = oracle_reduce(events.to_pandas(), upto_epoch)

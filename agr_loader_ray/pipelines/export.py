@@ -111,3 +111,115 @@ def export_sorted(lake_root: str, epoch: int | None = None) -> ray.data.Dataset:
     """Verification export: stable ``(conv_id, turn_idx)`` ordering
     (north rule; cold path only)."""
     return read_lake(lake_root, epoch=epoch).sort(["conv_id", "turn_idx"])
+
+
+def _fold_live(manifest: LakeManifest, registry: SchemaRegistry,
+               files: list[str]) -> pa.Table:
+    """Fold a partition's file list to its live state (keeps bookkeeping
+    columns; conforms legacy layouts through the registry's alias chain)."""
+    if not files:
+        return registry.conform(pa.Table.from_pylist([]), _EXTRA)
+    tables = [registry.conform(pq.read_table(manifest.abspath(f)), _EXTRA) for f in files]
+    t = tables[0] if len(tables) == 1 else lww_last_per_key(
+        pa.concat_tables(tables), ["conv_id", "turn_idx"], ["ts", OFFSET_COL]
+    )
+    return t.filter(pc.equal(t[DELETED_COL], False))
+
+
+def change_feed(lake_root: str, epoch: int, images: str = "post") -> ray.data.Dataset:
+    """Change-data-feed of one committed epoch: the per-key difference
+    between the lake's live state at ``epoch - 1`` and at ``epoch``.
+
+    Emits one row per changed key with ``change_type`` ∈
+    {'insert', 'update', 'delete'} plus the full payload — the
+    post-image for inserts/updates, the pre-image for deletes — under
+    the schema registry AS OF ``epoch`` (renamed/added columns appear
+    under their new names even for pre-images).
+
+    Defined on state, not on events: a late event that loses
+    last-writer-wins against the existing state changes nothing and is
+    NOT emitted (the WAL is the event feed; this is the effect feed —
+    the lake-side analogue of Delta Lake's change data feed, computed
+    lazily instead of persisted at write time).
+
+    ``images='both'`` switches to Delta-CDF row typing: updates emit TWO
+    rows, ``update_preimage`` (old payload) and ``update_postimage``
+    (new payload), so downstream incremental view maintenance
+    (``pipelines/ivm.py``) can retract the old contribution and add the
+    new one without consulting any other state.
+
+    Scale shape: zero shuffle — only partitions whose manifest entry was
+    written in ``epoch`` are scanned (untouched partitions are carried
+    forward unchanged), one read+fold+diff task per touched partition,
+    using the same time-travel file lists ``read_lake`` uses.
+    """
+    from .engine import _info_files
+
+    manifest = LakeManifest(lake_root)
+    m_post = manifest.read_epoch(epoch)
+    registry_dict = m_post["schema_registry"]
+    try:
+        m_pre = manifest.read_epoch(epoch - 1)
+        pre_parts = m_pre["partitions"]
+    except FileNotFoundError:
+        pre_parts = {}
+
+    items = []
+    for p, info in m_post["partitions"].items():
+        if info.get("epoch") != epoch:
+            continue  # carried forward untouched — cannot contain changes
+        items.append({
+            "post_files": _info_files(info),
+            "pre_files": _info_files(pre_parts.get(p)),
+        })
+
+    out_fields = [pa.field("change_type", pa.string())] + list(
+        SchemaRegistry.from_dict(registry_dict).schema
+    )
+    if not items:
+        return ray.data.from_arrow(pa.Table.from_pylist([], schema=pa.schema(out_fields)))
+
+    keys = ["conv_id", "turn_idx"]
+    if images not in ("post", "both"):
+        raise ValueError(f"images must be 'post' or 'both', got {images!r}")
+    upd_sides = (
+        [("update", "post")] if images == "post"
+        else [("update_preimage", "pre"), ("update_postimage", "post")]
+    )
+
+    def diff_partition(batch: pa.Table) -> pa.Table:
+        registry = SchemaRegistry.from_dict(registry_dict)
+        mani = LakeManifest(lake_root)
+        payload = [f.name for f in registry.schema]
+        outs = []
+        for row in batch.to_pylist():
+            pre = _fold_live(mani, registry, row["pre_files"])
+            post = _fold_live(mani, registry, row["post_files"])
+            # classify on the winner offset: same key + same winning
+            # offset ⇒ identical state (offsets are unique per event)
+            pre_k = pre.select(keys + [OFFSET_COL]).rename_columns(keys + ["__off_pre"])
+            post_k = post.select(keys + [OFFSET_COL]).rename_columns(keys + ["__off_post"])
+            j = post_k.join(pre_k, keys=keys, join_type="full outer")
+            ins = j.filter(pc.is_null(j["__off_pre"])).select(keys)
+            dele = j.filter(pc.is_null(j["__off_post"])).select(keys)
+            upd = j.filter(pc.and_(
+                pc.and_(pc.is_valid(j["__off_pre"]), pc.is_valid(j["__off_post"])),
+                pc.not_equal(j["__off_pre"], j["__off_post"]),
+            )).select(keys)
+            emits = [("insert", ins, post), ("delete", dele, pre)]
+            emits[1:1] = [(tag, upd, post if which == "post" else pre)
+                          for tag, which in upd_sides]
+            for tag, key_t, side in emits:
+                if key_t.num_rows == 0:
+                    continue
+                rows = side.select(payload).join(key_t, keys=keys, join_type="inner")
+                rows = rows.select(payload)  # join may reorder columns
+                outs.append(rows.add_column(
+                    0, "change_type", pa.array([tag] * rows.num_rows, pa.string())))
+        if not outs:
+            return pa.Table.from_pylist([], schema=pa.schema(out_fields))
+        return pa.concat_tables(outs)
+
+    return ray.data.from_items(items).map_batches(
+        diff_partition, batch_format="pyarrow", batch_size=1
+    )

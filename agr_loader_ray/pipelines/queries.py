@@ -90,6 +90,103 @@ def cdc_lww_upsert(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# cdc_change_feed — change-data-feed semantics on the events WAL stand-in:
+# the per-key diff between the folded live state at epoch<=2 and at
+# epoch<=3 (epoch := event_id % 4), classified insert/update/delete on the
+# winning event id.  State-defined, not event-defined: a late epoch-3
+# event that loses LWW emits nothing.  Mirrors pipelines/export.change_feed
+# (the lake-side CDF) in an SQL-checkable form; reference analogue is the
+# per-load diff/removal pass (src/etl/generic_etl.py delta handling) and
+# Delta Lake's CDF, computed lazily.  Partition-kernel exchange: per-batch
+# LWW prefold per (key, pre-flag) combiner, one hash exchange, per-
+# partition vectorized diff.
+# ---------------------------------------------------------------------------
+@query(
+    "cdc_change_feed",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id % 50 AS turn_idx, event_id % 4 AS epoch,
+             event_type, value, ts, event_id
+      FROM events),
+    post_live AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, turn_idx
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev) t WHERE rn = 1 AND event_type <> 'error'),
+    pre_live AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, turn_idx
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev WHERE epoch <= 2) t WHERE rn = 1 AND event_type <> 'error')
+    SELECT CASE WHEN pre.event_id IS NULL THEN 'insert'
+                WHEN post.event_id IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           coalesce(post.user_id, pre.user_id) AS user_id,
+           coalesce(post.turn_idx, pre.turn_idx) AS turn_idx,
+           coalesce(post.event_type, pre.event_type) AS event_type,
+           coalesce(post.value, pre.value) AS value,
+           coalesce(post.ts, pre.ts) AS ts,
+           coalesce(post.event_id, pre.event_id) AS event_id
+    FROM post_live post
+    FULL OUTER JOIN pre_live pre
+      ON post.user_id = pre.user_id AND post.turn_idx = pre.turn_idx
+    WHERE pre.event_id IS NULL OR post.event_id IS NULL
+       OR pre.event_id <> post.event_id
+    """,
+)
+def cdc_change_feed(sf_dir: str):
+    ds = read_table(sf_dir, "events")
+    keys = ["user_id", "turn_idx"]
+
+    def prefold(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        t = t.append_column("turn_idx", pa.array(ids % 50, pa.int64()))
+        t = t.append_column("pre_flag", pa.array((ids % 4) <= 2))
+        # combiner: top-1 per (key, pre-eligibility) — the pre winner is the
+        # top pre_flag row, the post winner the max of the two survivors
+        t = lww_last_per_key(t, [*keys, "pre_flag"], ["ts", "event_id"])
+        return add_partition_column(t, 16, conv_col="user_id", turn_col="turn_idx")
+
+    payload = ["user_id", "turn_idx", "event_type", "value", "ts", "event_id"]
+
+    def diff(g: pa.Table) -> pa.Table:
+        def live(t: pa.Table) -> pa.Table:
+            t = lww_last_per_key(t, keys, ["ts", "event_id"])
+            return t.filter(pc.not_equal(t["event_type"], "error")).select(payload)
+
+        pre = live(g.filter(g["pre_flag"]))
+        post = live(g)
+        pre_k = pre.select([*keys, "event_id"]).rename_columns([*keys, "__pre"])
+        post_k = post.select([*keys, "event_id"]).rename_columns([*keys, "__post"])
+        j = post_k.join(pre_k, keys=keys, join_type="full outer")
+        ins = j.filter(pc.is_null(j["__pre"])).select(keys)
+        dele = j.filter(pc.is_null(j["__post"])).select(keys)
+        upd = j.filter(
+            pc.and_(pc.and_(pc.is_valid(j["__pre"]), pc.is_valid(j["__post"])),
+                    pc.not_equal(j["__pre"], j["__post"]))
+        ).select(keys)
+        outs = []
+        for tag, key_t, side in (("insert", ins, post), ("update", upd, post),
+                                 ("delete", dele, pre)):
+            if key_t.num_rows == 0:
+                continue
+            rows = side.join(key_t, keys=keys, join_type="inner").select(payload)
+            outs.append(rows.add_column(
+                0, "change_type", pa.array([tag] * rows.num_rows, pa.string())))
+        if not outs:
+            return pa.Table.from_pylist(
+                [], schema=pa.schema([pa.field("change_type", pa.string()),
+                                      *post.schema]))
+        return pa.concat_tables(outs)
+
+    return (
+        ds.map_batches(prefold, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(PART_COL)
+        .map_groups(diff, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q1_agg_pushdown — grouped aggregate with per-batch partial aggregation
 # (combiner) before the shuffle.  Reference: per-label counts / grouped
 # stats (SURVEY A1/A5); pattern: pre-aggregate inside map_batches.

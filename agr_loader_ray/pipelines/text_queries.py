@@ -549,10 +549,70 @@ def cdc_engine_replay(sf_dir: str):
     return export_sorted(_replay_lake(sf_dir))
 
 
+@query("cdc_engine_change_feed")
+def cdc_engine_change_feed(sf_dir: str):
+    """Lake-side change-data-feed of every committed epoch (rows-only
+    gate: lake input, not a view; oracle equality per epoch — including
+    under schema evolution — is asserted in tests/test_engine_tests.py::
+    test_change_feed_matches_oracle_every_epoch).  The SQL-checkable
+    formulation of the same semantics is ``cdc_change_feed``."""
+    import pyarrow as _pa
+
+    from ..pipelines.export import change_feed
+    from ..state.manifest import LakeManifest
+
+    from ..state.schema_registry import SchemaRegistry
+
+    lake_root = _replay_lake(sf_dir)
+    manifest = LakeManifest(lake_root)
+    latest = manifest.last_committed_epoch()
+    # union needs one schema: conform pre-evolution epochs' feeds to the
+    # final registry schema (columns added later null-filled)
+    final_schema = SchemaRegistry.from_dict(
+        manifest.read_epoch(latest)["schema_registry"]).schema
+    cols = ["epoch", "change_type", *[f.name for f in final_schema]]
+
+    def conform(t: _pa.Table, e: int) -> _pa.Table:
+        t = t.add_column(0, "epoch", _pa.array([e] * t.num_rows, _pa.int64()))
+        for f in final_schema:
+            if f.name not in t.column_names:
+                t = t.append_column(f.name, _pa.nulls(t.num_rows, f.type))
+        return t.select(cols)
+
+    feeds = []
+    for e in range(latest + 1):
+        fe = change_feed(lake_root, e).map_batches(
+            lambda t, _e=e: conform(t, _e), batch_format="pyarrow",
+        )
+        feeds.append(fe)
+    out = feeds[0]
+    for fe in feeds[1:]:
+        out = out.union(fe)
+    return out.sort(["epoch", "change_type", "conv_id", "turn_idx"])
+
+
 # ---------------------------------------------------------------------------
 # derived_conversation_stats / derived_descriptions — §3.2 second-pass
 # pipelines over the committed lake (rows-only: lake input, not a view).
 # ---------------------------------------------------------------------------
+@query("ivm_conversation_stats")
+def ivm_conversation_stats(sf_dir: str):
+    """Incrementally-maintained conversation_stats view (CDF-delta fold,
+    pipelines/ivm.py) at the lake's final epoch.  Rows-only gate (lake
+    input, not a view); equality vs full recompute at EVERY epoch is
+    asserted in tests/test_ivm_tests.py."""
+    import os
+    import tempfile
+
+    from ..pipelines.ivm import maintain_stats, read_stats
+
+    lake_root = _replay_lake(sf_dir)
+    out = os.path.join(tempfile.gettempdir(),
+                       f"agr_ivm_{os.path.basename(lake_root)}")
+    maintain_stats(lake_root, out)
+    return read_stats(out).sort("conv_id")
+
+
 @query("derived_conversation_stats")
 def derived_conversation_stats(sf_dir: str):
     from ..pipelines.derived import conversation_stats
