@@ -1693,3 +1693,238 @@ def quartiles_value_per_type(sf_dir: str):
     for c in ("p25_c", "p50_c", "p75_c", "n"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# percentile_cont_value_per_type — EXACT interpolated (PERCENTILE_CONT)
+# p50/p90 per type.  The two bracketing order statistics per quantile
+# come from the same histogram-refine stage as quartiles_value_per_type
+# (stages/quantiles.py — no task holds a full group); the interpolation
+# lo + (hi - lo)·frac is evaluated in float64 with the SAME operation
+# order as the oracle so hashes are bit-identical.  The oracle computes
+# the identical explicit formula over row_number order statistics
+# instead of DuckDB quantile_cont, pinning the float semantics on both
+# sides.  Reference analogue: summary statistics over grouped numeric
+# columns (generic stats in the reference's report pass).
+# ---------------------------------------------------------------------------
+@query(
+    "percentile_cont_value_per_type",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) - 1 AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c)
+    SELECT event_type,
+           CAST(max(CASE WHEN rk = ((n - 1) * 1) // 2 THEN cents END) AS DOUBLE)
+             + (max(CASE WHEN rk = least(((n - 1) * 1) // 2 + 1, n - 1) THEN cents END)
+                - max(CASE WHEN rk = ((n - 1) * 1) // 2 THEN cents END))
+               * (CAST(((n - 1) * 1) % 2 AS DOUBLE) / 2.0) AS p50c_cont,
+           CAST(max(CASE WHEN rk = ((n - 1) * 9) // 10 THEN cents END) AS DOUBLE)
+             + (max(CASE WHEN rk = least(((n - 1) * 9) // 10 + 1, n - 1) THEN cents END)
+                - max(CASE WHEN rk = ((n - 1) * 9) // 10 THEN cents END))
+               * (CAST(((n - 1) * 9) % 10 AS DOUBLE) / 10.0) AS p90c_cont,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM r GROUP BY event_type, n
+    """,
+)
+def percentile_cont_value_per_type(sf_dir: str):
+    from ..stages.quantiles import exact_group_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        cents = np.round(v * 100).astype(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "cents": pa.array(cents, pa.int64())})
+
+    cents_ds = ds.map_batches(to_cents, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    res = exact_group_quantiles(
+        cents_ds, "event_type", "cents",
+        quantiles=((1, 2, "lo"), (1, 2, "hi"), (9, 10, "lo"), (9, 10, "hi")),
+        pool=_pool())
+    counts = res.pop("_n")
+
+    def interp(n: int, num: int, den: int, lo: int, hi: int) -> float:
+        # identical op order to the SQL: DOUBLE(lo) + (hi-lo) * (rem/den)
+        frac = ((n - 1) * num % den) / float(den)
+        return float(lo) + (hi - lo) * frac
+
+    rows = [{"event_type": g,
+             "p50c_cont": interp(counts[g], 1, 2, q[0], q[1]),
+             "p90c_cont": interp(counts[g], 9, 10, q[2], q[3]),
+             "n_rows": counts[g]}
+            for g, q in res.items()]
+    out = pd.DataFrame(rows, columns=["event_type", "p50c_cont", "p90c_cont", "n_rows"])
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# event_transition_counts — first-order Markov transition counts over
+# each user's event sequence (lag/lead window family, §2.9): pair every
+# event with its predecessor within the user's (ts, event_id) order and
+# count (prev_type, next_type) globally.  Partition-kernel exchange:
+# users are hash-bucketed into a bounded number of partitions, the
+# per-partition kernel is one mergesort + shifted-equality mask (no
+# per-user Python), and only tiny per-partition pair counts reach the
+# final exchange.  Reference analogue: ordered per-entity sequence
+# walks (stage-ordered ETL passes over sorted per-gene rows).
+# ---------------------------------------------------------------------------
+@query(
+    "event_transition_counts",
+    """
+    SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n_trans
+    FROM (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events) t
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def event_transition_counts(sf_dir: str):
+    from ..stages.partition import int_key_part_col
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts", "event_id"])
+    nparts = _join_parts()
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        et = g["event_type"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        same = np.empty(len(g), dtype=bool)
+        same[0] = False
+        same[1:] = uid[1:] == uid[:-1]
+        pairs = pd.DataFrame({"prev_type": np.roll(et, 1)[same],
+                              "next_type": et[same]})
+        out = (pairs.groupby(["prev_type", "next_type"], sort=False)
+               .size().reset_index(name="n_trans"))
+        out["n_trans"] = out["n_trans"].astype(np.int64)
+        return out
+
+    partials = ds.map_batches(
+        lambda t: int_key_part_col(t, "user_id", nparts),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("gpart").map_groups(pairs_part, batch_format="pandas")
+    return (partials.groupby(["prev_type", "next_type"])
+            .aggregate(Sum("n_trans", alias_name="n_trans")))
+
+
+# ---------------------------------------------------------------------------
+# funnel_view_purchase — ordered two-stage funnel: users with a 'view',
+# and of those, users with a 'purchase' STRICTLY AFTER their first view
+# (converted ⟺ max purchase ts > min view ts, computed per user inside
+# one hash-bucketed partition kernel; rows are pruned to the two funnel
+# event types before the exchange).  Only two int64 partials per
+# partition reach the driver.  Reference analogue: staged dependency
+# gating between loads (a later stage keyed on an earlier stage's
+# output).
+# ---------------------------------------------------------------------------
+@query(
+    "funnel_view_purchase",
+    """
+    WITH fv AS (
+      SELECT user_id, min(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    conv AS (
+      SELECT DISTINCT e.user_id
+      FROM events e JOIN fv ON e.user_id = fv.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > fv.first_view)
+    SELECT CAST((SELECT count(*) FROM fv) AS BIGINT) AS n_viewed,
+           CAST((SELECT count(*) FROM conv) AS BIGINT) AS n_converted
+    """,
+)
+def funnel_view_purchase(sf_dir: str):
+    from ..stages.partition import int_key_part_col
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    nparts = _join_parts()
+
+    def prune(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"],
+                              value_set=pa.array(["view", "purchase"])))
+        return int_key_part_col(t, "user_id", nparts)
+
+    def fold_part(g: pd.DataFrame) -> pd.DataFrame:
+        views = g[g["event_type"] == "view"].groupby("user_id")["ts"].min()
+        if views.empty:
+            return pd.DataFrame({"n_viewed": pd.array([0], dtype="int64"),
+                                 "n_converted": pd.array([0], dtype="int64")})
+        pur = g[g["event_type"] == "purchase"].groupby("user_id")["ts"].max()
+        j = views.to_frame("first_view").join(pur.to_frame("last_purchase"),
+                                              how="left")
+        conv = int((j["last_purchase"] > j["first_view"]).sum())
+        return pd.DataFrame({"n_viewed": pd.array([len(j)], dtype="int64"),
+                             "n_converted": pd.array([conv], dtype="int64")})
+
+    partials = ds.map_batches(
+        prune, batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("gpart").map_groups(fold_part, batch_format="pandas")
+    agg = partials.aggregate(Sum("n_viewed", alias_name="n_viewed"),
+                             Sum("n_converted", alias_name="n_converted"))
+    return pd.DataFrame({"n_viewed": pd.array([agg["n_viewed"]], dtype="int64"),
+                         "n_converted": pd.array([agg["n_converted"]],
+                                                 dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# rollup_order_counts — GROUP BY ROLLUP (status, priority): the finest
+# level is a distributed partial-agg + one small exchange; the subtotal
+# and grand-total levels are derived from the FINEST RESULT (bounded by
+# |status|·|priority| rows — never from the input), so the rollup adds
+# zero extra passes over the data.  NULL marks rolled-up columns, as in
+# SQL.  Reference analogue: per-load + per-type + global count reports
+# emitted together (the reference's summary report pass).
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_order_counts",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_counts(sf_dir: str):
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table({"o_orderstatus": t["o_orderstatus"],
+                       "o_orderpriority": t["o_orderpriority"],
+                       "rev_c": _cents(t["o_totalprice"])})
+        g = t2.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("rev_c", "sum"), ("rev_c", "count")])
+        return pa.table({
+            "o_orderstatus": g["o_orderstatus"],
+            "o_orderpriority": g["o_orderpriority"],
+            "rev_c": pc.cast(g["rev_c_sum"], pa.int64()),
+            "n_orders": pc.cast(g["rev_c_count"], pa.int64()),
+        })
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("rev_c", alias_name="rev_c"),
+                   Sum("n_orders", alias_name="n_orders"))
+    ).to_pandas()  # ≤ |status|·|priority| rows — bounded, not data-scaled
+
+    lvl1 = (finest.groupby("o_orderstatus", as_index=False)
+            [["n_orders", "rev_c"]].sum())
+    lvl1.insert(1, "o_orderpriority", None)
+    lvl0 = pd.DataFrame({"o_orderstatus": [None], "o_orderpriority": [None],
+                         "n_orders": [finest["n_orders"].sum()],
+                         "rev_c": [finest["rev_c"].sum()]})
+    cols = ["o_orderstatus", "o_orderpriority", "n_orders", "rev_c"]
+    out = pd.concat([finest[cols], lvl1[cols], lvl0[cols]], ignore_index=True)
+    for c in ("n_orders", "rev_c"):
+        out[c] = out[c].astype(np.int64)
+    return out

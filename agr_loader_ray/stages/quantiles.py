@@ -16,6 +16,12 @@ concentrate ~1/|groups| of the dataset in one task at 100 TB).
 Rank convention for DuckDB ``quantile_disc(v, q)`` parity:
 ``rank = ceil(q·n) - 1`` (verified empirically; exact integer math via
 ``(n·num + den - 1) // den - 1``).
+
+Interpolated (PERCENTILE_CONT) quantiles need the TWO order statistics
+bracketing ``h = (n-1)·q``: pass ``(num, den, "lo")`` for
+``floor(h) = (n-1)·num // den`` and ``(num, den, "hi")`` for
+``min(floor(h)+1, n-1)``; the caller interpolates
+``lo + (hi-lo)·frac`` with ``frac = ((n-1)·num mod den)/den``.
 """
 
 from __future__ import annotations
@@ -37,6 +43,16 @@ def _width(lo: int, hi: int) -> int:
 def quantile_disc_rank(q_num: int, q_den: int, n: int) -> int:
     """0-based rank of DuckDB ``quantile_disc(v, q_num/q_den)``."""
     return max(0, (n * q_num + q_den - 1) // q_den - 1)
+
+
+def quantile_rank(spec: tuple, n: int) -> int:
+    """Rank for a quantile spec: ``(num, den)`` → disc convention;
+    ``(num, den, "lo"/"hi")`` → the PERCENTILE_CONT bracketing ranks."""
+    if len(spec) == 2:
+        return quantile_disc_rank(spec[0], spec[1], n)
+    num, den, mode = spec
+    lo = (n - 1) * num // den
+    return lo if mode == "lo" else min(lo + 1, n - 1)
 
 
 def exact_group_quantiles(ds, group_col: str, key_col: str,
@@ -71,9 +87,9 @@ def exact_group_quantiles(ds, group_col: str, key_col: str,
     for r in stats:
         g, n = r[group_col], int(r["n"])
         counts[g] = n
-        for qi, (num, den) in enumerate(quantiles):
+        for qi, spec in enumerate(quantiles):
             state[(g, qi)] = [int(r["lo"]), int(r["hi"]),
-                              quantile_disc_rank(num, den, n), 0]
+                              quantile_rank(spec, n), 0]
 
     def hist_round(ranges: dict):
         """ranges: (group, qi) -> (lo, hi, width) → bucket-count rows."""
