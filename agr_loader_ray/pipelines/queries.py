@@ -1928,3 +1928,263 @@ def rollup_order_counts(sf_dir: str):
     for c in ("n_orders", "rev_c"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# bloom_semi_join_parts — Bloom-prefiltered big×big semi-join
+# (stages/bloom.py): the probe side (lineitem) is filtered against a
+# bounded broadcast bitmap BEFORE the exchange, so only survivors (true
+# matches + a bounded false-positive residue) enter the exact
+# ``left_semi`` confirm join.  The build is distributed with bounded
+# driver state (≤ m_bits/64 words).  Exactness comes from the confirm
+# join, not the filter.  Reference analogue: primary-id set pruning
+# before resolution (etl_helper lookups), made broadcast-once/bounded.
+# ---------------------------------------------------------------------------
+@query(
+    "bloom_semi_join_parts",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_type = 'ECONOMY' AND p_size >= 25)
+    GROUP BY l_returnflag
+    """,
+)
+def bloom_semi_join_parts(sf_dir: str):
+    from ..stages.bloom import BloomProbe, build_bloom
+
+    parts = read_table(sf_dir, "part",
+                       columns=["p_partkey", "p_type", "p_size"]).map_batches(
+        lambda t: pa.table({"p_partkey": pc.unique(t.filter(
+            pc.and_(pc.equal(t["p_type"], "ECONOMY"),
+                    pc.greater_equal(t["p_size"], 25)))
+            ["p_partkey"].combine_chunks())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ref, m_bits, k = build_bloom(parts, "p_partkey")
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_returnflag", "l_extendedprice"])
+    survivors = li.map_batches(
+        BloomProbe, fn_constructor_args=(ref, "l_partkey", m_bits, k),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=_pool())
+    kept = survivors.join(parts, join_type="left_semi",
+                          num_partitions=_join_parts(),
+                          on=("l_partkey",), right_on=("p_partkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table({"l_returnflag": t["l_returnflag"],
+                       "rev_c": _cents(t["l_extendedprice"])})
+        return t2.group_by("l_returnflag").aggregate(
+            [("rev_c", "count"), ("rev_c", "sum")])
+
+    return (
+        kept.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(Sum("rev_c_count", alias_name="n_rows"),
+                   Sum("rev_c_sum", alias_name="rev_c"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# close_pairs_per_user — windowed SELF-join: per user, count ordered
+# event pairs (a, b) with b strictly after a and within 60 s.  The naive
+# self-join is quadratic; here each hash-bucketed partition kernel does
+# ONE pandas time-window rolling count (window [b.ts−60s, b.ts), C
+# speed, no per-user Python beyond the grouped rolling) — per-row
+# predecessor counts sum to the pair count.  Reference analogue:
+# same-entity temporal proximity checks in per-gene ordered passes.
+# ---------------------------------------------------------------------------
+@query(
+    "close_pairs_per_user",
+    """
+    SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 60 SECONDS
+    GROUP BY a.user_id
+    """,
+)
+def close_pairs_per_user(sf_dir: str):
+    from ..stages.partition import int_key_part_col
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    nparts = _join_parts()
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort").reset_index(drop=True)
+        g["ts"] = g["ts"].astype("datetime64[ns]")
+        g["one"] = 1.0
+        cnt = (g.groupby("user_id", sort=False)
+               .rolling("60s", on="ts", closed="left")["one"].sum()
+               .fillna(0.0).to_numpy())
+        out = (pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                             "n_pairs": cnt.astype(np.int64)})
+               .groupby("user_id", as_index=False)["n_pairs"].sum())
+        return out[out["n_pairs"] > 0]
+
+    return ds.map_batches(
+        lambda t: int_key_part_col(t, "user_id", nparts),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("gpart").map_groups(pairs_part, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# user_event_signature — ordered string_agg per user (the per-entity
+# sequence signature; same grouped ordered-concat shape as the
+# conversation dialogue assembly in pipelines/derived.py).  Users are
+# hash-bucketed; the kernel is one mergesort + grouped ','.join (output
+# size ∝ group size, so the join IS the work).
+# ---------------------------------------------------------------------------
+@query(
+    "user_event_signature",
+    """
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY ts, event_id) AS sig,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def user_event_signature(sf_dir: str):
+    from ..stages.partition import int_key_part_col
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts", "event_id"])
+    nparts = _join_parts()
+
+    def sig_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        agg = (g.groupby("user_id", sort=False)
+               .agg(sig=("event_type", ",".join),
+                    n_events=("event_type", "size"))
+               .reset_index())
+        agg["n_events"] = agg["n_events"].astype(np.int64)
+        return agg
+
+    return ds.map_batches(
+        lambda t: int_key_part_col(t, "user_id", nparts),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("gpart").map_groups(sig_part, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# ntile_quartile_events — NTILE(4) ranking window per user over
+# (value, event_id) order, DuckDB bucket-size convention (first n mod 4
+# buckets get ceil(n/4) rows).  Partition-kernel: grouped cumcount +
+# size transform, pure integer arithmetic, no per-user Python.
+# ---------------------------------------------------------------------------
+@query(
+    "ntile_quartile_events",
+    """
+    SELECT event_id,
+           CAST(ntile(4) OVER (PARTITION BY user_id
+                               ORDER BY value, event_id) AS BIGINT) AS tile
+    FROM events
+    """,
+)
+def ntile_quartile_events(sf_dir: str):
+    from ..stages.partition import int_key_part_col
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "value", "event_id"])
+    nparts = _join_parts()
+
+    def tile_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id", sort=False)
+        i = grp.cumcount().to_numpy()
+        n = grp["event_id"].transform("size").to_numpy()
+        base, rem = n // 4, n % 4
+        big = rem * (base + 1)  # rows covered by the (base+1)-sized buckets
+        in_big = i < big
+        tile = np.where(
+            in_big,
+            i // np.maximum(base + 1, 1) + 1,
+            rem + (i - big) // np.maximum(base, 1) + 1,
+        )
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "tile": tile.astype(np.int64)})
+
+    return ds.map_batches(
+        lambda t: int_key_part_col(t, "user_id", nparts),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("gpart").map_groups(tile_part, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitter_users — EXACT frequent-items via the two-pass
+# sketch-prune pattern: pass 1 runs a Misra-Gries summary (k counters)
+# per batch — the trim subtracts the (k+1)-th largest count so at most
+# k counters survive, and the per-batch trim amounts are tracked, so
+# ``lower(u) + Σδ`` upper-bounds any user's true count; candidates =
+# users whose UPPER bound clears the φ·n threshold (a guaranteed
+# superset of the true heavy hitters, ≤ bounded driver rows).  Pass 2
+# recounts ONLY the candidates exactly (broadcast is_in filter +
+# combiner) and applies the exact threshold.  Output is exact; the
+# sketch only prunes.  φ = 1/200 of all events.
+# ---------------------------------------------------------------------------
+@query(
+    "heavy_hitter_users",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    HAVING count(*) * 200 > (SELECT count(*) FROM events)
+    """,
+)
+def heavy_hitter_users(sf_dir: str):
+    _MG_K = 400  # > 1/φ — guarantees the superset property per batch
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    n_total = ds.count()  # parquet metadata, no scan
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        users, cnt = np.unique(uid, return_counts=True)
+        delta = 0
+        if len(users) > _MG_K:
+            kth = np.partition(cnt, len(cnt) - _MG_K - 1)[len(cnt) - _MG_K - 1]
+            delta = int(kth)
+            keep = cnt > kth
+            users, cnt = users[keep], cnt[keep] - kth
+        out = pa.table({"user_id": pa.array(users, pa.int64()),
+                        "lower": pa.array(cnt.astype(np.int64), pa.int64()),
+                        "delta": pa.array(np.zeros(len(users), np.int64), pa.int64())})
+        # one delta bookkeeping row per batch (user_id = sentinel −1)
+        sent = pa.table({"user_id": pa.array([-1], pa.int64()),
+                         "lower": pa.array([0], pa.int64()),
+                         "delta": pa.array([delta], pa.int64())})
+        return pa.concat_tables([out, sent])
+
+    merged = (
+        ds.map_batches(mg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Sum("lower", alias_name="lower"),
+                   Sum("delta", alias_name="delta"))
+    ).to_pandas()  # ≤ _MG_K rows per input batch — sketch-bounded, tiny
+    total_delta = int(merged.loc[merged["user_id"] == -1, "delta"].sum())
+    thresh = n_total // 200  # candidate iff upper = lower + Σδ > n/200
+    cand = merged[(merged["user_id"] >= 0)
+                  & (merged["lower"] + total_delta > thresh)]["user_id"]
+    cand_ref = ray.put(np.sort(cand.to_numpy().astype(np.int64)))
+
+    class Recount:
+        def __init__(self, ref):
+            self.cand = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            uid = t["user_id"].to_numpy(zero_copy_only=False)
+            hit = uid[np.isin(uid, self.cand)]
+            users, cnt = np.unique(hit, return_counts=True)
+            return pa.table({"user_id": pa.array(users, pa.int64()),
+                             "n_events": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    exact = (
+        ds.map_batches(Recount, fn_constructor_args=(cand_ref,),
+                       batch_format="pyarrow", zero_copy_batch=True,
+                       concurrency=_pool())
+        .groupby("user_id")
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+    return exact.map_batches(
+        lambda t: t.filter(pc.greater(pc.multiply(t["n_events"], 200), n_total)),
+        batch_format="pyarrow", zero_copy_batch=True)
