@@ -244,8 +244,11 @@ class _PartitionApplier:
         ):
             return staged, None
 
+        from ..stages.partition import key_hash
+
         winners = lww_last_per_key(raw, ["conv_id", "turn_idx"], ["ts", OFFSET_COL])
         ev = registry.conform(winners, _EXTRA_FIELDS)  # drops "op"
+        wk = key_hash(winners["conv_id"], winners["turn_idx"])
 
         prev_deltas = list(prev_info.get("deltas") or []) if prev_info else []
         prev_base = prev_info.get("base") if prev_info else None
@@ -268,27 +271,33 @@ class _PartitionApplier:
             self._write(rel, merged)
             live = merged.filter(pc.equal(merged[DELETED_COL], False))
             info = {
-                "part": part, "base": rel, "deltas": [],
+                "part": part, "base": rel, "deltas": [], "delta_blooms": [],
                 "rows": merged.num_rows, "live_rows": live.num_rows,
                 "checksum": _live_checksum(live), "delta_rows": ev.num_rows,
                 "max_offset": int(pc.max(merged[OFFSET_COL]).as_py()),
                 "u_on_missing": u_on_missing, "epoch": epoch,
             }
         else:
+            from ..stages.bloom import bloom_hex_from_hashes
+
             rel = os.path.join(f"part={part}", f"delta-epoch={epoch}.parquet")
             self._write(rel, ev)
             prev_rows = prev_info.get("rows", 0) if prev_info else 0
+            # per-delta key-hash micro-bloom → manifest data skipping for
+            # point lookups (bases are always read; old lakes without
+            # blooms just skip the pruning).  Aligned with "deltas".
+            prev_blooms = list(prev_info.get("delta_blooms") or []) if prev_info else []
+            if len(prev_blooms) != len(prev_deltas):
+                prev_blooms = [None] * len(prev_deltas)
             info = {
                 "part": part, "base": prev_base, "deltas": prev_deltas + [rel],
+                "delta_blooms": prev_blooms + [bloom_hex_from_hashes(wk)],
                 "rows": prev_rows + ev.num_rows, "live_rows": NO_COUNT,
                 "checksum": NO_CHECKSUM, "delta_rows": ev.num_rows,
                 "max_offset": int(pc.max(ev[OFFSET_COL]).as_py()),
                 "u_on_missing": u_on_missing, "epoch": epoch,
             }
         self.manifest.write_staged(epoch, part, info)
-        from ..stages.partition import key_hash
-
-        wk = key_hash(winners["conv_id"], winners["turn_idx"])
         new_existing = wk if existing_keys is None else np.union1d(existing_keys, wk)
         return info, new_existing
 
@@ -308,6 +317,7 @@ def _manifest_row_table(rows: list[dict]) -> pa.Table:
             pa.field("part", pa.int64()),
             pa.field("base", pa.string()),
             pa.field("deltas", pa.list_(pa.string())),
+            pa.field("delta_blooms", pa.list_(pa.string())),
             pa.field("rows", pa.int64()),
             pa.field("live_rows", pa.int64()),
             pa.field("checksum", pa.string()),
@@ -530,7 +540,7 @@ class CdcEngine:
             self.manifest.commit_epoch(
                 e, registries_by_epoch[e], parts,
                 (None, max_off) if max_off is not None else None,
-                quarantine=quarantine,
+                quarantine=quarantine, n_partitions=self.n_partitions,
             )
             stats.append({"epoch": e, "skipped": False, "touched_partitions": len(erows),
                           "quarantined": quarantine["rows"] if quarantine else 0})
@@ -662,6 +672,7 @@ class CdcEngine:
             live = merged.filter(pc.equal(merged[DELETED_COL], False))
             return {
                 **info, "part": part, "base": rel, "deltas": [],
+                "delta_blooms": [],
                 "rows": merged.num_rows, "live_rows": live.num_rows,
                 "checksum": _live_checksum(live),
             }
@@ -669,7 +680,8 @@ class CdcEngine:
         results = ray.get([compact_part.remote(p, info) for p, info in todo.items()])
         for r in results:
             parts[r["part"]] = {k: v for k, v in r.items() if k != "part"}
-        self.manifest.commit_epoch(last, m["schema_registry"], parts, m.get("wal_offsets"))
+        self.manifest.commit_epoch(last, m["schema_registry"], parts, m.get("wal_offsets"),
+                                   n_partitions=m.get("n_partitions"))
         return {"compacted": len(results)}
 
 

@@ -223,3 +223,83 @@ def change_feed(lake_root: str, epoch: int, images: str = "post") -> ray.data.Da
     return ray.data.from_items(items).map_batches(
         diff_partition, batch_format="pyarrow", batch_size=1
     )
+
+
+def point_lookup(lake_root: str, conv_id: str, turn_idx: int,
+                 epoch: int | None = None, return_stats: bool = False):
+    """Serving-path read of ONE key from the committed lake.
+
+    Scale shape — three pruning layers before any bytes are read:
+
+    1. *partition routing*: the manifest records ``n_partitions``, so
+       the key hashes straight to its single owning partition (the same
+       ``key_hash % n`` the writer used) — 1/n of the lake's files are
+       even considered.  Pre-``n_partitions`` lakes fall back to
+       scanning every partition's entry (correct, just unpruned).
+    2. *bloom data skipping*: each delta file carries a key-hash
+       micro-bloom in the manifest (``stages/bloom.py``); deltas whose
+       bloom excludes the key are skipped without touching storage —
+       the Delta-Lake file-stats idea adapted to hash keys, where
+       min/max stats prune nothing.
+    3. *parquet row filter*: surviving files are read with a
+       ``(conv_id, turn_idx)`` predicate (row-group pruning + only
+       matching rows decoded).
+
+    The fold over the handful of surviving rows is the same LWW kernel
+    the apply path uses.  → live row dict, or ``None`` (absent or
+    deleted); with ``return_stats=True`` → ``(row, stats)`` where stats
+    counts files considered/pruned/read.
+    """
+    import numpy as np
+
+    from ..stages.bloom import bloom_hex_maybe_contains
+    from ..stages.partition import key_hash
+    from .engine import _info_files
+
+    manifest = LakeManifest(lake_root)
+    e = manifest.last_committed_epoch() if epoch is None else epoch
+    if e is None:
+        raise FileNotFoundError(f"no committed epoch in {lake_root}")
+    m = manifest.read_epoch(e)
+    registry = SchemaRegistry.from_dict(m["schema_registry"])
+    h = key_hash(np.asarray([conv_id], dtype=object),
+                 np.asarray([turn_idx], dtype=np.int64))[0]
+
+    n_parts = m.get("n_partitions")
+    if n_parts:
+        part_infos = [m["partitions"][p] for p in (str(int(h % np.uint64(n_parts))),)
+                      if p in m["partitions"]]
+    else:
+        part_infos = list(m["partitions"].values())
+
+    stats = {"files_considered": 0, "files_pruned": 0, "files_read": 0}
+    tables = []
+    for info in part_infos:
+        deltas = info.get("deltas") or []
+        blooms = info.get("delta_blooms") or []
+        if len(blooms) != len(deltas):
+            blooms = [None] * len(deltas)
+        files = ([(info["base"], None)] if info.get("base") else []) + \
+            list(zip(deltas, blooms))
+        for rel, bloom in files:
+            stats["files_considered"] += 1
+            if bloom is not None and not bloom_hex_maybe_contains(bloom, h):
+                stats["files_pruned"] += 1
+                continue
+            stats["files_read"] += 1
+            t = pq.read_table(
+                manifest.abspath(rel),
+                filters=[("conv_id", "==", conv_id), ("turn_idx", "==", turn_idx)],
+            )
+            if t.num_rows:
+                tables.append(registry.conform(t, _EXTRA))
+
+    if not tables:
+        row = None
+    else:
+        folded = lww_last_per_key(pa.concat_tables(tables),
+                                  ["conv_id", "turn_idx"], ["ts", OFFSET_COL])
+        live = folded.filter(pc.equal(folded[DELETED_COL], False))
+        live = live.drop_columns([OFFSET_COL, DELETED_COL])
+        row = live.to_pylist()[0] if live.num_rows else None
+    return (row, stats) if return_stats else row

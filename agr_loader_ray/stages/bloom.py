@@ -112,3 +112,36 @@ class BloomProbe:
         words = self.bitmap[(idx >> np.uint64(6)).astype(np.int64)]
         hit = ((words >> (idx & np.uint64(63))) & np.uint64(1)).astype(bool)
         return t.filter(pa.array(hit.all(axis=0)))
+
+
+# ---- serialized micro-blooms (manifest data skipping) ----------------------
+# The lake manifest stores one small Bloom per DELTA file over the
+# file's (conv_id, turn_idx) key hashes, so a point lookup can skip
+# deltas that cannot contain the key (Delta-Lake-style file stats,
+# adapted to hash-partitioned keys where min/max on random keys prunes
+# nothing).  Bases are always read — the bloom pays off on the
+# merge-on-read delta chain.
+
+FILE_BLOOM_M_BITS = 1 << 14  # 2 KiB per delta file in the manifest
+FILE_BLOOM_K = 4
+
+
+def bloom_hex_from_hashes(h: np.ndarray, m_bits: int = FILE_BLOOM_M_BITS,
+                          k: int = FILE_BLOOM_K) -> str:
+    """Dense bitmap hex over pre-hashed uint64 keys (double-hashed again
+    per position — uniform even for structured inputs)."""
+    bm = np.zeros(m_bits >> 6, dtype=np.uint64)
+    if len(h):
+        w, v = _sparse_words(h.astype(np.int64, copy=False), k, m_bits)
+        bm[w] |= v
+    return bm.tobytes().hex()
+
+
+def bloom_hex_maybe_contains(hex_bits: str, h: np.uint64,
+                             m_bits: int = FILE_BLOOM_M_BITS,
+                             k: int = FILE_BLOOM_K) -> bool:
+    """Membership probe of one pre-hashed key against a hex bitmap."""
+    bm = np.frombuffer(bytes.fromhex(hex_bits), dtype=np.uint64)
+    idx = _hash_k(np.asarray([h], dtype=np.uint64), k, m_bits).ravel()
+    words = bm[(idx >> np.uint64(6)).astype(np.int64)]
+    return bool((((words >> (idx & np.uint64(63))) & np.uint64(1)) == 1).all())

@@ -610,3 +610,74 @@ def test_engine_with_object_store_commit_io(tmp_lake, tmp_wal):
     eng2 = CdcEngine(tmp_lake, n_partitions=4, commit_io=cio)
     eng2.replay(tmp_wal)
     _assert_equals_oracle(tmp_lake, tmp_wal)
+
+
+def test_point_lookup_matches_oracle_and_prunes(tmp_lake, tmp_wal):
+    """Serving-path point read: routed to one partition, delta files
+    bloom-pruned, result equals the oracle's final row (None for
+    deleted/absent keys)."""
+    from agr_loader_ray.pipelines.export import point_lookup
+    from agr_loader_ray.state.manifest import LakeManifest
+
+    spec = WalSpec(**{**T2_CORRECTNESS.__dict__, "n_events": 15_000, "n_convs": 400})
+    generate_wal(tmp_wal, spec)
+    # high compact_every → delta chains stay outstanding → skipping matters
+    eng = CdcEngine(tmp_lake, n_partitions=8, compact_every=10)
+    eng.replay(tmp_wal)
+
+    want = oracle_reduce(_wal_df(tmp_wal)).set_index(["conv_id", "turn_idx"])
+    payload_cols = [c for c in want.columns]
+
+    # 1) sampled live keys match the oracle row exactly
+    sample = want.sample(20, random_state=7)
+    for (conv, turn), exp in sample.iterrows():
+        got = point_lookup(tmp_lake, conv, int(turn))
+        assert got is not None, (conv, turn)
+        for c in payload_cols:
+            g, w = got[c], exp[c]
+            if pd.isna(w):
+                assert g is None or pd.isna(g), (conv, turn, c, g, w)
+            else:
+                assert g == w, (conv, turn, c, g, w)
+
+    # 2) an absent key returns None and its partition's deltas are pruned
+    row, stats = point_lookup(tmp_lake, "conv-that-does-not-exist", 0,
+                              return_stats=True)
+    assert row is None
+    assert stats["files_pruned"] >= 1  # bloom skipping engaged
+    # 3) partition routing: only 1/n of the lake's files were considered
+    m = LakeManifest(tmp_lake)
+    total_files = sum(
+        (1 if i.get("base") else 0) + len(i.get("deltas") or [])
+        for i in m.current_partitions().values()
+    )
+    assert stats["files_considered"] < total_files
+
+    # 4) a deleted key returns None (find one from the WAL)
+    wal = _wal_df(tmp_wal)
+    dels = wal[wal["op"] == "D"][["conv_id", "turn_idx"]]
+    deleted = None
+    for _, r in dels.iterrows():
+        if (r["conv_id"], r["turn_idx"]) not in want.index:
+            deleted = (r["conv_id"], int(r["turn_idx"]))
+            break
+    if deleted is not None:
+        assert point_lookup(tmp_lake, deleted[0], deleted[1]) is None
+
+
+def test_point_lookup_works_after_compaction(tmp_lake, tmp_wal):
+    """Compaction clears delta chains (and their blooms); lookups keep
+    answering from the rewritten base."""
+    from agr_loader_ray.pipelines.export import point_lookup
+
+    generate_wal(tmp_wal, WalSpec(n_events=3_000, n_convs=120, n_epochs=3,
+                                  update_frac=0.3, delete_frac=0.1))
+    eng = CdcEngine(tmp_lake, n_partitions=4, compact_every=10)
+    eng.replay(tmp_wal)
+    eng.compact()
+
+    want = oracle_reduce(_wal_df(tmp_wal)).set_index(["conv_id", "turn_idx"])
+    (conv, turn), exp = next(iter(want.sample(1, random_state=3).iterrows()))
+    got, stats = point_lookup(tmp_lake, conv, int(turn), return_stats=True)
+    assert got is not None and got["text"] == exp["text"]
+    assert stats["files_pruned"] == 0  # nothing left to prune
