@@ -2188,3 +2188,124 @@ def heavy_hitter_users(sf_dir: str):
     return exact.map_batches(
         lambda t: t.filter(pc.greater(pc.multiply(t["n_events"], 200), n_total)),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# doc_chunks_overlap — sliding-window document chunking (size 200,
+# stride 150): the unit op of context-window training-data prep
+# (complement of pack_context_windows, which packs whole docs).
+# Embarrassingly parallel — NO shuffle: per batch, one vectorized
+# utf8_slice_codeunits pass per DISTINCT chunk start (bounded by
+# max_len/stride, never per row).  Codepoint slicing matches DuckDB
+# substring semantics exactly (verified incl. non-ASCII).
+# ---------------------------------------------------------------------------
+@query(
+    "doc_chunks_overlap",
+    """
+    SELECT doc_id, i AS chunk_idx,
+           substring(text, CAST(i * 150 + 1 AS INT), 200) AS chunk,
+           CAST(length(substring(text, CAST(i * 150 + 1 AS INT), 200)) AS BIGINT)
+             AS chunk_len
+    FROM documents, generate_series(0, 255) AS t(i)
+    WHERE i * 150 < length(text)
+    """,
+)
+def doc_chunks_overlap(sf_dir: str):
+    SIZE, STRIDE = 200, 150
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunk_batch(t: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False)
+        outs = []
+        i = 0
+        while (lens > i * STRIDE).any():
+            sel = t.filter(pa.array(lens > i * STRIDE))
+            chunk = pc.utf8_slice_codeunits(sel["text"], i * STRIDE,
+                                            i * STRIDE + SIZE)
+            outs.append(pa.table({
+                "doc_id": sel["doc_id"],
+                "chunk_idx": pa.array(np.full(sel.num_rows, i), pa.int64()),
+                "chunk": chunk,
+                "chunk_len": pc.cast(pc.utf8_length(chunk), pa.int64()),
+            }))
+            i += 1
+        if not outs:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "chunk": pa.array([], pa.string()),
+                             "chunk_len": pa.array([], pa.int64())})
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(chunk_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms — per-document top-3 terms by tf × (N/df) (the idf is
+# the exact rational N/df rather than a log so both sides compute ONE
+# IEEE division and hashes are bit-identical; ranking is unchanged
+# because log is monotone).  Distributed shape: per-batch (doc, token)
+# tf partials (docs are row-atomic, so tf needs no exchange) → one
+# token-keyed exchange for df → hash join tf×df → per-doc top-3 via a
+# hash-bucketed partition kernel.  Tokenization identical to
+# explode_tokens_topk (string_split on ' ', empties dropped).
+# ---------------------------------------------------------------------------
+@query(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok2 GROUP BY doc_id, token),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY token),
+    n AS (SELECT count(*) AS n FROM documents),
+    s AS (SELECT tf.doc_id, tf.token,
+                 CAST(tf.tf * n.n AS DOUBLE) / df.df AS score,
+                 row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.token
+                 ) AS rn
+          FROM tf JOIN df USING (token), n)
+    SELECT doc_id, token, score FROM s WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(sf_dir: str):
+    from ..stages.partition import int_key_part_col
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata, no scan
+    nparts = _join_parts()
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        parent = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        pairs = pa.table({"doc_id": t["doc_id"].take(parent.filter(keep)),
+                          "token": flat.filter(keep)})
+        # docs are row-atomic within a batch → these ARE the final tfs
+        g = pairs.group_by(["doc_id", "token"]).aggregate([("token", "count")])
+        return pa.table({"doc_id": g["doc_id"], "token": g["token"],
+                         "tf": pc.cast(g["token_count"], pa.int64())})
+
+    tf = ds.map_batches(tf_partial, batch_format="pyarrow", zero_copy_batch=True)
+    # df: one row per (doc, token) already → count per token
+    df = (tf.map_batches(lambda t: pa.table({
+            "token": t["token"],
+            "one": pa.array(np.ones(t.num_rows, np.int64))}),
+          batch_format="pyarrow", zero_copy_batch=True)
+          .groupby("token").aggregate(Sum("one", alias_name="df")))
+    scored = tf.join(df, join_type="inner", num_partitions=nparts,
+                     on=("token",))
+
+    def topk_part(g: pd.DataFrame) -> pd.DataFrame:
+        g["score"] = (g["tf"].to_numpy() * n_docs) / g["df"].to_numpy()
+        g = g.sort_values(["doc_id", "score", "token"], kind="mergesort",
+                          ascending=[True, False, True])
+        out = g.groupby("doc_id", sort=False).head(3)
+        return out[["doc_id", "token", "score"]]
+
+    return scored.map_batches(
+        lambda t: int_key_part_col(t, "doc_id", nparts),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("gpart").map_groups(topk_part, batch_format="pandas")
