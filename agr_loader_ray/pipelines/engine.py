@@ -267,6 +267,10 @@ class _PartitionApplier:
                       for rel in ([prev_base] if prev_base else []) + prev_deltas]
             merged = pa.concat_tables([*tables, ev]) if tables else ev
             merged = lww_last_per_key(merged, ["conv_id", "turn_idx"], ["ts", OFFSET_COL])
+            # base files are key-sorted: parquet row-group min/max stats on
+            # conv_id become selective (point_lookup predicate pushdown) and
+            # key runs compress better; cost is a per-partition local sort
+            merged = merged.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
             rel = os.path.join(f"part={part}", f"base-epoch={epoch}.parquet")
             self._write(rel, merged)
             live = merged.filter(pc.equal(merged[DELETED_COL], False))
@@ -667,6 +671,7 @@ class CdcEngine:
                     pc.less(merged[OFFSET_COL], pa.scalar(gc_off, pa.int64())),
                 )
                 merged = merged.filter(pc.invert(stale))
+            merged = merged.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
             rel = os.path.join(f"part={part}", f"base-epoch={info['epoch']}-c.parquet")
             ap._write(rel, merged)
             live = merged.filter(pc.equal(merged[DELETED_COL], False))

@@ -2309,3 +2309,62 @@ def tfidf_top_terms(sf_dir: str):
         lambda t: int_key_part_col(t, "doc_id", nparts),
         batch_format="pyarrow", zero_copy_batch=True,
     ).groupby("gpart").map_groups(topk_part, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# retention_by_epoch — cohort retention: of the users active in epoch e
+# (epoch := event_id % 4), how many are also active in epoch e+1.
+# Partition-kernel shape: per-batch (user, epoch) dedup partials → one
+# user-keyed exchange → per-user epoch BITMASK fold (≤64 epochs in one
+# uint64; consecutive-epoch retention is (mask & mask>>1) popcounts —
+# pure integer ops, no per-user Python).
+# ---------------------------------------------------------------------------
+@query(
+    "retention_by_epoch",
+    """
+    WITH ue AS (
+      SELECT DISTINCT user_id, event_id % 4 AS epoch FROM events)
+    SELECT a.epoch,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(count(b.user_id) AS BIGINT) AS n_retained
+    FROM ue a LEFT JOIN ue b
+      ON a.user_id = b.user_id AND b.epoch = a.epoch + 1
+    GROUP BY a.epoch
+    """,
+)
+def retention_by_epoch(sf_dir: str):
+    from ..stages.partition import int_key_part_col
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id"])
+    nparts = _join_parts()
+
+    def dedup_partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ep = t["event_id"].to_numpy(zero_copy_only=False) % 4
+        df = pd.DataFrame({"user_id": uid, "epoch": ep}).drop_duplicates()
+        out = pa.table({"user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+                        "epoch": pa.array(df["epoch"].to_numpy(), pa.int64())})
+        return int_key_part_col(out, "user_id", nparts)
+
+    def fold_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(["user_id", "epoch"])
+             .sort_values("user_id", kind="mergesort"))
+        uid = g["user_id"].to_numpy()
+        bit = np.uint64(1) << g["epoch"].to_numpy().astype(np.uint64)
+        starts = np.nonzero(np.concatenate(([True], uid[1:] != uid[:-1])))[0]
+        m = np.bitwise_or.reduceat(bit, starts)  # one uint64 mask per user
+        rows = []
+        for e in range(4):
+            active = (m >> np.uint64(e)) & np.uint64(1)
+            retained = active & ((m >> np.uint64(e + 1)) & np.uint64(1))
+            rows.append({"epoch": e, "n_active": int(active.sum()),
+                         "n_retained": int(retained.sum())})
+        out = pd.DataFrame(rows)
+        return out[out["n_active"] > 0]
+
+    partials = ds.map_batches(dedup_partial, batch_format="pyarrow",
+                              zero_copy_batch=True).groupby("gpart").map_groups(
+        fold_part, batch_format="pandas")
+    return (partials.groupby("epoch")
+            .aggregate(Sum("n_active", alias_name="n_active"),
+                       Sum("n_retained", alias_name="n_retained")))
