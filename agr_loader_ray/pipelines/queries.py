@@ -2121,21 +2121,33 @@ def ntile_quartile_events(sf_dir: str):
 # superset of the true heavy hitters, ≤ bounded driver rows).  Pass 2
 # recounts ONLY the candidates exactly (broadcast is_in filter +
 # combiner) and applies the exact threshold.  Output is exact; the
-# sketch only prunes.  φ = 1/200 of all events.
+# sketch only prunes.  The threshold is RELATIVE — users with more than
+# 1.15× the mean events/user — because per-user rates, not per-user
+# totals, are what's stable as the corpus scales (an absolute φ·n cut
+# degenerates to all-or-nothing); exact integer inequality
+# ``cnt · 100 · n_users > 115 · n_total`` on both sides.
 # ---------------------------------------------------------------------------
 @query(
     "heavy_hitter_users",
     """
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
     FROM events GROUP BY user_id
-    HAVING count(*) * 200 > (SELECT count(*) FROM events)
+    HAVING count(*) * 100 * (SELECT count(DISTINCT user_id) FROM events)
+           > 115 * (SELECT count(*) FROM events)
     """,
 )
 def heavy_hitter_users(sf_dir: str):
-    _MG_K = 400  # > 1/φ — guarantees the superset property per batch
+    _MG_K = 400  # sketch capacity (bounds merge-exchange rows per batch)
 
     ds = read_table(sf_dir, "events", columns=["user_id"])
     n_total = ds.count()  # parquet metadata, no scan
+    # n_users: per-batch unique partial → dedup exchange → count
+    n_users = (
+        ds.map_batches(
+            lambda t: pa.table({"user_id": pc.unique(t["user_id"].combine_chunks())}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id").count().count()
+    )
 
     def mg_partial(t: pa.Table) -> pa.Table:
         uid = t["user_id"].to_numpy(zero_copy_only=False)
@@ -2162,9 +2174,10 @@ def heavy_hitter_users(sf_dir: str):
                    Sum("delta", alias_name="delta"))
     ).to_pandas()  # ≤ _MG_K rows per input batch — sketch-bounded, tiny
     total_delta = int(merged.loc[merged["user_id"] == -1, "delta"].sum())
-    thresh = n_total // 200  # candidate iff upper = lower + Σδ > n/200
+    # candidate iff the UPPER bound clears the exact relative threshold
     cand = merged[(merged["user_id"] >= 0)
-                  & (merged["lower"] + total_delta > thresh)]["user_id"]
+                  & ((merged["lower"] + total_delta) * 100 * n_users
+                     > 115 * n_total)]["user_id"]
     cand_ref = ray.put(np.sort(cand.to_numpy().astype(np.int64)))
 
     class Recount:
@@ -2186,7 +2199,8 @@ def heavy_hitter_users(sf_dir: str):
         .aggregate(Sum("n_events", alias_name="n_events"))
     )
     return exact.map_batches(
-        lambda t: t.filter(pc.greater(pc.multiply(t["n_events"], 200), n_total)),
+        lambda t: t.filter(pc.greater(
+            pc.multiply(t["n_events"], 100 * n_users), 115 * n_total)),
         batch_format="pyarrow", zero_copy_batch=True)
 
 
