@@ -2382,3 +2382,71 @@ def retention_by_epoch(sf_dir: str):
     return (partials.groupby("epoch")
             .aggregate(Sum("n_active", alias_name="n_active"),
                        Sum("n_retained", alias_name="n_retained")))
+
+
+# ---------------------------------------------------------------------------
+# mad_value_per_type — median absolute deviation per group, the robust
+# dispersion statistic: TWO composed exact distributed order-statistic
+# passes (stages/quantiles.py) — group medians first, then the median
+# of |x − med| with the tiny medians dict broadcast into the second
+# pass's batches.  Nothing ever holds a full group; rank convention is
+# quantile_disc on both passes and both sides.
+# ---------------------------------------------------------------------------
+@query(
+    "mad_value_per_type",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    med AS (
+      SELECT event_type, quantile_disc(cents, 0.5) AS med
+      FROM c GROUP BY event_type)
+    SELECT c.event_type,
+           quantile_disc(abs(c.cents - med.med), 0.5) AS mad_c,
+           CAST(count(*) AS BIGINT) AS n
+    FROM c JOIN med USING (event_type)
+    GROUP BY c.event_type
+    """,
+)
+def mad_value_per_type(sf_dir: str):
+    from ..stages.quantiles import exact_group_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": t["event_type"],
+                         "cents": pa.array(np.round(v * 100).astype(np.int64),
+                                           pa.int64())})
+
+    cents_ds = ds.map_batches(to_cents, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    med = exact_group_quantiles(cents_ds, "event_type", "cents",
+                                quantiles=((1, 2),), pool=_pool())
+    med.pop("_n")
+    med_ref = ray.put({g: q[0] for g, q in med.items()})
+
+    class Dev:
+        def __init__(self, ref):
+            self.med = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            et = t["event_type"].to_numpy(zero_copy_only=False)
+            cents = t["cents"].to_numpy(zero_copy_only=False)
+            m = pd.Series(et).map(self.med).to_numpy()
+            return pa.table({"event_type": t["event_type"],
+                             "dev": pa.array(np.abs(cents - m).astype(np.int64),
+                                             pa.int64())})
+
+    dev_ds = cents_ds.map_batches(Dev, fn_constructor_args=(med_ref,),
+                                  batch_format="pyarrow", zero_copy_batch=True,
+                                  concurrency=_pool())
+    res = exact_group_quantiles(dev_ds, "event_type", "dev",
+                                quantiles=((1, 2),), pool=_pool())
+    counts = res.pop("_n")
+    out = pd.DataFrame(
+        [{"event_type": g, "mad_c": q[0], "n": counts[g]} for g, q in res.items()],
+        columns=["event_type", "mad_c", "n"])
+    for c in ("mad_c", "n"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
