@@ -613,6 +613,26 @@ def ivm_conversation_stats(sf_dir: str):
     return read_stats(out).sort("conv_id")
 
 
+@query("ivm_inverted_index")
+def ivm_inverted_index(sf_dir: str):
+    """CDF-maintained token→(conv, turn, tf) inverted index
+    (pipelines/inverted.py — LSM-style delta segments per token bucket,
+    additive merge-on-read) at the lake's final epoch.  Rows-only gate
+    (lake input, not a view); equality vs full rebuild at EVERY epoch,
+    resumability and compaction-equivalence are asserted in
+    tests/test_inverted_tests.py."""
+    import os
+    import tempfile
+
+    from ..pipelines.inverted import maintain_index, read_index
+
+    lake_root = _replay_lake(sf_dir)
+    out = os.path.join(tempfile.gettempdir(),
+                       f"agr_invidx_{os.path.basename(lake_root)}")
+    maintain_index(lake_root, out)
+    return read_index(out).sort(["token", "conv_id", "turn_idx"])
+
+
 @query("derived_conversation_stats")
 def derived_conversation_stats(sf_dir: str):
     from ..pipelines.derived import conversation_stats
