@@ -496,6 +496,15 @@ class CdcEngine:
 
         registry = self._load_registry()
         prev_parts = self.manifest.current_partitions()
+        last = self.manifest.last_committed_epoch()
+        if last is not None:
+            mn = self.manifest.read_epoch(last).get("n_partitions")
+            if mn is not None and mn != self.n_partitions:
+                raise ValueError(
+                    f"lake is partitioned {mn}-way but engine was built with "
+                    f"n_partitions={self.n_partitions}; construct the engine "
+                    f"with the manifest's count or run repartition() first"
+                )
 
         registries_by_epoch: dict[int, dict] = {}
         n_events = 0
@@ -688,6 +697,77 @@ class CdcEngine:
         self.manifest.commit_epoch(last, m["schema_registry"], parts, m.get("wal_offsets"),
                                    n_partitions=m.get("n_partitions"))
         return {"compacted": len(results)}
+
+    def repartition(self, new_n: int) -> dict:
+        """Rewrite the lake's ownership partitioning to ``new_n``
+        partitions — the operational move when the cluster (or key
+        cardinality) outgrows the current partition count.
+
+        One distributed pass: every partition's CURRENT state — live
+        rows AND tombstones, offsets intact, so later LWW still resolves
+        late events correctly — is folded, re-hashed with the same
+        ``key_hash % new_n`` the writers use, exchanged once, and
+        written as one key-sorted base per NEW partition.  The rewrite
+        commits by REPLACING the latest epoch's manifest atomically
+        (same protocol as ``compact``): a crash mid-rewrite leaves the
+        old manifest — and therefore the old layout — fully readable,
+        and the deterministic output names make a rerun idempotent.
+        Subsequent ``apply_epochs`` calls must come from an engine built
+        with ``n_partitions=new_n`` (enforced by the manifest guard).
+        """
+        last = self.manifest.last_committed_epoch()
+        if last is None:
+            raise FileNotFoundError("no committed epoch to repartition")
+        m = self.manifest.read_epoch(last)
+        lake_root = self.manifest.lake_root
+        commit_io = self.commit_io
+        reg_ref = ray.put(m["schema_registry"])
+
+        items = [{"files": _info_files(info)}
+                 for info in m["partitions"].values()
+                 if _info_files(info)]
+
+        def load_fold(batch: pa.Table) -> pa.Table:
+            reg = SchemaRegistry.from_dict(ray.get(reg_ref))
+            ap = _PartitionApplier(lake_root, 1, commit_io)
+            outs = []
+            for row in batch.to_pylist():
+                tables = [ap._read_conformed(rel, reg) for rel in row["files"]]
+                t = tables[0] if len(tables) == 1 else lww_last_per_key(
+                    pa.concat_tables(tables), ["conv_id", "turn_idx"],
+                    ["ts", OFFSET_COL])
+                outs.append(add_partition_column(t, new_n))
+            return pa.concat_tables(outs)
+
+        def write_part(g: pa.Table) -> pa.Table:
+            part = int(g[PART_COL][0].as_py())
+            g = g.drop_columns([PART_COL]).sort_by(
+                [("conv_id", "ascending"), ("turn_idx", "ascending")])
+            ap = _PartitionApplier(lake_root, 1, commit_io)
+            rel = os.path.join(f"part={part}",
+                               f"base-epoch={last}-r{new_n}.parquet")
+            ap._write(rel, g)
+            live = g.filter(pc.equal(g[DELETED_COL], False))
+            return _manifest_row_table([{
+                "part": part, "base": rel, "deltas": [], "delta_blooms": [],
+                "rows": g.num_rows, "live_rows": live.num_rows,
+                "checksum": _live_checksum(live), "delta_rows": 0,
+                "max_offset": int(pc.max(g[OFFSET_COL]).as_py()),
+                "u_on_missing": 0, "epoch": last,
+            }])
+
+        rows = (
+            ray.data.from_items(items)
+            .map_batches(load_fold, batch_format="pyarrow", batch_size=1)
+            .groupby(PART_COL)
+            .map_groups(write_part, batch_format="pyarrow")
+        ).take_all()
+        new_parts = {r["part"]: {k: v for k, v in r.items() if k != "part"}
+                     for r in rows}
+        self.manifest.commit_epoch(last, m["schema_registry"], new_parts,
+                                   m.get("wal_offsets"), n_partitions=new_n)
+        self.n_partitions = new_n
+        return {"n_partitions": new_n, "partitions_written": len(new_parts)}
 
 
 def lake_metrics(lake_root: str) -> dict:

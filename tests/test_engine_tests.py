@@ -681,3 +681,41 @@ def test_point_lookup_works_after_compaction(tmp_lake, tmp_wal):
     got, stats = point_lookup(tmp_lake, conv, int(turn), return_stats=True)
     assert got is not None and got["text"] == exp["text"]
     assert stats["files_pruned"] == 0  # nothing left to prune
+
+
+def test_repartition_midstream_and_guard(tmp_lake, tmp_wal):
+    """Repartition 8 → 16 after half the epochs, continue the replay with
+    a 16-way engine, and land on the oracle state; the manifest guard
+    rejects an engine built with a stale partition count."""
+    import pytest
+
+    from agr_loader_ray.pipelines.export import point_lookup
+
+    spec = WalSpec(**{**T2_CORRECTNESS.__dict__, "n_events": 12_000, "n_convs": 400})
+    generate_wal(tmp_wal, spec)
+    half = spec.n_epochs // 2
+
+    eng8 = CdcEngine(tmp_lake, n_partitions=8, compact_every=3)
+    for e in range(half):
+        eng8.apply_epoch(tmp_wal, e)
+    _assert_equals_oracle(tmp_lake, tmp_wal, upto_epoch=half - 1)
+
+    stats = eng8.repartition(16)
+    assert stats["n_partitions"] == 16
+    # state preserved exactly across the rewrite
+    _assert_equals_oracle(tmp_lake, tmp_wal, upto_epoch=half - 1)
+
+    # a stale 8-way engine is rejected before it can mis-route keys
+    with pytest.raises(ValueError, match="repartition"):
+        CdcEngine(tmp_lake, n_partitions=8).apply_epoch(tmp_wal, half)
+
+    eng16 = CdcEngine(tmp_lake, n_partitions=16, compact_every=3)
+    for e in range(half, spec.n_epochs):
+        eng16.apply_epoch(tmp_wal, e)
+    _assert_equals_oracle(tmp_lake, tmp_wal)
+
+    # point lookup routes through the NEW count recorded in the manifest
+    want = oracle_reduce(_wal_df(tmp_wal)).set_index(["conv_id", "turn_idx"])
+    (conv, turn), exp = next(iter(want.sample(1, random_state=5).iterrows()))
+    got = point_lookup(tmp_lake, conv, int(turn))
+    assert got is not None and got["text"] == exp["text"]
