@@ -2450,3 +2450,86 @@ def mad_value_per_type(sf_dir: str):
     for c in ("mad_c", "n"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# percent_rank_events — PERCENT_RANK ranking window per user over value:
+# (rank − 1)/(n − 1) with SQL RANK tie semantics (method='min', gaps),
+# 0 for singleton groups.  Ties on value make event_id unusable as a
+# tiebreak, so the output keys on event_id and carries the rank — the
+# same partition-kernel exchange as ntile_quartile_events, one grouped
+# C-level rank pass, one IEEE division on both sides.
+# ---------------------------------------------------------------------------
+@query(
+    "percent_rank_events",
+    """
+    SELECT event_id,
+           percent_rank() OVER (PARTITION BY user_id ORDER BY value) AS pr
+    FROM events
+    """,
+)
+def percent_rank_events(sf_dir: str):
+    from ..stages.partition import int_key_part_col
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "value", "event_id"])
+    nparts = _join_parts()
+
+    def pr_part(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("user_id", sort=False)
+        rank = grp["value"].rank(method="min").to_numpy()
+        n = grp["value"].transform("size").to_numpy()
+        pr = np.where(n > 1, (rank - 1.0) / np.maximum(n - 1.0, 1.0), 0.0)
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(), "pr": pr})
+
+    return ds.map_batches(
+        lambda t: int_key_part_col(t, "user_id", nparts),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("gpart").map_groups(pr_part, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# weighted_avg_price — quantity-weighted average price per returnflag:
+# exact integer partial sums (price cents × integer quantity) fold
+# through the combiner, with ONE final IEEE division per group — the
+# float never enters the aggregation tree, so the result is
+# order-independent and hash-stable.
+# ---------------------------------------------------------------------------
+@query(
+    "weighted_avg_price",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS BIGINT) AS wsum_c,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wtot,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             / sum(CAST(l_quantity AS BIGINT)) AS wavg_c
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def weighted_avg_price(sf_dir: str):
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t2 = pa.table({"l_returnflag": t["l_returnflag"],
+                       "wsum_c": pa.array(cents * qty, pa.int64()),
+                       "wtot": pa.array(qty, pa.int64())})
+        return t2.group_by("l_returnflag").aggregate(
+            [("wsum_c", "sum"), ("wtot", "sum")])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(Sum("wsum_c_sum", alias_name="wsum_c"),
+                   Sum("wtot_sum", alias_name="wtot"))
+    )
+    return agg.map_batches(
+        lambda t: t.append_column(
+            "wavg_c", pc.divide(pc.cast(t["wsum_c"], pa.float64()),
+                                pc.cast(t["wtot"], pa.float64()))),
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -4,6 +4,7 @@ camelCase munge, date cascade."""
 
 import numpy as np
 import pyarrow as pa
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -124,3 +125,50 @@ def test_camel_case_reassembles_pieces(keys):
         want = "".join(p.capitalize() for p in pieces)
         want = (want[0].lower() + want[1:]) if want else want
         assert o == want
+
+
+@given(st.lists(st.integers(min_value=-10**9, max_value=10**9), min_size=1,
+                max_size=300),
+       st.sampled_from([(1, 4), (1, 2), (3, 4), (9, 10), (1, 10), (99, 100)]))
+@settings(max_examples=200, deadline=None)
+def test_cont_quantile_ranks_match_numpy_linear(vals, q):
+    """The (num, den, 'lo'/'hi') bracketing ranks + the documented
+    interpolation formula reproduce numpy's linear (PERCENTILE_CONT)
+    method exactly on the sorted array."""
+    import numpy as np
+
+    from agr_loader_ray.stages.quantiles import quantile_rank
+
+    num, den = q
+    a = np.sort(np.asarray(vals, dtype=np.int64))
+    n = len(a)
+    lo = a[quantile_rank((num, den, "lo"), n)]
+    hi = a[quantile_rank((num, den, "hi"), n)]
+    frac = ((n - 1) * num % den) / float(den)
+    got = float(lo) + (hi - lo) * frac
+    want = float(np.percentile(a, 100.0 * num / den, method="linear"))
+    assert got == pytest.approx(want, rel=1e-12, abs=1e-9)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
+                max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_ntile_bucket_sizes_convention(vals):
+    """NTILE(4) bucket-size arithmetic: first n%4 buckets get ceil(n/4),
+    sizes are non-increasing, and every row lands in exactly one tile."""
+    import numpy as np
+
+    n = len(vals)
+    i = np.arange(n)
+    base, rem = n // 4, n % 4
+    big = rem * (base + 1)
+    tile = np.where(i < big,
+                    i // max(base + 1, 1) + 1,
+                    rem + (i - big) // max(base, 1) + 1)
+    sizes = np.bincount(tile, minlength=5)[1:]
+    expected_buckets = min(4, n)
+    assert (sizes > 0).sum() == expected_buckets
+    nonzero = sizes[sizes > 0]
+    assert (np.diff(nonzero) <= 0).all()
+    assert nonzero.max() - nonzero.min() <= 1
+    assert sizes.sum() == n
