@@ -1,0 +1,380 @@
+"""Distributed statistics / shuffle operators (SURVEY §2.7 aggregate
+family extensions + training-data shuffle).
+
+Same contract as ``queries.py``: every entry pairs a Ray-Data-first
+pipeline with a DuckDB oracle whose arithmetic is mirrored operation by
+operation, so value hashes match bit-for-bit.  Float-emitting queries
+keep ALL aggregation exact-integer (moment sums, counts) and perform
+the IEEE float ops ONCE per output row in the same textual order as
+the SQL — the float never enters a nondeterministically-ordered
+reduction tree.
+
+Reference provenance: the reference's summary/QC aggregates
+(src/etl/summary_etl.py counts-per-category style) and its grouped
+"most frequent / best candidate" selection (resolver tie-breaks in
+src/etl/helpers/resolver_helper.py) generalize to the grouped moment /
+mode / entropy operators here; the deterministic shard shuffle is the
+training-data export the reference's randomized batch schedule
+(src/transactors/neo4j_transactor.py queue fan-out) maps onto in a
+reproducible-pipeline setting.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..functions.pools import pool as _pool
+from ..functions.tables import read_table
+from ..stages.partition import int_key_part_col
+from .queries import query
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _round_half_away_int(x: np.ndarray) -> np.ndarray:
+    """SQL round(x) (half away from zero) -> int64; np.round is
+    banker's and silently disagrees on exact .5 ties."""
+    return np.trunc(x + np.sign(x) * 0.5).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# corr_qty_price_per_flag — grouped Pearson correlation + sample
+# covariance via distributed EXACT integer moment sums (n, Σx, Σy, Σxy,
+# Σx², Σy²) folded in a map_batches combiner; the only float arithmetic
+# is the closed-form corr/covar evaluation once per group, mirrored
+# op-for-op in the oracle so the doubles are bit-identical.
+# y is whole dollars (half-away round) so Σy² stays in int64 at sf1000.
+# ---------------------------------------------------------------------------
+@query(
+    "corr_qty_price_per_flag",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+             CAST(sum(CAST(round(l_extendedprice) AS BIGINT)
+                      * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n, sx, sy, sxy, sxx, syy,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qp,
+           (CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+           / CAST(n - 1 AS DOUBLE) AS covar_qp
+    FROM m
+    """,
+)
+def corr_qty_price_per_flag(sf_dir: str):
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = _round_half_away_int(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        t2 = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n": pa.array(np.ones(len(x), np.int64)),
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxy": pa.array(x * y), "sxx": pa.array(x * x),
+            "syy": pa.array(y * y),
+        })
+        return t2.group_by("l_returnflag").aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(*[Sum(f"{c}_sum", alias_name=c)
+                     for c in ("n", "sx", "sy", "sxy", "sxx", "syy")])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        f = {c: t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+             for c in ("n", "sx", "sy", "sxy", "sxx", "syy")}
+        corr = (f["n"] * f["sxy"] - f["sx"] * f["sy"]) / (
+            np.sqrt(f["n"] * f["sxx"] - f["sx"] * f["sx"])
+            * np.sqrt(f["n"] * f["syy"] - f["sy"] * f["sy"]))
+        covar = (f["sxy"] - f["sx"] * f["sy"] / f["n"]) / (f["n"] - 1.0)
+        return t.append_column("corr_qp", pa.array(corr, pa.float64())) \
+                .append_column("covar_qp", pa.array(covar, pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# value_histogram_per_type — fixed-width histogram (bin = floor(v/25))
+# per event_type: per-batch partial counts (the combiner) then a small
+# groupby(event_type) merge kernel — the exchange carries one row per
+# (batch, type, bin), never one per event.
+# ---------------------------------------------------------------------------
+@query(
+    "value_histogram_per_type",
+    """
+    SELECT event_type,
+           CAST(floor(value / 25.0) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type, bin
+    """,
+)
+def value_histogram_per_type(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        b = np.floor(v / 25.0).astype(np.int64)
+        t2 = pa.table({"event_type": t["event_type"],
+                       "bin": pa.array(b),
+                       "n": pa.array(np.ones(len(b), np.int64))})
+        return (t2.group_by(["event_type", "bin"]).aggregate([("n", "sum")])
+                .rename_columns(["event_type", "bin", "n"]))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("bin", sort=True)["n"].sum()
+        return pd.DataFrame({"event_type": g["event_type"].iloc[0],
+                             "bin": m.index.to_numpy(),
+                             "n": m.to_numpy().astype(np.int64)})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# mode_value_per_type — grouped mode of round(value) with deterministic
+# min-value tie-break: partial (type, v) counts combine per batch, one
+# small per-type kernel picks argmax.  Exact integers end to end.
+# ---------------------------------------------------------------------------
+@query(
+    "mode_value_per_type",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(round(value) AS BIGINT) AS mode_v,
+             CAST(count(*) AS BIGINT) AS n_mode
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, mode_v, n_mode,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n_mode DESC, mode_v ASC) AS rn
+      FROM c)
+    SELECT event_type, mode_v, n_mode FROM r WHERE rn = 1
+    """,
+)
+def mode_value_per_type(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = _round_half_away_int(t["value"].to_numpy(zero_copy_only=False))
+        t2 = pa.table({"event_type": t["event_type"],
+                       "mode_v": pa.array(v),
+                       "n_mode": pa.array(np.ones(len(v), np.int64))})
+        return (t2.group_by(["event_type", "mode_v"])
+                .aggregate([("n_mode", "sum")])
+                .rename_columns(["event_type", "mode_v", "n_mode"]))
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("mode_v", sort=True)["n_mode"].sum()
+        v = m.index.to_numpy()
+        n = m.to_numpy().astype(np.int64)
+        i = int(np.argmax(n))  # v sorted ascending -> first max = min tie
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "mode_v": np.array([v[i]], np.int64),
+                             "n_mode": np.array([n[i]], np.int64)})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(argmax, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# entropy_event_mix_per_user — Shannon entropy of each user's
+# event-type distribution.  Counts fold exactly (partial combine →
+# partition-kernel merge); the transcendental part is ONE fixed-order
+# five-term expression per user, written identically on both sides
+# (p_i = c_i/n, term_i = p_i·ln p_i, H = 0 − (t1+t2+t3+t4+t5) — the
+# 0− form normalizes the all-one-type case to +0.0 on both sides,
+# where unary minus would emit -0.0 and flip the typed hash).
+# DuckDB's ln() is NOT glibc log() (measured 1-ulp disagreement at
+# ln(14/67)), so both sides round half-away at 6 dp — entropy error is
+# ~2e-16 against a 5e-7 tie window, same guard as quantize_embeddings.
+# ---------------------------------------------------------------------------
+_ENTROPY_CASE = " + ".join(
+    f"""(CASE WHEN c{i} > 0 THEN (CAST(c{i} AS DOUBLE) / CAST(n_events AS DOUBLE))
+         * ln(CAST(c{i} AS DOUBLE) / CAST(n_events AS DOUBLE)) ELSE 0.0 END)"""
+    for i in range(1, 6))
+
+_ENTROPY_COUNTS = ", ".join(
+    f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS c{i}"
+    for i, t in enumerate(_EVENT_TYPES, start=1))
+
+
+@query(
+    "entropy_event_mix_per_user",
+    f"""
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, {_ENTROPY_COUNTS}
+      FROM events GROUP BY user_id)
+    SELECT user_id, n_events,
+           round(0.0 - ({_ENTROPY_CASE}), 6) AS entropy
+    FROM c
+    """,
+)
+def entropy_event_mix_per_user(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    nparts = _pool()[1] * 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table({"user_id": t["user_id"],
+                       "event_type": t["event_type"],
+                       "c": pa.array(np.ones(t.num_rows, np.int64))})
+        out = (t2.group_by(["user_id", "event_type"])
+               .aggregate([("c", "sum")])
+               .rename_columns(["user_id", "event_type", "c"]))
+        return int_key_part_col(out, "user_id", nparts)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        piv = (g.pivot_table(index="user_id", columns="event_type",
+                             values="c", aggfunc="sum", fill_value=0)
+               .reindex(columns=list(_EVENT_TYPES), fill_value=0))
+        counts = piv.to_numpy().astype(np.float64)
+        n = counts.sum(axis=1)
+        acc = np.zeros(len(n))
+        for i in range(5):  # fixed order == SQL's left-assoc t1+..+t5
+            c = counts[:, i]
+            p = np.divide(c, n, out=np.zeros_like(c), where=c > 0)
+            term = np.where(c > 0, p * np.log(p, out=np.zeros_like(p),
+                                              where=c > 0), 0.0)
+            acc = acc + term
+        from ..stages.similarity import round_half_away
+        return pd.DataFrame({"user_id": piv.index.to_numpy(),
+                             "n_events": n.astype(np.int64),
+                             "entropy": round_half_away(0.0 - acc, 6)})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shard_shuffle_positions — deterministic training-data shuffle: every
+# document gets a Knuth-hash shuffle key, a shard (h mod 8), and its
+# exact position within the shard's hash order.  The reproducible,
+# resumable version of random_shuffle: same input -> same shard files
+# in the same order, no RNG state to checkpoint.  Positions come from
+# one per-shard lexsort kernel (8 groups), not a global driver sort.
+# ---------------------------------------------------------------------------
+@query(
+    "shard_shuffle_positions",
+    """
+    WITH s AS (
+      SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h FROM documents)
+    SELECT doc_id, h, h % 8 AS shard,
+           CAST(row_number() OVER (PARTITION BY h % 8
+                                   ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def shard_shuffle_positions(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (d * np.int64(2654435761)) % np.int64(4294967296)
+        return pa.table({"doc_id": t["doc_id"], "h": pa.array(h),
+                         "shard": pa.array(h % np.int64(8))})
+
+    def positions(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["doc_id"].to_numpy(), g["h"].to_numpy()))
+        out = g.iloc[order].reset_index(drop=True)
+        out["pos"] = np.arange(len(out), dtype=np.int64)
+        return out
+
+    return (
+        ds.map_batches(keys, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(positions, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# connected_components_sizes — component structure of the bipartite
+# order–part graph (orders sharing parts): edges from lineitem, labels
+# via the hybrid CC stage (driver union-find under the pair limit,
+# distributed pointer doubling above — stages/components.py), sizes by
+# partial count.  Oracle: WITH RECURSIVE min-label reachability.
+# Reference: transitive identity resolution (resolver_helper chains,
+# closure_etl.py:28-81) generalized to an arbitrary edge set.
+# ---------------------------------------------------------------------------
+@query(
+    "connected_components_sizes",
+    """
+    WITH RECURSIVE e AS (
+      SELECT 2 * l_orderkey AS a, 2 * l_partkey + 1 AS b
+      FROM lineitem WHERE l_orderkey % 41 = 0
+    ), ee AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    reach(node, lab) AS (
+      SELECT a, a FROM ee
+      UNION
+      SELECT ee.b, reach.lab FROM reach JOIN ee ON ee.a = reach.node
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orders
+    FROM (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+    GROUP BY component
+    """,
+)
+def connected_components_sizes(sf_dir: str):
+    from ..stages.components import connected_components_auto
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (o % 41) == 0
+        return pa.table({"id_a": pa.array(2 * o[m]),
+                         "id_b": pa.array(2 * p[m] + 1)})
+
+    labels = connected_components_auto(
+        li.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True))
+
+    def partial(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        t2 = pa.table({"component": t["component"],
+                       "n_nodes": pa.array(np.ones(len(node), np.int64)),
+                       "n_orders": pa.array((node % 2 == 0).astype(np.int64))})
+        return (t2.group_by("component")
+                .aggregate([("n_nodes", "sum"), ("n_orders", "sum")])
+                .rename_columns(["component", "n_nodes", "n_orders"]))
+
+    return (
+        labels.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("component")
+        .aggregate(Sum("n_nodes", alias_name="n_nodes"),
+                   Sum("n_orders", alias_name="n_orders"))
+    )
