@@ -378,3 +378,228 @@ def connected_components_sizes(sf_dir: str):
         .aggregate(Sum("n_nodes", alias_name="n_nodes"),
                    Sum("n_orders", alias_name="n_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# cume_dist_events — CUME_DIST window per user over value: rank_max/n,
+# one partition-kernel exchange (same shape as percent_rank_events).
+# The only float op is a single division of exactly-representable
+# integers, identical on both sides.
+# ---------------------------------------------------------------------------
+@query(
+    "cume_dist_events",
+    """
+    SELECT event_id,
+           cume_dist() OVER (PARTITION BY user_id ORDER BY value) AS cd
+    FROM events
+    """,
+)
+def cume_dist_events(sf_dir: str):
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "value"])
+    nparts = _pool()[1] * 2
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("user_id", sort=False)
+        r = grp["value"].rank(method="max").to_numpy()
+        n = grp["value"].transform("size").to_numpy().astype(np.float64)
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "cd": r / n})
+
+    return (
+        ds.map_batches(lambda t: int_key_part_col(t, "user_id", nparts),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# lag_value_delta — LAG window: per-event delta vs the user's previous
+# event in (ts, event_id) order; NULL for each user's first event.
+# One exchange, one lexsort kernel per partition.
+# ---------------------------------------------------------------------------
+@query(
+    "lag_value_delta",
+    """
+    SELECT event_id,
+           value - lag(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+)
+def lag_value_delta(sf_dir: str):
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+    nparts = _pool()[1] * 2
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        order = np.lexsort((g["event_id"].to_numpy(),
+                            g["ts"].to_numpy(), uid))
+        v = g["value"].to_numpy()[order]
+        u = uid[order]
+        delta = np.empty(len(v))
+        delta[1:] = v[1:] - v[:-1]
+        delta[0] = np.nan
+        delta[np.concatenate(([True], u[1:] != u[:-1]))] = np.nan
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy()[order],
+                             "delta": delta})
+
+    return (
+        ds.map_batches(lambda t: int_key_part_col(t, "user_id", nparts),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# first_last_value_span — FIRST_VALUE / LAST_VALUE over each user's
+# (ts, event_id)-ordered event stream plus their difference: the
+# grouped "opening/closing state" report.  One exchange; span is a
+# single float subtraction of the two selected values on both sides.
+# ---------------------------------------------------------------------------
+@query(
+    "first_last_value_span",
+    """
+    WITH r AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events)
+    SELECT user_id,
+           max(CASE WHEN rn = 1 THEN value END) AS first_v,
+           max(CASE WHEN rn = n THEN value END) AS last_v,
+           max(CASE WHEN rn = n THEN value END)
+             - max(CASE WHEN rn = 1 THEN value END) AS span
+    FROM r GROUP BY user_id
+    """,
+)
+def first_last_value_span(sf_dir: str):
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "value"])
+    nparts = _pool()[1] * 2
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        order = np.lexsort((g["event_id"].to_numpy(),
+                            g["ts"].to_numpy(), uid))
+        u = uid[order]
+        v = g["value"].to_numpy()[order]
+        starts = np.concatenate(([True], u[1:] != u[:-1]))
+        ends = np.concatenate((u[1:] != u[:-1], [True]))
+        first_v, last_v = v[starts], v[ends]
+        return pd.DataFrame({"user_id": u[starts],
+                             "first_v": first_v, "last_v": last_v,
+                             "span": last_v - first_v})
+
+    return (
+        ds.map_batches(lambda t: int_key_part_col(t, "user_id", nparts),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared_shingle_docs — EXACT substring-duplication detection: flag
+# every document that shares at least one 32-character substring with a
+# DIFFERENT document (the exact-verification half of substring dedup —
+# the byte window itself is the key, no hash false positives; the
+# MinHash family covers the approximate path).  Shingle extraction is
+# ONE sliding-window view over the batch's concatenated bytes with
+# offset arithmetic (same pattern as fingerprint_batch) — no loop over
+# rows OR positions, so arbitrarily long documents cost O(total bytes).
+# Shingles exchange once on a window-derived integer hash partition
+# (equality is still decided on the full 32-byte window inside the
+# kernel); per-doc flags fold on a second integer-key exchange.
+# ASCII-gated like the bigram oracle: SQL substr counts characters,
+# the byte windows count UTF-8 code units.
+# ---------------------------------------------------------------------------
+@query(
+    "shared_shingle_docs",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substr(text, i, 32) AS s
+      FROM documents, generate_series(1, 4096) g(i)
+      WHERE i + 31 <= length(text)
+    ), c AS (SELECT s, count(*) AS nd FROM sh GROUP BY s),
+    f AS (SELECT sh.doc_id, max(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS fl
+          FROM sh JOIN c USING (s) GROUP BY sh.doc_id)
+    SELECT d.doc_id, CAST(COALESCE(f.fl, 0) AS BIGINT) AS has_shared
+    FROM documents d LEFT JOIN f USING (doc_id)
+    """,
+)
+def shared_shingle_docs(sf_dir: str, k: int = 32):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    nparts = _pool()[1] * 2
+
+    def shingles(t: pa.Table) -> pa.Table:
+        texts = t["text"].combine_chunks().to_pylist()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bufs = [s.encode() if s is not None else b"" for s in texts]
+        lens = np.array([len(b) for b in bufs], dtype=np.int64)
+        nwin = np.maximum(lens - (k - 1), 0)
+        total = int(nwin.sum())
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.binary(k)),
+                          "gpart": pa.array([], pa.int32())})
+        if total == 0:
+            return empty
+        all_b = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        wstarts = np.concatenate(([0], np.cumsum(nwin)[:-1]))
+        row_idx = np.repeat(np.arange(len(lens)), nwin)
+        local = np.arange(total, dtype=np.int64) - wstarts[row_idx]
+        gpos = starts[row_idx] + local
+        win = np.ascontiguousarray(
+            np.lib.stride_tricks.sliding_window_view(all_b, k)[gpos])
+        sview = win.view(f"S{k}").ravel()
+        # partition hash from the first/last 8 bytes of each window —
+        # equality is still decided on the full window in the kernel
+        w64 = win.view(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (w64[:, 0] * np.uint64(0x9E3779B97F4A7C15)
+                 ^ w64[:, (k // 8) - 1] * np.uint64(0xC2B2AE3D27D4EB4F))
+        gpart = (h % np.uint64(nparts)).astype(np.int32)
+        tbl = pa.table({"doc_id": pa.array(ids[row_idx]),
+                        "s": pa.array(sview, pa.binary(k)),
+                        "gpart": pa.array(gpart)})
+        # per-doc distinct (a doc's shingles are all in its own row)
+        return (tbl.group_by(["doc_id", "s", "gpart"])
+                .aggregate([("s", "count")])
+                .select(["doc_id", "s", "gpart"]))
+
+    def flag_by_shingle(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("s", sort=False)["doc_id"].transform("nunique")
+        fl = (nd.to_numpy() > 1).astype(np.int64)
+        out = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(), "fl": fl})
+        m = out.groupby("doc_id", sort=False)["fl"].max()
+        return pd.DataFrame({"doc_id": m.index.to_numpy(),
+                             "fl": m.to_numpy().astype(np.int64)})
+
+    flags = (
+        ds.map_batches(shingles, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(flag_by_shingle, batch_format="pandas")
+    )
+
+    zeros = ds.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "fl": pa.array(np.zeros(t.num_rows, np.int64))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("doc_id", sort=False)["fl"].max()
+        return pd.DataFrame({"doc_id": m.index.to_numpy(),
+                             "has_shared": m.to_numpy().astype(np.int64)})
+
+    return (
+        flags.union(zeros)
+        .map_batches(lambda t: int_key_part_col(t, "doc_id", nparts),
+                     batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(fold, batch_format="pandas")
+    )
