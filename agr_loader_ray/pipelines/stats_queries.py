@@ -603,3 +603,284 @@ def shared_shingle_docs(sf_dir: str, k: int = 32):
         .groupby("gpart")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# activity_islands_per_user — gaps-and-islands: per user, runs of
+# CONSECUTIVE active days (distinct-day partial per batch, one integer
+# exchange, one diff/reduceat kernel per partition).  The classic
+# sessionize-at-day-granularity report; exact integers end to end.
+# ---------------------------------------------------------------------------
+@query(
+    "activity_islands_per_user",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events),
+    r AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INTEGER) AS anchor
+      FROM d),
+    i AS (
+      SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS len
+      FROM r GROUP BY user_id, anchor)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(max(len) AS BIGINT) AS longest,
+           CAST(sum(len) AS BIGINT) AS n_active_days
+    FROM i GROUP BY user_id
+    """,
+)
+def activity_islands_per_user(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    nparts = _pool()[1] * 2
+
+    US_PER_DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // US_PER_DAY)
+        t2 = pa.table({"user_id": t["user_id"], "day": pa.array(day)})
+        distinct = (t2.group_by(["user_id", "day"])
+                    .aggregate([("day", "count")]).select(["user_id", "day"]))
+        return int_key_part_col(distinct, "user_id", nparts)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        # re-distinct across batches, then islands per user
+        gg = g.drop_duplicates(["user_id", "day"])
+        uid = gg["user_id"].to_numpy()
+        day = gg["day"].to_numpy()
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        new_island = np.concatenate(
+            ([True], (uid[1:] != uid[:-1]) | (day[1:] != day[:-1] + 1)))
+        island_id = np.cumsum(new_island) - 1
+        lens = np.bincount(island_id)
+        island_uid = uid[new_island]
+        ustarts = np.concatenate(
+            ([True], island_uid[1:] != island_uid[:-1]))
+        uidx = np.cumsum(ustarts) - 1
+        n_islands = np.bincount(uidx)
+        longest = np.maximum.reduceat(lens, np.flatnonzero(ustarts))
+        active = np.add.reduceat(lens, np.flatnonzero(ustarts))
+        return pd.DataFrame({
+            "user_id": island_uid[ustarts],
+            "n_islands": n_islands.astype(np.int64),
+            "longest": longest.astype(np.int64),
+            "n_active_days": active.astype(np.int64)})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# type_cooccurrence_matrix — for every ordered event-type pair (a < b),
+# how many users emitted BOTH: per-user 5-bit type mask folds through a
+# partition kernel (same bitmask-reduceat shape as cohort retention),
+# the bounded 32-row mask histogram crosses ONE tiny exchange, pairs
+# are decoded driver-free in a final single-block kernel.
+# ---------------------------------------------------------------------------
+@query(
+    "type_cooccurrence_matrix",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def type_cooccurrence_matrix(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    nparts = _pool()[1] * 2
+    bit_of = {t: 1 << i for i, t in enumerate(_EVENT_TYPES)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = pd.Series(t["event_type"].to_pandas()).map(bit_of).to_numpy(
+            dtype=np.int64)
+        t2 = pa.table({"user_id": t["user_id"], "bits": pa.array(bits)})
+        # per-batch partial: dedup (user, bit) pairs; the OR-fold to a
+        # mask happens once per user in the kernel
+        g2 = (t2.group_by(["user_id", "bits"]).aggregate([("bits", "count")])
+              .select(["user_id", "bits"]))
+        return int_key_part_col(g2, "user_id", nparts)
+
+    def mask_hist(g: pd.DataFrame) -> pd.DataFrame:
+        # distinct single-bit rows -> sum of powers of two == OR-fold
+        gg = g.drop_duplicates(["user_id", "bits"])
+        m = gg.groupby("user_id", sort=False)["bits"].sum()
+        hist = np.bincount(m.to_numpy(), minlength=32)
+        return pd.DataFrame({"mask": np.arange(32, dtype=np.int64),
+                             "n": hist.astype(np.int64)})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(mask_hist, batch_format="pandas")
+        .groupby("mask")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        mask = t["mask"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        rows_a, rows_b, rows_n = [], [], []
+        names = sorted(_EVENT_TYPES)  # SQL '<' on the type STRINGS
+        for i, ta in enumerate(names):
+            for tb in names[i + 1:]:
+                both = (bit_of[ta] | bit_of[tb])
+                cnt = int(n[(mask & both) == both].sum())
+                if cnt:
+                    rows_a.append(ta); rows_b.append(tb); rows_n.append(cnt)
+        return pa.table({"type_a": pa.array(rows_a, pa.string()),
+                         "type_b": pa.array(rows_b, pa.string()),
+                         "n_users": pa.array(rows_n, pa.int64())})
+
+    return hist.repartition(1).map_batches(pairs, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# dense_topk_orders — DENSE_RANK ≤ 2 per customer over order value
+# (ties INCLUDED — the rank-window variant row_number top-k cannot
+# express).  Exact integer cents ranking; one partition-kernel
+# exchange.
+# ---------------------------------------------------------------------------
+@query(
+    "dense_topk_orders",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             dense_rank() OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC)
+               AS drank
+      FROM orders)
+    SELECT o_custkey, o_orderkey, price_c, CAST(drank AS BIGINT) AS drank
+    FROM r WHERE drank <= 2
+    """,
+)
+def dense_topk_orders(sf_dir: str):
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    nparts = _pool()[1] * 2
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        t2 = pa.table({"o_custkey": t["o_custkey"],
+                       "o_orderkey": t["o_orderkey"], "price_c": cents})
+        return int_key_part_col(t2, "o_custkey", nparts)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        dr = (g.groupby("o_custkey", sort=False)["price_c"]
+              .rank(method="dense", ascending=False).to_numpy()
+              .astype(np.int64))
+        keep = dr <= 2
+        return pd.DataFrame({
+            "o_custkey": g["o_custkey"].to_numpy()[keep],
+            "o_orderkey": g["o_orderkey"].to_numpy()[keep],
+            "price_c": g["price_c"].to_numpy()[keep],
+            "drank": dr[keep]})
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ohlc_hourly_per_user — open/high/low/close per (user, hour): the
+# market-data-style mergeable aggregate.  The per-batch combiner
+# reduces each (user, hour) group to ONE partial row carrying the
+# open/close CANDIDATES (value at the batch-local (ts, event_id)
+# min/max) plus high/low/n — so the exchange ships one row per
+# (batch, user, hour) and the kernel merges partials by re-selecting
+# on the carried timestamps.  Values are selected, never added: no
+# float-order sensitivity.
+# ---------------------------------------------------------------------------
+@query(
+    "ohlc_hourly_per_user",
+    """
+    WITH e AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour, ts, event_id, value
+      FROM events),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, hour
+                                   ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id, hour) AS cnt
+      FROM e)
+    SELECT user_id, hour,
+           max(CASE WHEN rn = 1 THEN value END) AS open_v,
+           max(value) AS high_v, min(value) AS low_v,
+           max(CASE WHEN rn = cnt THEN value END) AS close_v,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM r GROUP BY user_id, hour
+    """,
+)
+def ohlc_hourly_per_user(sf_dir: str):
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "value"])
+    nparts = _pool()[1] * 2
+
+    US_PER_HOUR = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        hour = (ts // US_PER_HOUR) * US_PER_HOUR
+        order = np.lexsort((eid, ts, hour, uid))
+        uid, eid, ts, v, hour = (uid[order], eid[order], ts[order],
+                                 v[order], hour[order])
+        starts = np.concatenate(
+            ([True], (uid[1:] != uid[:-1]) | (hour[1:] != hour[:-1])))
+        sidx = np.flatnonzero(starts)
+        eidx = np.concatenate((sidx[1:], [len(uid)])) - 1
+        return pa.table({
+            "user_id": pa.array(uid[sidx]),
+            "hour_us": pa.array(hour[sidx]),
+            "open_ts": pa.array(ts[sidx]), "open_eid": pa.array(eid[sidx]),
+            "open_v": pa.array(v[sidx]),
+            "close_ts": pa.array(ts[eidx]), "close_eid": pa.array(eid[eidx]),
+            "close_v": pa.array(v[eidx]),
+            "high_v": pa.array(np.maximum.reduceat(v, sidx)),
+            "low_v": pa.array(np.minimum.reduceat(v, sidx)),
+            "n_events": pa.array(
+                (eidx - sidx + 1).astype(np.int64)),
+            "gpart": int_key_part_col(
+                pa.table({"k": pa.array(uid[sidx])}), "k", nparts)["gpart"],
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        opens = g.sort_values(["user_id", "hour_us", "open_ts", "open_eid"],
+                              kind="mergesort").groupby(
+            ["user_id", "hour_us"], sort=True).first()
+        closes = g.sort_values(["user_id", "hour_us", "close_ts",
+                                "close_eid"], kind="mergesort").groupby(
+            ["user_id", "hour_us"], sort=True).last()
+        agg = g.groupby(["user_id", "hour_us"], sort=True).agg(
+            high_v=("high_v", "max"), low_v=("low_v", "min"),
+            n_events=("n_events", "sum"))
+        idx = agg.index
+        return pd.DataFrame({
+            "user_id": idx.get_level_values(0).to_numpy(),
+            "hour": idx.get_level_values(1).to_numpy()
+                .astype("datetime64[us]"),
+            "open_v": opens["open_v"].to_numpy(),
+            "high_v": agg["high_v"].to_numpy(),
+            "low_v": agg["low_v"].to_numpy(),
+            "close_v": closes["close_v"].to_numpy(),
+            "n_events": agg["n_events"].to_numpy().astype(np.int64)})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(merge, batch_format="pandas")
+    )
