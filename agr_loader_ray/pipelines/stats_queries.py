@@ -884,3 +884,165 @@ def ohlc_hourly_per_user(sf_dir: str):
         .groupby("gpart")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# centroid_per_label — grouped VECTOR centroid over the embedding
+# column: embeddings are int8-quantized (the exact deterministic
+# max-abs scheme shared with quantize_embeddings), per-(label, dim)
+# integer sums fold through the combiner (one 640-row exchange for any
+# input size), and the centroid is one division per output row.  The
+# "class prototype" aggregate of an embedding pipeline with an exact
+# SQL oracle — float centroids of raw floats would be
+# summation-order-dependent; quantized integer sums are not.
+# ---------------------------------------------------------------------------
+@query(
+    "centroid_per_label",
+    """
+    WITH base AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s2 AS (
+      SELECT label, v,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+                  THEN 1.0
+                  ELSE list_max(list_transform(v, x -> abs(x))) END AS m
+      FROM base),
+    q AS (
+      SELECT label,
+             list_transform(v, x -> CASE WHEN x >= 0
+                                         THEN floor(x / m * 127 + 0.5)
+                                         ELSE ceil(x / m * 127 - 0.5) END)
+               AS qv
+      FROM s2),
+    d AS (SELECT label, qv, i FROM q, generate_series(1, 64) g(i))
+    SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+           CAST(sum(qv[i]) AS BIGINT) AS q_sum,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(qv[i]) AS BIGINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS centroid_q
+    FROM d GROUP BY label, i
+    """,
+)
+def centroid_per_label(sf_dir: str):
+    from ..stages.similarity import _batch_matrix
+
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        mat = _batch_matrix(t, "embedding")
+        m = np.abs(mat).max(axis=1)
+        m_safe = np.where(m == 0, 1.0, m)
+        scaled = mat / m_safe[:, None] * 127.0
+        q = np.trunc(scaled + np.sign(scaled) * 0.5)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        order = np.argsort(lab, kind="mergesort")
+        labs, qs = lab[order], q[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], labs[1:] != labs[:-1])))
+        sums = np.add.reduceat(qs, starts, axis=0)
+        counts = np.diff(np.concatenate((starts, [len(labs)])))
+        n_lab, d = sums.shape
+        return pa.table({
+            "label": pa.array(np.repeat(labs[starts], d).astype(np.int64)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    n_lab)),
+            "q_sum": pa.array(sums.ravel().astype(np.int64)),
+            "n": pa.array(np.repeat(counts, d).astype(np.int64)),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["label", "dim"])
+        .aggregate(Sum("q_sum", alias_name="q_sum"),
+                   Sum("n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        qs = t["q_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("centroid_q", pa.array(qs / n, pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# funnel3_within_window — three-step ORDERED funnel with a time bound:
+# purchases preceded by a click within the previous hour, where that
+# click is itself preceded by ANY earlier view.  The sequential-pattern
+# operator: one partition-kernel exchange; inside the kernel the
+# "latest qualified click before each purchase" is a per-user running
+# max (C-level grouped cummax), never a per-event Python scan.
+# Equal timestamps do NOT satisfy the strict "before" (purchases sort
+# before clicks at ties so the cummax cannot see same-ts clicks).
+# ---------------------------------------------------------------------------
+@query(
+    "funnel3_within_window",
+    """
+    SELECT p.user_id, CAST(count(*) AS BIGINT) AS n_funnels
+    FROM events p
+    WHERE p.event_type = 'purchase' AND EXISTS (
+      SELECT 1 FROM events c
+      WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        AND EXISTS (
+          SELECT 1 FROM events v
+          WHERE v.user_id = c.user_id AND v.event_type = 'view'
+            AND v.ts < c.ts))
+    GROUP BY p.user_id
+    """,
+)
+def funnel3_within_window(sf_dir: str):
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts"])
+    nparts = _pool()[1] * 2
+    WINDOW_US = 3_600_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(["view", "click", "purchase"]))
+        t = t.filter(keep)
+        return int_key_part_col(
+            pa.table({"user_id": t["user_id"],
+                      "event_type": t["event_type"],
+                      "ts_us": t["ts"].cast(pa.int64())}),
+            "user_id", nparts)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+
+        views = pd.DataFrame({"user_id": uid[et == "view"],
+                              "ts": ts[et == "view"]})
+        first_view = views.groupby("user_id")["ts"].min()
+
+        cmask = et == "click"
+        cdf = pd.DataFrame({"user_id": uid[cmask], "ts": ts[cmask]})
+        fv = cdf["user_id"].map(first_view)
+        qualified = cdf[fv.notna() & (cdf["ts"] > fv)]
+
+        pmask = et == "purchase"
+        pdf = pd.DataFrame({"user_id": uid[pmask], "ts": ts[pmask]})
+
+        merged = pd.concat([
+            pdf.assign(kind=0, click_ts=np.int64(-1)),
+            qualified.assign(kind=1, click_ts=qualified["ts"]),
+        ])
+        # purchases before clicks at equal ts -> strict c.ts < p.ts
+        merged = merged.sort_values(["user_id", "ts", "kind"],
+                                    kind="mergesort")
+        last_click = merged.groupby("user_id", sort=False)["click_ts"].cummax()
+        p = merged[merged["kind"] == 0]
+        lc = last_click[merged["kind"] == 0].to_numpy()
+        hit = (lc >= 0) & (lc >= p["ts"].to_numpy() - WINDOW_US)
+        counts = (p[hit].groupby("user_id", sort=True).size())
+        return pd.DataFrame({
+            "user_id": counts.index.to_numpy(),
+            "n_funnels": counts.to_numpy().astype(np.int64)})
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+    )
