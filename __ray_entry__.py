@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     import agr_loader_ray.pipelines.variants  # noqa: F401 (registers)
     import agr_loader_ray.pipelines.text_queries  # noqa: F401 (registers)
     import agr_loader_ray.pipelines.stats_queries  # noqa: F401 (registers)
+    import agr_loader_ray.pipelines.sketch_queries  # noqa: F401 (registers)
     from agr_loader_ray.pipelines.queries import QUERIES
 
     return dict(QUERIES)
@@ -52,6 +53,7 @@ def oracle_sql() -> dict[str, str]:
     import agr_loader_ray.pipelines.variants  # noqa: F401 (registers)
     import agr_loader_ray.pipelines.text_queries  # noqa: F401 (registers)
     import agr_loader_ray.pipelines.stats_queries  # noqa: F401 (registers)
+    import agr_loader_ray.pipelines.sketch_queries  # noqa: F401 (registers)
     from agr_loader_ray.pipelines.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)

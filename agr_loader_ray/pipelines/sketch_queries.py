@@ -1,0 +1,512 @@
+"""Mergeable-sketch and grouping/join extension operators.
+
+Second sketch family next to the KMV estimator in ``queries.py``:
+HyperLogLog-style distinct counting and Count-Min frequency
+estimation, both designed the same way — the sketch state is a small
+MERGEABLE table of integer partials (registers / counters) folded
+through ``map_batches`` combiners and ONE bounded exchange, and the
+estimator itself is exact integer arithmetic so the DuckDB oracle
+recomputes the IDENTICAL estimate and the driver's typed value hash
+gates an *approximate* algorithm exactly.
+
+Also here: the remaining SQL grouping/join surface — GROUP BY CUBE
+(all four grouping sets from one distributed finest-level pass) and a
+FULL OUTER join — plus the ordered exponentially-weighted recency
+score and the two-pass z-score outlier counter (exact integer moments
+→ one closed-form IEEE evaluation mirrored op-for-op in SQL).
+
+Reference provenance: the reference's QC/summary counting passes
+(src/etl/summary_etl.py) motivate cheap cardinality/frequency
+estimates at 100 TB where exact COUNT DISTINCT per key would shuffle
+everything; its resolver "best candidate" passes motivate the
+outlier/score shapes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Max, Sum
+
+from ..functions.pools import join_parts
+from ..functions.tables import read_table
+from ..stages.partition import int_key_part_col
+from .queries import _cents, query
+
+# ---------------------------------------------------------------------------
+# hll_distinct_estimate — HyperLogLog-style distinct-user sketch per
+# event type.  m = 64 registers; the register is the top-6 hash bits
+# and the rank is the trailing-zero count of the remaining 58 bits + 1
+# (the Flajolet–Martin geometric observable — identically distributed
+# to HLL's leading-zero rank, but exactly computable in BOTH numpy
+# ((w & -w) via frexp) and DuckDB (bit_count((w & -w) - 1))).
+# The hash MUST be a real bit mixer: an affine LCG is a 2-adic isometry
+# (tz(A·u+B) = v₂(u − u₀)), which makes trailing-zero ranks reflect the
+# key layout, not uniform bits — measured 1.9× overestimate on dense
+# ids.  splitmix64's finalizer is used instead; the oracle reproduces
+# its 64-bit wrapping multiplies in HUGEINT via a 32-bit-split mulmod
+# (a·b mod 2^64 = (a_lo·b + ((a_hi·b) mod 2^32)·2^32) mod 2^64 — the
+# full product would overflow int128).
+# Registers fold as MAX partials — per batch ≤ |types|·64 rows — so the
+# exchange is bounded regardless of input size; the harmonic-mean
+# estimator runs in exact integer math (Σ 2^(59−M) as a Python
+# int / HUGEINT, one integer division) so the oracle's estimate is
+# bit-identical.  Raw-HLL variant: no linear-counting branch (ln()
+# differs by 1 ulp between libms — measured; see entropy note in
+# stats_queries) — documented bias below n ≈ 2.5·m.
+# ---------------------------------------------------------------------------
+_HLL_M = 64  # registers (top 6 hash bits)
+_HLL_GAMMA = 0x9E3779B97F4A7C15  # splitmix64 increment
+_HLL_C1 = 0xBF58476D1CE4E5B9
+_HLL_C2 = 0x94D049BB133111EB
+_HLL_WBITS = 58  # rank bits; rank ∈ [1, 59], 59 ⇔ w == 0
+_HLL_ALPHA_NUM, _HLL_ALPHA_DEN = 709, 1000  # alpha_64 ≈ 0.709
+_POW64 = 1 << 64
+
+
+def _sql_mulmod64(z_expr: str, c: int) -> str:
+    """(z·c) mod 2^64 in HUGEINT without int128 overflow."""
+    return (f"((({z_expr}) % 4294967296::HUGEINT) * {c}::HUGEINT"
+            f" + (((({z_expr}) // 4294967296::HUGEINT) * {c}::HUGEINT)"
+            f" % 4294967296::HUGEINT) * 4294967296::HUGEINT)"
+            f" % {_POW64}::HUGEINT")
+
+
+def _splitmix64_np(u: np.ndarray) -> np.ndarray:
+    z = u.astype(np.uint64) + np.uint64(_HLL_GAMMA)
+    with np.errstate(over="ignore"):
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(_HLL_C1)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(_HLL_C2)
+    return z ^ (z >> np.uint64(31))
+
+
+@query(
+    "hll_distinct_estimate",
+    f"""
+    WITH z0 AS (
+      SELECT DISTINCT event_type,
+             (user_id::HUGEINT + {_HLL_GAMMA}::HUGEINT)
+              % {_POW64}::HUGEINT AS z
+      FROM events),
+    z1 AS (SELECT event_type,
+                  {_sql_mulmod64('xor(z, z >> 30)', _HLL_C1)} AS z FROM z0),
+    z2 AS (SELECT event_type,
+                  {_sql_mulmod64('xor(z, z >> 27)', _HLL_C2)} AS z FROM z1),
+    h AS (SELECT event_type, xor(z, z >> 31) AS hv FROM z2),
+    r AS (
+      SELECT event_type,
+             CAST(hv // {1 << _HLL_WBITS}::HUGEINT AS BIGINT) AS reg,
+             CAST(hv % {1 << _HLL_WBITS}::HUGEINT AS BIGINT) AS w
+      FROM h),
+    rk AS (
+      SELECT event_type, reg,
+             CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+                  ELSE bit_count(((w & -w) - 1)::BIGINT) + 1 END AS rank
+      FROM r),
+    m AS (SELECT event_type, reg, max(rank) AS mr
+          FROM rk GROUP BY event_type, reg),
+    s AS (SELECT event_type,
+                 CAST(sum((1::BIGINT << ({_HLL_WBITS + 1} - mr))::HUGEINT)
+                      AS HUGEINT)
+                 + ({_HLL_M} - count(*))::HUGEINT
+                   * (1::BIGINT << {_HLL_WBITS + 1})::HUGEINT AS big_s
+          FROM m GROUP BY event_type)
+    SELECT event_type,
+           CAST(({_HLL_M * _HLL_M}::HUGEINT * {_HLL_ALPHA_NUM}::HUGEINT
+                 * (1::BIGINT << {_HLL_WBITS + 1})::HUGEINT)
+                // ({_HLL_ALPHA_DEN}::HUGEINT * big_s) AS BIGINT)
+             AS n_distinct_est
+    FROM s
+    """,
+)
+def hll_distinct_estimate(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        hv = _splitmix64_np(uid)
+        reg = (hv >> np.uint64(_HLL_WBITS)).astype(np.int64)
+        w = hv & np.uint64((1 << _HLL_WBITS) - 1)
+        # rank = trailing zeros + 1: isolate the low bit, frexp exponent
+        # IS tz+1 exactly (powers of two are exact in float64)
+        low = w & (~w + np.uint64(1))
+        _, expo = np.frexp(low.astype(np.float64))
+        rank = np.where(w == 0, _HLL_WBITS + 1, expo).astype(np.int64)
+        df = (pd.DataFrame({"event_type": t["event_type"].to_numpy(
+                                zero_copy_only=False),
+                            "reg": reg, "rank": rank})
+              .groupby(["event_type", "reg"], sort=False, as_index=False)
+              .max())  # ≤ |types|·64 rows per batch
+        return pa.table({"event_type": pa.array(df["event_type"]),
+                         "reg": pa.array(df["reg"].to_numpy(), pa.int64()),
+                         "rank": pa.array(df["rank"].to_numpy(), pa.int64())})
+
+    regs = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["event_type", "reg"])
+            .aggregate(Max("rank", alias_name="rank")))
+
+    def estimate(g: pd.DataFrame) -> pd.DataFrame:
+        # Python ints: Σ 2^(59−M) needs 66 bits at m=64 (oracle: HUGEINT)
+        big_s = sum(1 << (_HLL_WBITS + 1 - int(r)) for r in g["rank"])
+        big_s += (_HLL_M - len(g)) * (1 << (_HLL_WBITS + 1))
+        est = (_HLL_M * _HLL_M * _HLL_ALPHA_NUM
+               * (1 << (_HLL_WBITS + 1))) // (_HLL_ALPHA_DEN * big_s)
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_distinct_est": np.array([est], dtype=np.int64)})
+
+    # |event types| groups — bounded merge, same contract as KMV
+    return regs.groupby("event_type").map_groups(
+        estimate, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# cms_user_freq_estimate — Count-Min sketch point queries: estimated
+# per-user event counts from a d=2 × w=512 counter grid.  Build: per
+# batch, each row increments counter[j][h_j(uid)] — partials are ≤ 1024
+# (row, col, cnt) rows per batch folded by ONE bounded groupby-sum; the
+# 4 KiB grid then broadcasts into the probe pass (the sketch never
+# re-ships per batch).  Probe: est(u) = min_j counter[j][h_j(u)] over
+# the distinct-user stream.  All-integer (no estimator float), so the
+# oracle recomputes identical estimates; est ≥ exact count always
+# (one-sided error — asserted in tests).
+# ---------------------------------------------------------------------------
+_CMS_W_BITS = 9  # 512 columns
+_CMS_A1, _CMS_B1 = 6364136223846793005, 1442695040888963407
+_CMS_A2, _CMS_B2 = 3935559000370003845, 2691343689449507681
+
+
+def _cms_sql_col(a: int, b: int) -> str:
+    return (f"CAST((({a}::HUGEINT * user_id::HUGEINT + {b}::HUGEINT)"
+            f" % 18446744073709551616::HUGEINT)"
+            f" // {1 << (64 - _CMS_W_BITS)}::HUGEINT AS BIGINT)")
+
+
+@query(
+    "cms_user_freq_estimate",
+    f"""
+    WITH h AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             {_cms_sql_col(_CMS_A1, _CMS_B1)} AS c1,
+             {_cms_sql_col(_CMS_A2, _CMS_B2)} AS c2
+      FROM events GROUP BY user_id),
+    s1 AS (SELECT c1 AS col, CAST(sum(n) AS BIGINT) AS cnt
+           FROM h GROUP BY c1),
+    s2 AS (SELECT c2 AS col, CAST(sum(n) AS BIGINT) AS cnt
+           FROM h GROUP BY c2)
+    SELECT h.user_id, CAST(least(s1.cnt, s2.cnt) AS BIGINT) AS est_n
+    FROM h JOIN s1 ON h.c1 = s1.col JOIN s2 ON h.c2 = s2.col
+    """,
+)
+def cms_user_freq_estimate(sf_dir: str):
+    import ray as _ray
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    w = 1 << _CMS_W_BITS
+
+    def _cols(uid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        u = uid.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h1 = np.uint64(_CMS_A1) * u + np.uint64(_CMS_B1)
+            h2 = np.uint64(_CMS_A2) * u + np.uint64(_CMS_B2)
+        sh = np.uint64(64 - _CMS_W_BITS)
+        return (h1 >> sh).astype(np.int64), (h2 >> sh).astype(np.int64)
+
+    def build_partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        c1, c2 = _cols(uid)
+        g1 = np.bincount(c1, minlength=w)
+        g2 = np.bincount(c2, minlength=w)
+        cnt = np.concatenate([g1, g2])
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "row": pa.array((nz >= w).astype(np.int64)),
+            "col": pa.array(np.where(nz >= w, nz - w, nz).astype(np.int64)),
+            "cnt": pa.array(cnt[nz].astype(np.int64))})
+
+    grid_tbl = (
+        ds.map_batches(build_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(["row", "col"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    ).take_all()  # ≤ d·w = 1024 rows — bounded sketch state, not data-scaled
+    grid = np.zeros((2, w), dtype=np.int64)
+    for r in grid_tbl:
+        grid[r["row"], r["col"]] = r["cnt"]
+    grid_ref = _ray.put(grid)  # broadcast once, read per task
+
+    class Probe:
+        def __init__(self, ref):
+            self.grid = _ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            uid = t["user_id"].to_numpy(zero_copy_only=False)
+            c1, c2 = _cols(uid)
+            est = np.minimum(self.grid[0][c1], self.grid[1][c2])
+            return pa.table({"user_id": t["user_id"],
+                             "est_n": pa.array(est, pa.int64())})
+
+    distinct = (ds.groupby("user_id")
+                .aggregate(Sum("user_id", alias_name="_drop"))
+                .drop_columns(["_drop"]))
+    return distinct.map_batches(Probe, fn_constructor_args=(grid_ref,),
+                                concurrency=2, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# ewma_recent_score_per_user — exponentially-weighted recency score:
+# over each user's 16 MOST RECENT events (by ts, event_id desc), score
+# = Σ cents_i · 2^−i.  Dyadic weights over integer cents keep every
+# term AND the sum exactly representable in float64 (≤ 36 mantissa
+# bits), so the vectorized kernel and SQL's per-row division by
+# 1 << rn agree bit-for-bit with NO op-order sensitivity — the
+# windowed form of the EWMA fold (an unbounded ewma is a sequential
+# IEEE recurrence that cannot be vectorized reproducibly).  One
+# partition-kernel exchange, same shape as lag/rolling windows.
+# ---------------------------------------------------------------------------
+_EWMA_W = 16
+
+
+@query(
+    "ewma_recent_score_per_user",
+    f"""
+    WITH r AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id,
+           CAST(sum(CAST(c AS DOUBLE)
+                    / CAST(1::BIGINT << rn AS DOUBLE)) AS DOUBLE)
+             AS ewma_score,
+           CAST(count(*) AS BIGINT) AS n_recent
+    FROM r WHERE rn <= {_EWMA_W} GROUP BY user_id
+    """,
+)
+def ewma_recent_score_per_user(sf_dir: str):
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "value", "ts", "event_id"])
+    nparts = join_parts()
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          ascending=[True, False, False], kind="mergesort")
+        rn0 = g.groupby("user_id", sort=False).cumcount().to_numpy()
+        keep = rn0 < _EWMA_W
+        uid = g["user_id"].to_numpy()[keep]
+        cents = np.round(g["value"].to_numpy()[keep] * 100).astype(np.int64)
+        term = np.ldexp(cents.astype(np.float64), -(rn0[keep] + 1))
+        out = (pd.DataFrame({"user_id": uid, "ewma_score": term})
+               .groupby("user_id", as_index=False)
+               .agg(ewma_score=("ewma_score", "sum"),
+                    n_recent=("ewma_score", "size")))
+        out["n_recent"] = out["n_recent"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(lambda t: int_key_part_col(t, "user_id", nparts),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# zscore_outliers_per_type — two-pass anomaly counter: per event type,
+# count events with |cents − mean| > 2·stddev.  Pass 1 folds EXACT
+# integer moments (n, Σc, Σc²) through the combiner; mean/sd are
+# evaluated ONCE per type in the same textual op order as the SQL
+# (HUGEINT-exact n·q − s² → one double cast → one sqrt), so the
+# per-event float comparison is against bit-identical thresholds.
+# Pass 2 filters against the broadcast 5-entry threshold table.
+# Σc² stays in int64 up to ~sf100 of 2-dp values ≤ 10^4 (same bound as
+# the corr/covar moments — documented there).
+# ---------------------------------------------------------------------------
+@query(
+    "zscore_outliers_per_type",
+    """
+    WITH m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS q
+      FROM events GROUP BY event_type),
+    p AS (
+      SELECT event_type,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+             sqrt(CAST(n::HUGEINT * q::HUGEINT - s::HUGEINT * s::HUGEINT
+                       AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sd_c
+      FROM m)
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_outliers
+    FROM events e JOIN p ON e.event_type = p.event_type
+    WHERE abs(CAST(CAST(round(e.value * 100) AS BIGINT) AS DOUBLE)
+              - p.mean_c) > 2.0 * p.sd_c
+    GROUP BY e.event_type
+    """,
+)
+def zscore_outliers_per_type(sf_dir: str):
+    import math
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        t2 = pa.table({"event_type": t["event_type"], "c": c,
+                       "q": pc.multiply(c, c), "n": pa.array(
+                           np.ones(t.num_rows, np.int64))})
+        g = t2.group_by("event_type").aggregate(
+            [("c", "sum"), ("q", "sum"), ("n", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "s": pc.cast(g["c_sum"], pa.int64()),
+                         "q": pc.cast(g["q_sum"], pa.int64()),
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    mom = (ds.map_batches(moments, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Sum("s", alias_name="s"), Sum("q", alias_name="q"),
+                      Sum("n", alias_name="n"))
+           ).take_all()  # |event types| rows — grading-key bounded
+    thresholds = {}
+    for r in mom:
+        n, s, q = int(r["n"]), int(r["s"]), int(r["q"])
+        mean_c = float(s) / float(n)
+        # float(huge Python int) and DuckDB HUGEINT→DOUBLE both round
+        # to nearest — identical doubles
+        sd_c = math.sqrt(float(n * q - s * s) / (float(n) * float(n)))
+        thresholds[r["event_type"]] = (mean_c, sd_c)
+
+    def count_outliers(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        c = np.round(t["value"].to_numpy(zero_copy_only=False) * 100
+                     ).astype(np.int64).astype(np.float64)
+        types, inv = np.unique(et, return_inverse=True)
+        mean = np.array([thresholds[x][0] for x in types])
+        sd = np.array([thresholds[x][1] for x in types])
+        hit = np.abs(c - mean[inv]) > 2.0 * sd[inv]
+        cnt = np.bincount(inv[hit], minlength=len(types)).astype(np.int64)
+        nz = cnt > 0
+        return pa.table({"event_type": pa.array(types[nz]),
+                         "n_outliers": pa.array(cnt[nz])})
+
+    return (ds.map_batches(count_outliers, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("event_type")
+            .aggregate(Sum("n_outliers", alias_name="n_outliers")))
+
+
+# ---------------------------------------------------------------------------
+# cube_order_counts — GROUP BY CUBE (status, priority): all FOUR
+# grouping sets from ONE distributed finest-level pass; the three
+# rolled-up levels are derived from the bounded finest result
+# (≤ |status|·|priority| rows), zero extra input passes — the
+# grouping-sets generalization of rollup_order_counts.
+# ---------------------------------------------------------------------------
+@query(
+    "cube_order_counts",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev_c
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_counts(sf_dir: str):
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderstatus", "o_orderpriority",
+                             "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table({"o_orderstatus": t["o_orderstatus"],
+                       "o_orderpriority": t["o_orderpriority"],
+                       "rev_c": _cents(t["o_totalprice"])})
+        g = t2.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("rev_c", "sum"), ("rev_c", "count")])
+        return pa.table({
+            "o_orderstatus": g["o_orderstatus"],
+            "o_orderpriority": g["o_orderpriority"],
+            "rev_c": pc.cast(g["rev_c_sum"], pa.int64()),
+            "n_orders": pc.cast(g["rev_c_count"], pa.int64())})
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("rev_c", alias_name="rev_c"),
+                   Sum("n_orders", alias_name="n_orders"))
+    ).to_pandas()  # bounded by |status|·|priority|
+
+    cols = ["o_orderstatus", "o_orderpriority", "n_orders", "rev_c"]
+    by_status = (finest.groupby("o_orderstatus", as_index=False)
+                 [["n_orders", "rev_c"]].sum())
+    by_status.insert(1, "o_orderpriority", None)
+    by_prio = (finest.groupby("o_orderpriority", as_index=False)
+               [["n_orders", "rev_c"]].sum())
+    by_prio.insert(0, "o_orderstatus", None)
+    grand = pd.DataFrame({"o_orderstatus": [None], "o_orderpriority": [None],
+                          "n_orders": [finest["n_orders"].sum()],
+                          "rev_c": [finest["rev_c"].sum()]})
+    out = pd.concat([finest[cols], by_status[cols], by_prio[cols],
+                     grand[cols]], ignore_index=True)
+    for c in ("n_orders", "rev_c"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# full_outer_clicks_purchases — FULL OUTER join of two grouped
+# aggregates (per-user click counts × per-user purchase counts), nulls
+# coalesced to 0.  Completes the repo's join-type surface (inner /
+# left+right outer via this / semi / anti / asof / interval /
+# broadcast / cartesian).  Both sides pre-aggregate BEFORE the join so
+# the exchange carries one row per (side, user), never raw events.
+# ---------------------------------------------------------------------------
+@query(
+    "full_outer_clicks_purchases",
+    """
+    WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks
+               FROM events WHERE event_type = 'click' GROUP BY user_id),
+    p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           COALESCE(c.n_clicks, 0) AS n_clicks,
+           COALESCE(p.n_purchases, 0) AS n_purchases
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    """,
+)
+def full_outer_clicks_purchases(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def side(event_type: str, out_col: str) -> ray.data.Dataset:
+        def partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], event_type))
+            g = t.group_by("user_id").aggregate([("user_id", "count")])
+            return pa.table({
+                "user_id": g["user_id"],
+                out_col: pc.cast(g["user_id_count"], pa.int64())})
+
+        return (ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("user_id")
+                .aggregate(Sum(out_col, alias_name=out_col)))
+
+    joined = side("click", "n_clicks").join(
+        side("purchase", "n_purchases"), join_type="full_outer",
+        num_partitions=join_parts(), on=("user_id",))
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "n_clicks": pc.fill_null(pc.cast(t["n_clicks"], pa.int64()), 0),
+            "n_purchases": pc.fill_null(
+                pc.cast(t["n_purchases"], pa.int64()), 0)})
+
+    return joined.map_batches(fill, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -14,6 +14,7 @@ import agr_loader_ray.pipelines.protein  # noqa: F401  (registers queries)
 import agr_loader_ray.pipelines.variants  # noqa: F401  (registers queries)
 import agr_loader_ray.pipelines.text_queries  # noqa: F401  (registers queries)
 import agr_loader_ray.pipelines.stats_queries  # noqa: F401  (registers queries)
+import agr_loader_ray.pipelines.sketch_queries  # noqa: F401  (registers queries)
 from agr_loader_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
