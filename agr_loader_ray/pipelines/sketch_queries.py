@@ -510,3 +510,192 @@ def full_outer_clicks_purchases(sf_dir: str):
 
     return joined.map_batches(fill, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# pagerank_part_supplier — fixed-iteration INTEGER PageRank over the
+# part↔supplier bipartite graph from lineitem (both directions, so
+# every node has degree ≥ 1).  stages/pagerank.py streams the edges
+# once per round against broadcast rank state; all arithmetic is
+# scaled-integer floor ops, so the chained-CTE oracle recomputes the
+# ranks bit-for-bit — an ITERATIVE distributed graph algorithm under
+# the typed-hash gate.  Node encoding: part → 2·key, supplier → 2·key+1.
+# ---------------------------------------------------------------------------
+def _pagerank_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+    c{cur} AS (
+      SELECT e.dst AS node, sum(p{prev}.pr // d.deg) AS s
+      FROM e JOIN p{prev} ON e.src = p{prev}.node JOIN d ON e.src = d.node
+      GROUP BY e.dst),
+    p{cur} AS (
+      SELECT node,
+             CAST((15::HUGEINT * 1000000000) // 100
+                  + (85::HUGEINT * s) // 100 AS BIGINT) AS pr
+      FROM c{cur})"""
+
+
+@query(
+    "pagerank_part_supplier",
+    f"""
+    WITH e0 AS (
+      SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    d AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+          FROM e GROUP BY src),
+    p0 AS (SELECT node, 1000000000::BIGINT AS pr FROM d),
+    {_pagerank_iter_sql('0', '1')},
+    {_pagerank_iter_sql('1', '2')},
+    {_pagerank_iter_sql('2', '3')}
+    SELECT node, pr FROM p3
+    """,
+)
+def pagerank_part_supplier(sf_dir: str):
+    from ..stages.pagerank import pagerank_integer
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        # per-batch distinct (the global distinct happens in the
+        # degree/contribution arithmetic only if exact edges matter —
+        # here duplicates MUST be removed globally, see below)
+        src = pc.add(pc.multiply(t["l_partkey"], 2), 0)
+        dst = pc.add(pc.multiply(t["l_suppkey"], 2), 1)
+        both = pa.table({
+            "src": pa.concat_arrays(
+                [c for c in pc.cast(src, pa.int64()).chunks]
+                + [c for c in pc.cast(dst, pa.int64()).chunks]),
+            "dst": pa.concat_arrays(
+                [c for c in pc.cast(dst, pa.int64()).chunks]
+                + [c for c in pc.cast(src, pa.int64()).chunks])})
+        return both
+
+    # exact global edge dedup: one (src, dst) exchange — the multigraph
+    # → simple-graph step the oracle's DISTINCT performs
+    edges = (read_table(sf_dir, "lineitem",
+                        columns=["l_partkey", "l_suppkey"])
+             .map_batches(to_edges, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby(["src", "dst"])
+             .aggregate(Sum("src", alias_name="_drop"))
+             .drop_columns(["_drop"]))
+    return pagerank_integer(edges, iterations=3)
+
+
+# ---------------------------------------------------------------------------
+# histogram_quantile_per_type — APPROXIMATE p50/p90 from a fixed-width
+# 25-cent histogram: the bounded-exchange scale path next to the exact
+# refine passes (quartiles_value_per_type).  Partial bin counts fold
+# through the combiner — the exchange is ≤ |types|·|bins| rows for any
+# input size — and the estimate (lower edge of the bin where the
+# cumulative count first reaches ceil(q·n)) is pure integer
+# arithmetic, so the oracle recomputes it identically.
+# ---------------------------------------------------------------------------
+_HQ_BIN_C = 25
+
+
+@query(
+    "histogram_quantile_per_type",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) // {_HQ_BIN_C} AS bin
+      FROM events),
+    c AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, bin,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM c)
+    SELECT event_type,
+           CAST(min(CASE WHEN 2 * cum >= n THEN bin END) * {_HQ_BIN_C}
+                AS BIGINT) AS p50_bin_c,
+           CAST(min(CASE WHEN 10 * cum >= 9 * n THEN bin END) * {_HQ_BIN_C}
+                AS BIGINT) AS p90_bin_c
+    FROM r GROUP BY event_type
+    """,
+)
+def histogram_quantile_per_type(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        bins = pc.divide(c, _HQ_BIN_C)  # ints ≥ 0: trunc ≡ floor
+        t2 = pa.table({"event_type": t["event_type"], "bin": bins,
+                       "cnt": pa.array(np.ones(t.num_rows, np.int64))})
+        g = t2.group_by(["event_type", "bin"]).aggregate([("cnt", "sum")])
+        return pa.table({"event_type": g["event_type"], "bin": g["bin"],
+                         "cnt": pc.cast(g["cnt_sum"], pa.int64())})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["event_type", "bin"])
+            .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bin", kind="mergesort")
+        cum = g["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        bins = g["bin"].to_numpy()
+        p50 = int(bins[np.flatnonzero(2 * cum >= n)[0]]) * _HQ_BIN_C
+        p90 = int(bins[np.flatnonzero(10 * cum >= 9 * n)[0]]) * _HQ_BIN_C
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "p50_bin_c": np.array([p50], np.int64),
+                             "p90_bin_c": np.array([p90], np.int64)})
+
+    return hist.groupby("event_type").map_groups(pick, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_orders — deterministic weight-proportional sampling
+# (priority sampling / A-ES with a seed-derived uniform): priority =
+# hash(key) / weight, keep the k smallest — heavier orders get smaller
+# priorities, so selection probability rises with o_totalprice, and
+# BOTH sides compute the identical IEEE division (hash and weight are
+# exact in float64), making the sample itself hash-gated.  Local
+# per-batch top-k prune → global sort + limit: only k rows per batch
+# ever reach the final merge.
+# ---------------------------------------------------------------------------
+_WS_K = 20
+
+
+@query(
+    "weighted_sample_orders",
+    f"""
+    WITH z0 AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             (o_orderkey::HUGEINT + {_HLL_GAMMA}::HUGEINT)
+               % {_POW64}::HUGEINT AS z
+      FROM orders),
+    z1 AS (SELECT o_orderkey, price_c,
+                  {_sql_mulmod64('xor(z, z >> 30)', _HLL_C1)} AS z FROM z0),
+    z2 AS (SELECT o_orderkey, price_c,
+                  {_sql_mulmod64('xor(z, z >> 27)', _HLL_C2)} AS z FROM z1),
+    h AS (SELECT o_orderkey, price_c,
+                 CAST(xor(z, z >> 31) AS DOUBLE)
+                   / CAST(price_c AS DOUBLE) AS priority
+          FROM z2)
+    SELECT o_orderkey, price_c, priority
+    FROM h ORDER BY priority, o_orderkey LIMIT {_WS_K}
+    """,
+)
+def weighted_sample_orders(sf_dir: str):
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        key = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        price_c = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        hv = _splitmix64_np(key)
+        prio = hv.astype(np.float64) / price_c.astype(np.float64)
+        order = np.lexsort((key, prio))[:_WS_K]
+        return pa.table({"o_orderkey": pa.array(key[order]),
+                         "price_c": pa.array(price_c[order]),
+                         "priority": pa.array(prio[order], pa.float64())})
+
+    return (ds.map_batches(local_topk, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .sort(["priority", "o_orderkey"])
+            .limit(_WS_K))

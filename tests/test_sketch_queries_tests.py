@@ -106,3 +106,56 @@ def test_full_outer_covers_both_sides(ray_session):
     assert (out["n_clicks"] >= 0).all() and (out["n_purchases"] >= 0).all()
     only_click = out[out["user_id"].isin(clickers - buyers)]
     assert (only_click["n_purchases"] == 0).all()
+
+
+def test_pagerank_matches_sequential_reference(ray_session):
+    import ray.data
+    from agr_loader_ray.stages.pagerank import (DAMP_DEN, DAMP_NUM, SCALE,
+                                                pagerank_integer)
+
+    # tiny undirected triangle + pendant: 1-2, 2-3, 3-1, 3-4
+    und = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    ds = ray.data.from_items([{"src": a, "dst": b} for a, b in edges])
+    got = pagerank_integer(ds, iterations=3).to_pandas()
+    # sequential exact-integer reference
+    import collections
+    deg = collections.Counter(a for a, _ in edges)
+    pr = {n: SCALE for n in deg}
+    for _ in range(3):
+        s = collections.Counter()
+        for a, b in edges:
+            s[b] += pr[a] // deg[a]
+        pr = {n: ((DAMP_DEN - DAMP_NUM) * SCALE) // DAMP_DEN
+              + (DAMP_NUM * s[n]) // DAMP_DEN for n in deg}
+    assert dict(zip(got["node"], got["pr"])) == pr
+    # hub (node 3, degree 3) outranks the pendant and the others
+    assert pr[3] == max(pr.values()) and pr[4] == min(pr.values())
+
+
+def test_histogram_quantile_brackets_exact(ray_session):
+    out = _pdf(sq.histogram_quantile_per_type(SF_DIR))
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_type", "value"])
+    c = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
+    for _, row in out.iterrows():
+        vals = np.sort(c[ev["event_type"].to_numpy() == row["event_type"]])
+        for q, col in ((0.5, "p50_bin_c"), (0.9, "p90_bin_c")):
+            exact = int(vals[int(np.ceil(q * len(vals))) - 1])
+            lo = int(row[col])
+            assert lo <= exact < lo + sq._HQ_BIN_C, (row["event_type"], q)
+
+
+def test_weighted_sample_is_exact_topk(ray_session):
+    out = _pdf(sq.weighted_sample_orders(SF_DIR))
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+    key = orders["o_orderkey"].to_numpy()
+    price_c = np.round(orders["o_totalprice"].to_numpy() * 100
+                       ).astype(np.int64)
+    prio = (sq._splitmix64_np(key).astype(np.float64)
+            / price_c.astype(np.float64))
+    want = np.lexsort((key, prio))[:sq._WS_K]
+    assert list(out["o_orderkey"]) == list(key[want])
+    # weighting bias: the sample's mean price exceeds the population's
+    assert price_c[want].mean() > price_c.mean()
