@@ -570,16 +570,11 @@ def pagerank_part_supplier(sf_dir: str):
                 + [c for c in pc.cast(src, pa.int64()).chunks])})
         return both
 
-    # exact global edge dedup: one (src, dst) exchange — the multigraph
-    # → simple-graph step the oracle's DISTINCT performs
-    edges = (read_table(sf_dir, "lineitem",
-                        columns=["l_partkey", "l_suppkey"])
-             .map_batches(to_edges, batch_format="pyarrow",
-                          zero_copy_batch=True)
-             .groupby(["src", "dst"])
-             .aggregate(Sum("src", alias_name="_drop"))
-             .drop_columns(["_drop"]))
-    return pagerank_integer(edges, iterations=3)
+    # the multigraph → simple-graph DISTINCT and the degree count fuse
+    # into pagerank_integer's single src-partition exchange (dedup=True)
+    edges = ds.map_batches(to_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return pagerank_integer(edges, iterations=3, dedup=True)
 
 
 # ---------------------------------------------------------------------------

@@ -30,7 +30,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
+
 
 SCALE = 1_000_000_000  # initial rank per node (pr is rank · SCALE)
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
@@ -42,24 +42,61 @@ def pagerank_integer(
     src_col: str = "src",
     dst_col: str = "dst",
     iterations: int = 3,
+    dedup: bool = False,
+    dedup_parts: int = 32,
 ) -> pa.Table:
     """Return (node, pr) after ``iterations`` exact integer rounds.
 
     ``edges`` must already contain BOTH directions for an undirected
     graph (callers union the reverse).  Every node must have outdegree
     ≥ 1 (guaranteed when both directions are present).
+
+    ``dedup=True`` collapses a multigraph to a simple graph in ONE
+    src-hash partition exchange whose kernel also emits each edge's
+    source degree — fusing the DISTINCT and the degree aggregation
+    that would otherwise be two exchanges (exact: all rows of a src
+    land in one partition).
     """
+    import pandas as pd
+
+    from .partition import int_key_part_col
+
+    if dedup:
+        def prep(t: pa.Table) -> pa.Table:
+            return int_key_part_col(
+                pa.table({src_col: t[src_col], dst_col: t[dst_col]}),
+                src_col, dedup_parts)
+
+        def kern(g: pd.DataFrame) -> pd.DataFrame:
+            g = g[[src_col, dst_col]].drop_duplicates()
+            g["deg"] = g.groupby(src_col, sort=False)[dst_col].transform(
+                "size").astype(np.int64)
+            return g
+
+        edges = (edges.map_batches(prep, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                 .groupby("gpart").map_groups(kern, batch_format="pandas"))
+
     edges = edges.materialize()  # streamed 1 + iterations times, never shuffled
 
     def deg_partial(t: pa.Table) -> pa.Table:
+        if "deg" in t.column_names:  # dedup kernel already counted
+            return (pa.table({"node": t[src_col], "deg": t["deg"]})
+                    .group_by(["node", "deg"]).aggregate([]))
         g = t.group_by(src_col).aggregate([(src_col, "count")])
         return pa.table({"node": g[src_col],
                          "deg": g[f"{src_col}_count"].cast(pa.int64())})
 
-    deg_tbl = (edges.map_batches(deg_partial, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-               .groupby("node").aggregate(Sum("deg", alias_name="deg"))
-               ).to_pandas()  # bounded: one row per NODE, not per edge
+    # per-batch partials are ≤ |nodes| rows; folding them on the driver
+    # (one small pull, no shuffle) beats a groupby exchange by its fixed
+    # ~2-4 s cost — state is driver-resident by design (module docstring),
+    # so the pull is O(batches·nodes), bounded by the same assumption
+    deg_df = (edges.map_batches(deg_partial, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas())
+    if dedup:
+        deg_tbl = deg_df.drop_duplicates()  # (node, deg) already final
+    else:
+        deg_tbl = deg_df.groupby("node", as_index=False)["deg"].sum()
     nodes = deg_tbl["node"].to_numpy().astype(np.int64)
     order = np.argsort(nodes, kind="mergesort")
     nodes = nodes[order]
@@ -86,11 +123,10 @@ def pagerank_integer(
 
         sums = (edges.map_batches(sum_partial, batch_format="pyarrow",
                                   zero_copy_batch=True)
-                .groupby("node").aggregate(Sum("s", alias_name="s"))
-                ).to_pandas()
+                ).to_pandas()  # ≤ batches·nodes partial rows — no exchange
         s_vec = np.zeros(len(nodes), dtype=np.int64)
-        idx = np.searchsorted(nodes, sums["node"].to_numpy())
-        s_vec[idx] = sums["s"].to_numpy()
+        np.add.at(s_vec, np.searchsorted(nodes, sums["node"].to_numpy()),
+                  sums["s"].to_numpy())
         pr = ((DAMP_DEN - DAMP_NUM) * SCALE) // DAMP_DEN + (
             DAMP_NUM * s_vec) // DAMP_DEN
 
