@@ -15,6 +15,7 @@ import agr_loader_ray.pipelines.variants  # noqa: F401  (registers queries)
 import agr_loader_ray.pipelines.text_queries  # noqa: F401  (registers queries)
 import agr_loader_ray.pipelines.stats_queries  # noqa: F401  (registers queries)
 import agr_loader_ray.pipelines.sketch_queries  # noqa: F401  (registers queries)
+import agr_loader_ray.pipelines.relational_queries  # noqa: F401  (registers queries)
 from agr_loader_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -69,3 +70,24 @@ def test_query_matches_oracle(name):
 def test_every_query_has_callable():
     for name, fn in QUERIES.items():
         assert callable(fn), name
+
+
+def test_levenshtein_pairs_matches_reference():
+    from agr_loader_ray.pipelines.relational_queries import _levenshtein_pairs
+
+    def ref(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[len(b)]
+
+    pairs = [("kitten", "sitting"), ("", "abc"), ("abc", ""), ("same", "same"),
+             ("a", "b"), ("red widget", "blue widget"), ("ab", "ba"),
+             ("small ring", "small gizmo"), ("x" * 30, "x" * 29 + "y")]
+    got = _levenshtein_pairs([p[0] for p in pairs], [p[1] for p in pairs])
+    want = [ref(a, b) for a, b in pairs]
+    assert list(got) == want
