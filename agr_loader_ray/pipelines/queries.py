@@ -1961,7 +1961,10 @@ def bloom_semi_join_parts(sf_dir: str):
             pc.and_(pc.equal(t["p_type"], "ECONOMY"),
                     pc.greater_equal(t["p_size"], 25)))
             ["p_partkey"].combine_chunks())}),
-        batch_format="pyarrow", zero_copy_batch=True)
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    # materialize once: the filtered build side feeds BOTH the bloom
+    # build and the confirm join — without it the part scan+filter plan
+    # executes twice (blocks stay in the object store, spillable)
     ref, m_bits, k = build_bloom(parts, "p_partkey")
 
     li = read_table(sf_dir, "lineitem",
