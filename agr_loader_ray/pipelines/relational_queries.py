@@ -328,3 +328,191 @@ def fuzzy_name_pairs(sf_dir: str):
         "name_b": np.array(b_side, dtype=object)[keep],
         "dist": dist[keep],
     }).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# pareto_frontier_parts — distributed SKYLINE per group: parts not
+# dominated within their p_type on (price low, size high).  The classic
+# two-phase distributed skyline: every batch computes its LOCAL skyline
+# (a batch-dominated row can never be globally non-dominated, so the
+# prune is safe and the union of local skylines is a small exact
+# superset), then ONE per-type exchange and the SAME kernel finalizes.
+# The kernel is all Cython groupby ops: sort (type, price asc, size
+# desc), per-(type, price) max, exclusive per-type cummax of group
+# maxes; tie semantics mirror NOT EXISTS domination exactly (equal
+# price+size rows are mutually non-dominated).
+# ---------------------------------------------------------------------------
+@query(
+    "pareto_frontier_parts",
+    """
+    SELECT a.p_type, a.p_partkey
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_type = a.p_type
+        AND b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+    """,
+)
+def pareto_frontier_parts(sf_dir: str):
+    ds = read_table(sf_dir, "part",
+                    columns=["p_partkey", "p_type", "p_size", "p_retailprice"])
+
+    def skyline(d: pd.DataFrame) -> pd.DataFrame:
+        """Rows of (p_type, p_partkey, price_c, p_size) not dominated
+        within p_type; same kernel serves the local and final pass."""
+        d = d.sort_values(["p_type", "price_c", "p_size"],
+                          ascending=[True, True, False],
+                          kind="mergesort").reset_index(drop=True)
+        same_max = (d.groupby(["p_type", "price_c"], sort=False)["p_size"]
+                      .transform("max").to_numpy())
+        gm = (d.groupby(["p_type", "price_c"], sort=False)["p_size"]
+                .max().reset_index())
+        gm["prev_max"] = (gm.groupby("p_type", sort=False)["p_size"]
+                            .cummax().shift(1).fillna(-1))
+        gm.loc[gm["p_type"] != gm["p_type"].shift(1), "prev_max"] = -1
+        d = d.merge(gm[["p_type", "price_c", "prev_max"]],
+                    on=["p_type", "price_c"], how="left")
+        sz = d["p_size"].to_numpy()
+        dominated = (d["prev_max"].to_numpy() >= sz) | (same_max > sz)
+        return d.loc[~dominated,
+                     ["p_type", "p_partkey", "price_c", "p_size"]]
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "p_type": df["p_type"].to_numpy(),
+            "p_partkey": df["p_partkey"].to_numpy(),
+            "price_c": (df["p_retailprice"] * 100).round().astype(np.int64).to_numpy(),
+            "p_size": df["p_size"].to_numpy(),
+        })
+        return skyline(df)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = skyline(g)
+        return out[["p_type", "p_partkey"]]
+
+    return (ds.map_batches(local, batch_format="pandas")
+              .groupby("p_type").map_groups(final, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# dup_cluster_sizes — exact-duplicate CLUSTER-SIZE histogram over the
+# corpus (the dedup REPORT the survivors query doesn't give): how many
+# text clusters of each multiplicity exist.  Exchange on
+# hash(text) % nparts (equal texts co-locate), per-partition Cython
+# count per text, per-batch histogram partials, bounded final aggregate
+# (multiplicity domain is tiny).  Reference A1/D1 counts-report family.
+# ---------------------------------------------------------------------------
+@query(
+    "dup_cluster_sizes",
+    """
+    SELECT n_dup, CAST(count(*) AS BIGINT) AS n_clusters
+    FROM (SELECT count(*) AS n_dup FROM documents GROUP BY text)
+    GROUP BY n_dup
+    """,
+)
+def dup_cluster_sizes(sf_dir: str):
+    from ..stages.partition import stable_hash_strings
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    nparts = _join_parts()
+
+    def key(t: pa.Table) -> pa.Table:
+        h = stable_hash_strings(t["text"])
+        return pa.table({
+            "text": t["text"],
+            "gpart": pa.array((h % np.uint64(nparts)).astype(np.int32)),
+        })
+
+    def cluster_hist(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("text", sort=False).size().to_numpy()
+        mult, cnt = np.unique(sizes, return_counts=True)
+        return pd.DataFrame({"n_dup": mult.astype(np.int64),
+                             "n_clusters": cnt.astype(np.int64)})
+
+    return (
+        ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart").map_groups(cluster_hist, batch_format="pandas")
+        .groupby("n_dup")
+        .aggregate(Sum("n_clusters", alias_name="n_clusters"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# hourly_distinct_users — COUNT(DISTINCT) inside a tumbling window (the
+# window+distinct composition; distinct_users_per_type is the global
+# sibling).  One exchange keyed on hash(user): distinct (window, user)
+# pairs never cross user partitions, so per-partition dedup partials
+# are exact; the final per-window sum is bounded by the window count.
+# ---------------------------------------------------------------------------
+@query(
+    "hourly_distinct_users",
+    """
+    SELECT date_trunc('hour', ts) AS w, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def hourly_distinct_users(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    nparts = _join_parts()
+
+    def part_col(t: pa.Table) -> pa.Table:
+        return int_key_part_col(t, "user_id", nparts)
+
+    def dedup_count(g: pd.DataFrame) -> pd.DataFrame:
+        w = g["ts"].dt.floor("h")
+        out = (pd.DataFrame({"w": w.to_numpy(), "user_id": g["user_id"].to_numpy()})
+               .drop_duplicates().groupby("w", as_index=False).size())
+        # driver hash is timestamp-UNIT sensitive: date_trunc emits us
+        return pd.DataFrame({"w": out["w"].to_numpy().astype("datetime64[us]"),
+                             "n_users": out["size"].astype(np.int64)})
+
+    def cast_us(t: pa.Table) -> pa.Table:
+        # driver hash is timestamp-UNIT sensitive (date_trunc emits us);
+        # the pandas kernel hop re-infers ns, so cast in the final projection
+        return t.set_column(t.schema.get_field_index("w"), "w",
+                            pc.cast(t["w"], pa.timestamp("us")))
+
+    return (
+        ds.map_batches(part_col, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart").map_groups(dedup_count, batch_format="pandas")
+        .groupby("w").aggregate(Sum("n_users", alias_name="n_users"))
+        .map_batches(cast_us, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# value_share_per_type — ratio-to-report (share of total) per group:
+# the sum(x) OVER () window reformulated scale-first as exact integer
+# partials + ONE bounded aggregate; the only float op is one division
+# per output row, mirrored in SQL textual order so doubles are
+# bit-identical.
+# ---------------------------------------------------------------------------
+@query(
+    "value_share_per_type",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM events GROUP BY event_type)
+    SELECT event_type, rev_c,
+           rev_c * 1.0 / (SELECT sum(rev_c) FROM s) AS share
+    FROM s
+    """,
+)
+def value_share_per_type(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table({"event_type": t["event_type"], "rev_c": _cents(t["value"])})
+        return t2.group_by("event_type").aggregate([("rev_c", "sum")])
+
+    grouped = (ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("event_type")
+               .aggregate(Sum("rev_c_sum", alias_name="rev_c"))
+               .to_pandas())  # bounded: one row per event type
+    total = np.float64(int(grouped["rev_c"].sum()))
+    grouped["share"] = (grouped["rev_c"].to_numpy().astype(np.float64)
+                        * np.float64(1.0)) / total
+    return grouped.reset_index(drop=True)
