@@ -516,3 +516,140 @@ def value_share_per_type(sf_dir: str):
     grouped["share"] = (grouped["rev_c"].to_numpy().astype(np.float64)
                         * np.float64(1.0)) / total
     return grouped.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# scd2_intervals — type-2 slowly-changing-dimension history build from
+# the change stream: per user ordered by (ts, event_id), each event's
+# validity interval is [ts, next event's ts) with an open (NULL) end
+# for the current row — the CDC lake's temporal-history export.  One
+# user-keyed exchange; the LEAD is a vectorized grouped shift in the
+# partition kernel.  Reference K2/J8 temporal upsert lineage.
+# ---------------------------------------------------------------------------
+@query(
+    "scd2_intervals",
+    """
+    SELECT event_id, user_id, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           CAST(round(value * 100) AS BIGINT) AS value_c
+    FROM events
+    """,
+)
+def scd2_intervals(sf_dir: str):
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+    nparts = _join_parts()
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        valid_to = g.groupby("user_id", sort=False)["ts"].shift(-1)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "valid_from": g["ts"].to_numpy().astype("datetime64[us]"),
+            "valid_to": valid_to.to_numpy().astype("datetime64[us]"),
+            "value_c": (g["value"] * 100).round().astype(np.int64).to_numpy(),
+        })
+
+    return ds.map_batches(
+        lambda t: int_key_part_col(t, "user_id", nparts),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("gpart").map_groups(kernel, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# out_of_order_counts — late-data measurement over the change stream:
+# per user, how many events ARRIVED (event_id order ≈ arrival order)
+# with an event time older than an already-arrived event — the
+# out-of-orderness metric that sizes the engine's late-data watermark
+# (§2.9 tombstone GC horizon).  Grouped running-max + compare, one
+# exchange.
+# ---------------------------------------------------------------------------
+@query(
+    "out_of_order_counts",
+    """
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE ts < prev_max) AS BIGINT) AS n_late,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM (
+      SELECT user_id, ts,
+             max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM events)
+    GROUP BY user_id
+    """,
+)
+def out_of_order_counts(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    nparts = _join_parts()
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        grp = g.groupby("user_id", sort=False)
+        prev_max = grp["ts"].cummax().shift(1)
+        first = grp.cumcount() == 0
+        late = (g["ts"] < prev_max) & ~first
+        out = pd.DataFrame({"user_id": g["user_id"], "late": late})
+        agg = out.groupby("user_id", as_index=False).agg(
+            n_late=("late", "sum"), n_events=("late", "size"))
+        agg["n_late"] = agg["n_late"].astype(np.int64)
+        agg["n_events"] = agg["n_events"].astype(np.int64)
+        return agg
+
+    return ds.map_batches(
+        lambda t: int_key_part_col(t, "user_id", nparts),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("gpart").map_groups(kernel, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# events_since_error — grouped RESET counter: per event, how many
+# events since the user's most recent 'error' (the error itself resets
+# to 0; users with no prior error count from their first event).  The
+# reset-cumsum pattern: segment id = running error count, position =
+# cumcount within (user, segment) — all Cython grouped ops, one
+# exchange.  SQL mirror via the same windowed segment id.
+# ---------------------------------------------------------------------------
+@query(
+    "events_since_error",
+    """
+    SELECT event_id,
+           CAST(row_number() OVER (PARTITION BY user_id, err_grp
+                                   ORDER BY ts, event_id)
+                - CASE WHEN err_grp > 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_since
+    FROM (
+      SELECT event_id, user_id, ts,
+             count(*) FILTER (WHERE event_type = 'error')
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS err_grp
+      FROM events)
+    """,
+)
+def events_since_error(sf_dir: str):
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+    nparts = _join_parts()
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        is_err = pd.Series((g["event_type"] == "error").to_numpy())
+        # inclusive running error count per user (Cython grouped cumsum)
+        err_grp = is_err.groupby(g["user_id"].to_numpy(), sort=False).cumsum()
+        seg = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                            "seg": err_grp.to_numpy()})
+        pos = seg.groupby(["user_id", "seg"], sort=False).cumcount().to_numpy()
+        # segment 0 (never saw an error): 1-based row_number from the first
+        # event; segment k>0: the error row itself is 0, followers 1, 2, ...
+        n_since = pos + np.where(err_grp.to_numpy() > 0, 0, 1)
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "n_since": n_since.astype(np.int64)})
+
+    return ds.map_batches(
+        lambda t: int_key_part_col(t, "user_id", nparts),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("gpart").map_groups(kernel, batch_format="pandas")
