@@ -653,3 +653,115 @@ def events_since_error(sf_dir: str):
         lambda t: int_key_part_col(t, "user_id", nparts),
         batch_format="pyarrow", zero_copy_batch=True,
     ).groupby("gpart").map_groups(kernel, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# global_rank_documents — GLOBAL total-order ranking without a driver
+# sort: the classic two-pass distributed row_number.  Pass 1 assigns
+# each row a range bucket on the (n_chars, doc_id) key (bucket
+# boundaries from integer arithmetic so both sides agree); a bounded
+# per-bucket count aggregate prefix-sums into global offsets
+# (broadcast); pass 2 sorts WITHIN each bucket only and adds the
+# bucket's offset.  No stage ever holds more than one bucket.
+# Reference O5 stable export ordering, generalized to rank assignment.
+# ---------------------------------------------------------------------------
+@query(
+    "global_rank_documents",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+             AS global_rank
+    FROM documents
+    """,
+)
+def global_rank_documents(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    n_buckets = 32
+
+    # range bucketing must be ORDER-preserving on (n_chars, doc_id):
+    # bucket on n_chars quantile-ish splits from a cheap metadata probe
+    # (min/max), equal-width on n_chars — skew only degrades balance,
+    # never correctness (ties stay in one bucket's sort)
+    import pyarrow.parquet as pq
+    from ..functions.tables import table_path
+    meta = pq.read_table(table_path(sf_dir, "documents"), columns=["n_chars"])
+    lo = int(pc.min(meta["n_chars"]).as_py())
+    hi = int(pc.max(meta["n_chars"]).as_py()) + 1
+    width = max(1, (hi - lo + n_buckets - 1) // n_buckets)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        nc = t["n_chars"].to_numpy(zero_copy_only=False)
+        b = ((nc - lo) // width).astype(np.int32)
+        return pa.table({"doc_id": t["doc_id"], "n_chars": t["n_chars"],
+                         "bucket": pa.array(b, pa.int32())})
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    # bounded: one count per bucket -> exclusive prefix sum = offsets
+    counts = (bucketed.map_batches(
+        lambda t: t.select(["bucket"]).group_by("bucket").aggregate([("bucket", "count")]),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket").aggregate(Sum("bucket_count", alias_name="n"))
+        .to_pandas().sort_values("bucket"))
+    offs = np.zeros(n_buckets + 1, dtype=np.int64)
+    np.add.at(offs, counts["bucket"].to_numpy() + 1, counts["n"].to_numpy())
+    offsets = dict(zip(range(n_buckets), np.cumsum(offs)[:n_buckets]))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        base = offsets[int(g["bucket"].iloc[0])]
+        order = np.lexsort((g["doc_id"].to_numpy(), g["n_chars"].to_numpy()))
+        out = g.iloc[order]
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(),
+            "global_rank": base + 1 + np.arange(len(out), dtype=np.int64),
+        })
+
+    return (bucketed.groupby("bucket")
+            .map_groups(rank_bucket, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# unpivot_order_stats — UNPIVOT (melt): per-priority wide aggregates
+# (n_orders, total price cents) melted into (priority, metric, val)
+# rows — the inverse of pivot_event_type_counts, closing the reshape
+# family.  The wide side is a bounded grouped aggregate; the melt is a
+# constant-column explode per batch.
+# ---------------------------------------------------------------------------
+@query(
+    "unpivot_order_stats",
+    """
+    WITH w AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_c
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, metric, val
+    FROM w UNPIVOT (val FOR metric IN (n_orders, price_c))
+    """,
+)
+def unpivot_order_stats(sf_dir: str):
+    ds = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table({"o_orderpriority": t["o_orderpriority"],
+                       "price_c": _cents(t["o_totalprice"])})
+        return t2.group_by("o_orderpriority").aggregate(
+            [("price_c", "count"), ("price_c", "sum")])
+
+    wide = (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("o_orderpriority")
+            .aggregate(Sum("price_c_count", alias_name="n_orders"),
+                       Sum("price_c_sum", alias_name="price_c")))
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        pri = pa.concat_arrays([t["o_orderpriority"].combine_chunks(),
+                                t["o_orderpriority"].combine_chunks()])
+        metric = pa.array(["n_orders"] * n + ["price_c"] * n, pa.string())
+        val = pa.concat_arrays([pc.cast(t["n_orders"], pa.int64()).combine_chunks(),
+                                t["price_c"].combine_chunks()])
+        return pa.table({"o_orderpriority": pri, "metric": metric, "val": val})
+
+    return wide.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
