@@ -765,3 +765,135 @@ def unpivot_order_stats(sf_dir: str):
         return pa.table({"o_orderpriority": pri, "metric": metric, "val": val})
 
     return wide.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# minmax_scale_per_type — grouped min-max feature scaling (the classic
+# training-data normalization): x' = (x - min) / (max - min) per
+# event_type.  Min/max come exact from integer-cents partials + one
+# bounded aggregate, broadcast back into a vectorized per-batch map;
+# the single float op per row mirrors the SQL textual order.
+# ---------------------------------------------------------------------------
+@query(
+    "minmax_scale_per_type",
+    """
+    WITH m AS (
+      SELECT event_type,
+             min(CAST(round(value * 100) AS BIGINT)) AS lo,
+             max(CAST(round(value * 100) AS BIGINT)) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_id,
+           (CAST(round(e.value * 100) AS BIGINT) - m.lo) * 1.0
+             / (m.hi - m.lo) AS scaled
+    FROM events e JOIN m USING (event_type)
+    """,
+)
+def minmax_scale_per_type(sf_dir: str):
+    from ray.data.aggregate import Max, Min
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "c": _cents(t["value"])})
+
+    cds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        return t.select(["event_type", "c"]).group_by("event_type").aggregate(
+            [("c", "min"), ("c", "max")])
+
+    mm = (cds.map_batches(mm_partial, batch_format="pyarrow", zero_copy_batch=True)
+          .groupby("event_type")
+          .aggregate(Min("c_min", alias_name="lo"), Max("c_max", alias_name="hi"))
+          .to_pandas())  # bounded: one row per event type
+    lo = dict(zip(mm["event_type"], mm["lo"].astype(np.int64)))
+    hi = dict(zip(mm["event_type"], mm["hi"].astype(np.int64)))
+    lo_ref, hi_ref = ray.put(lo), ray.put(hi)
+
+    class Scale:
+        def __init__(self, lo_ref, hi_ref):
+            self.lo, self.hi = ray.get(lo_ref), ray.get(hi_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            et = pd.Series(t["event_type"].to_numpy(zero_copy_only=False))
+            c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+            lo = et.map(self.lo).to_numpy().astype(np.int64)
+            hi = et.map(self.hi).to_numpy().astype(np.int64)
+            scaled = ((c - lo) * np.float64(1.0)) / (hi - lo).astype(np.float64)
+            return pa.table({"event_id": t["event_id"],
+                             "scaled": pa.array(scaled, pa.float64())})
+
+    return cds.map_batches(Scale, fn_constructor_args=(lo_ref, hi_ref),
+                           batch_format="pyarrow", zero_copy_batch=True,
+                           concurrency=_pool())
+
+
+# ---------------------------------------------------------------------------
+# quartile_bin_counts — equal-frequency (quantile) feature binning:
+# per-type exact p25/p50/p75 boundaries (the distributed
+# histogram-refine order statistics from stages/quantiles.py) broadcast
+# back and every row assigned bin 1-4 by boundary compare, then a
+# bounded (type × bin) count.  Composition of the exact-quantile stage
+# with a broadcast re-application — the binning half of a feature
+# pipeline.  Bin rule mirrors SQL: bin = 1 + (c > p25) + (c > p50)
+# + (c > p75) over quantile_disc boundaries.
+# ---------------------------------------------------------------------------
+@query(
+    "quartile_bin_counts",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    q AS (
+      SELECT event_type,
+             quantile_disc(c, 0.25) AS p25,
+             quantile_disc(c, 0.50) AS p50,
+             quantile_disc(c, 0.75) AS p75
+      FROM c GROUP BY event_type)
+    SELECT c.event_type,
+           CAST(1 + CAST(c.c > q.p25 AS INT) + CAST(c.c > q.p50 AS INT)
+                  + CAST(c.c > q.p75 AS INT) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM c JOIN q USING (event_type)
+    GROUP BY c.event_type, bin
+    """,
+)
+def quartile_bin_counts(sf_dir: str):
+    from ..stages.quantiles import exact_group_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"], "c": _cents(t["value"])})
+
+    cds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    qs = exact_group_quantiles(cds, "event_type", "c",
+                               quantiles=((1, 4), (1, 2), (3, 4)),
+                               pool=_pool())
+    qs.pop("_n")
+    bounds = {g: (int(q[0]), int(q[1]), int(q[2])) for g, q in qs.items()}
+    bounds_ref = ray.put(bounds)  # {type: (p25, p50, p75)} — bounded
+
+    class Bin:
+        def __init__(self, ref):
+            self.bounds = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            et = pd.Series(t["event_type"].to_numpy(zero_copy_only=False))
+            c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = np.asarray(et.map(self.bounds).to_list(), dtype=np.int64)
+            bin_ = (1 + (c > b[:, 0]).astype(np.int64)
+                    + (c > b[:, 1]).astype(np.int64)
+                    + (c > b[:, 2]).astype(np.int64))
+            t2 = pa.table({"event_type": t["event_type"],
+                           "bin": pa.array(bin_, pa.int64())})
+            return t2.group_by(["event_type", "bin"]).aggregate([("bin", "count")])
+
+    return (cds.map_batches(Bin, fn_constructor_args=(bounds_ref,),
+                            batch_format="pyarrow", zero_copy_batch=True,
+                            concurrency=_pool())
+            .groupby(["event_type", "bin"])
+            .aggregate(Sum("bin_count", alias_name="n")))
