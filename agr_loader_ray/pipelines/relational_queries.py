@@ -695,6 +695,10 @@ def global_rank_documents(sf_dir: str):
         return pa.table({"doc_id": t["doc_id"], "n_chars": t["n_chars"],
                          "bucket": pa.array(b, pa.int32())})
 
+    # materialize the NARROW projection (doc_id, n_chars, bucket ≈ 20 B/row
+    # thanks to the column-pruned read — never the documents text) once: it
+    # feeds both the bucket-count pass and the rank pass, and blocks are
+    # object-store-resident/spillable, not driver memory
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
 
@@ -879,15 +883,20 @@ def quartile_bin_counts(sf_dir: str):
 
     class Bin:
         def __init__(self, ref):
-            self.bounds = ray.get(ref)
+            bounds = ray.get(ref)
+            # columnar boundary arrays keyed by a type list: per-batch
+            # lookup is one index_in + three fancy-index gathers
+            self.types = pa.array(sorted(bounds))
+            arr = np.array([bounds[t.as_py()] for t in self.types], np.int64)
+            self.p25, self.p50, self.p75 = arr[:, 0], arr[:, 1], arr[:, 2]
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            et = pd.Series(t["event_type"].to_numpy(zero_copy_only=False))
+            idx = pc.index_in(t["event_type"], value_set=self.types
+                              ).to_numpy(zero_copy_only=False).astype(np.int64)
             c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-            b = np.asarray(et.map(self.bounds).to_list(), dtype=np.int64)
-            bin_ = (1 + (c > b[:, 0]).astype(np.int64)
-                    + (c > b[:, 1]).astype(np.int64)
-                    + (c > b[:, 2]).astype(np.int64))
+            bin_ = (1 + (c > self.p25[idx]).astype(np.int64)
+                    + (c > self.p50[idx]).astype(np.int64)
+                    + (c > self.p75[idx]).astype(np.int64))
             t2 = pa.table({"event_type": t["event_type"],
                            "bin": pa.array(bin_, pa.int64())})
             return t2.group_by(["event_type", "bin"]).aggregate([("bin", "count")])
