@@ -819,13 +819,16 @@ def minmax_scale_per_type(sf_dir: str):
 
     class Scale:
         def __init__(self, lo_ref, hi_ref):
-            self.lo, self.hi = ray.get(lo_ref), ray.get(hi_ref)
+            lo, hi = ray.get(lo_ref), ray.get(hi_ref)
+            self.types = pa.array(sorted(lo))
+            self.lo = np.array([lo[t.as_py()] for t in self.types], np.int64)
+            self.hi = np.array([hi[t.as_py()] for t in self.types], np.int64)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            et = pd.Series(t["event_type"].to_numpy(zero_copy_only=False))
+            idx = pc.index_in(t["event_type"], value_set=self.types
+                              ).to_numpy(zero_copy_only=False).astype(np.int64)
             c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-            lo = et.map(self.lo).to_numpy().astype(np.int64)
-            hi = et.map(self.hi).to_numpy().astype(np.int64)
+            lo, hi = self.lo[idx], self.hi[idx]
             scaled = ((c - lo) * np.float64(1.0)) / (hi - lo).astype(np.float64)
             return pa.table({"event_id": t["event_id"],
                              "scaled": pa.array(scaled, pa.float64())})
