@@ -342,6 +342,28 @@ def fuzzy_name_pairs(sf_dir: str):
 # maxes; tie semantics mirror NOT EXISTS domination exactly (equal
 # price+size rows are mutually non-dominated).
 # ---------------------------------------------------------------------------
+def pareto_skyline_kernel(d: pd.DataFrame) -> pd.DataFrame:
+    """Rows of (p_type, p_partkey, price_c, p_size) not dominated within
+    p_type (minimize price_c, maximize p_size); the SAME kernel serves
+    the local-prune and the final per-group pass.  Equal (price, size)
+    rows are mutually non-dominated (NOT EXISTS strict-part semantics)."""
+    d = d.sort_values(["p_type", "price_c", "p_size"],
+                      ascending=[True, True, False],
+                      kind="mergesort").reset_index(drop=True)
+    same_max = (d.groupby(["p_type", "price_c"], sort=False)["p_size"]
+                  .transform("max").to_numpy())
+    gm = (d.groupby(["p_type", "price_c"], sort=False)["p_size"]
+            .max().reset_index())
+    gm["prev_max"] = (gm.groupby("p_type", sort=False)["p_size"]
+                        .cummax().shift(1).fillna(-1))
+    gm.loc[gm["p_type"] != gm["p_type"].shift(1), "prev_max"] = -1
+    d = d.merge(gm[["p_type", "price_c", "prev_max"]],
+                on=["p_type", "price_c"], how="left")
+    sz = d["p_size"].to_numpy()
+    dominated = (d["prev_max"].to_numpy() >= sz) | (same_max > sz)
+    return d.loc[~dominated, ["p_type", "p_partkey", "price_c", "p_size"]]
+
+
 @query(
     "pareto_frontier_parts",
     """
@@ -357,26 +379,7 @@ def fuzzy_name_pairs(sf_dir: str):
 def pareto_frontier_parts(sf_dir: str):
     ds = read_table(sf_dir, "part",
                     columns=["p_partkey", "p_type", "p_size", "p_retailprice"])
-
-    def skyline(d: pd.DataFrame) -> pd.DataFrame:
-        """Rows of (p_type, p_partkey, price_c, p_size) not dominated
-        within p_type; same kernel serves the local and final pass."""
-        d = d.sort_values(["p_type", "price_c", "p_size"],
-                          ascending=[True, True, False],
-                          kind="mergesort").reset_index(drop=True)
-        same_max = (d.groupby(["p_type", "price_c"], sort=False)["p_size"]
-                      .transform("max").to_numpy())
-        gm = (d.groupby(["p_type", "price_c"], sort=False)["p_size"]
-                .max().reset_index())
-        gm["prev_max"] = (gm.groupby("p_type", sort=False)["p_size"]
-                            .cummax().shift(1).fillna(-1))
-        gm.loc[gm["p_type"] != gm["p_type"].shift(1), "prev_max"] = -1
-        d = d.merge(gm[["p_type", "price_c", "prev_max"]],
-                    on=["p_type", "price_c"], how="left")
-        sz = d["p_size"].to_numpy()
-        dominated = (d["prev_max"].to_numpy() >= sz) | (same_max > sz)
-        return d.loc[~dominated,
-                     ["p_type", "p_partkey", "price_c", "p_size"]]
+    skyline = pareto_skyline_kernel
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
         df = pd.DataFrame({
