@@ -1046,3 +1046,235 @@ def funnel3_within_window(sf_dir: str):
         .groupby("gpart")
         .map_groups(kernel, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# skew_kurt_value_per_type — grouped sample-free (population) skewness and
+# excess kurtosis from EXACT integer power sums (n, Σx, Σx², Σx³, Σx⁴) of the
+# half-away-rounded value.  Per-row x⁴ ≤ 490⁴ ≈ 5.8e10 so a per-block partial
+# stays in int64 up to ~10⁸ rows/block; the CROSS-BLOCK reduction carries Σx³
+# and Σx⁴ as two int64 limbs (hi = s >> 32, lo = s & 0xffffffff, summed
+# independently — exact at 10¹⁰+ rows where a single int64 Σx⁴ would
+# overflow), recombined to an arbitrary-precision Python int per group at
+# finish.  The float skew/kurt evaluation happens ONCE per group, in the
+# same textual operation order as the oracle, from the same exactly-rounded
+# double conversions (Python int→float64 and DuckDB HUGEINT→DOUBLE are both
+# correctly rounded), so the hashes match bit-for-bit.
+# Reference provenance: generalizes the reference's per-category QC summary
+# aggregates (src/etl/summary_etl.py) to higher-moment shape statistics.
+# ---------------------------------------------------------------------------
+_LIMB = np.int64(1) << np.int64(32)
+
+
+def _limb_cols(name: str, s: np.ndarray) -> dict[str, pa.Array]:
+    """Split an int64 partial-sum vector into independently summable
+    hi/lo int64 limbs (exact two-limb carry representation)."""
+    hi = s >> np.int64(32)
+    lo = s & np.int64(0xFFFFFFFF)
+    return {f"{name}_hi": pa.array(hi), f"{name}_lo": pa.array(lo)}
+
+
+def _limb_total(t: pa.Table, name: str) -> list[int]:
+    """Recombine limb sums to exact Python ints (one per group row)."""
+    hi = t[f"{name}_hi"].to_pylist()
+    lo = t[f"{name}_lo"].to_pylist()
+    return [int(h) * (1 << 32) + int(l) for h, l in zip(hi, lo)]
+
+
+@query(
+    "skew_kurt_value_per_type",
+    """
+    WITH m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(round(value) AS BIGINT)) AS s1,
+             sum(CAST(round(value) AS BIGINT) * CAST(round(value) AS BIGINT)) AS s2,
+             sum(CAST(round(value) AS BIGINT) * CAST(round(value) AS BIGINT)
+                 * CAST(round(value) AS BIGINT)) AS s3,
+             sum(CAST(round(value) AS BIGINT) * CAST(round(value) AS BIGINT)
+                 * CAST(round(value) AS BIGINT) * CAST(round(value) AS BIGINT)) AS s4
+      FROM events GROUP BY event_type),
+    d AS (
+      SELECT event_type, n,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS q2,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS q3,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS q4
+      FROM m),
+    c AS (
+      SELECT event_type, n, mu, q3, q4,
+             q2 - mu * mu AS m2
+      FROM d)
+    SELECT event_type, n,
+           (q3 - 3.0 * mu * (m2 + mu * mu) + 2.0 * (mu * mu * mu))
+             / (m2 * sqrt(m2)) AS skew_v,
+           (q4 - 4.0 * mu * q3 + 6.0 * (mu * mu) * (m2 + mu * mu)
+            - 3.0 * ((mu * mu) * (mu * mu))) / (m2 * m2) - 3.0 AS kurt_v
+    FROM c
+    ORDER BY event_type
+    """,
+)
+def skew_kurt_value_per_type(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = _round_half_away_int(t["value"].to_numpy(zero_copy_only=False))
+        x2 = x * x
+        cols = {
+            "event_type": t["event_type"],
+            "n": pa.array(np.ones(len(x), np.int64)),
+            "s1": pa.array(x),
+            "s2": pa.array(x2),
+        }
+        g = pa.table(cols).group_by("event_type").aggregate(
+            [(c, "sum") for c in ("n", "s1", "s2")])
+        # Σx³ / Σx⁴ per block (int64-safe per block), then limb-split for
+        # the overflow-proof cross-block reduction.
+        et = pa.table({"event_type": t["event_type"],
+                       "s3": pa.array(x2 * x), "s4": pa.array(x2 * x2)})
+        g34 = et.group_by("event_type").aggregate([("s3", "sum"), ("s4", "sum")])
+        s3 = g34["s3_sum"].to_numpy(zero_copy_only=False)
+        s4 = g34["s4_sum"].to_numpy(zero_copy_only=False)
+        out = {"event_type": g["event_type"], "n": g["n_sum"],
+               "s1": g["s1_sum"], "s2": g["s2_sum"]}
+        out.update(_limb_cols("s3", s3))
+        out.update(_limb_cols("s4", s4))
+        return pa.table(out)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(*[Sum(c, alias_name=c)
+                     for c in ("n", "s1", "s2",
+                               "s3_hi", "s3_lo", "s4_hi", "s4_lo")])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_pylist()
+        s1 = t["s1"].to_pylist()
+        s2 = t["s2"].to_pylist()
+        s3 = _limb_total(t, "s3")
+        s4 = _limb_total(t, "s4")
+        skew = np.empty(len(n), np.float64)
+        kurt = np.empty(len(n), np.float64)
+        for i in range(len(n)):  # one iteration PER GROUP (≤ #event types)
+            nd = float(n[i])
+            mu = float(s1[i]) / nd
+            q2 = float(s2[i]) / nd
+            q3 = float(s3[i]) / nd
+            q4 = float(s4[i]) / nd
+            m2 = q2 - mu * mu
+            skew[i] = (q3 - 3.0 * mu * (m2 + mu * mu)
+                       + 2.0 * (mu * mu * mu)) / (m2 * np.sqrt(m2))
+            kurt[i] = (q4 - 4.0 * mu * q3 + 6.0 * (mu * mu) * (m2 + mu * mu)
+                       - 3.0 * ((mu * mu) * (mu * mu))) / (m2 * m2) - 3.0
+        return pa.table({
+            "event_type": t["event_type"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "skew_v": pa.array(skew, pa.float64()),
+            "kurt_v": pa.array(kurt, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# regr_price_on_qty — grouped simple linear regression (slope, intercept,
+# r²) of whole-dollar extendedprice on quantity per returnflag, computed
+# from the same exact-integer moment sums as corr_qty_price_per_flag, with
+# Σxy / Σy² carried as two int64 limbs so the reduction is exact at 10¹⁰
+# rows (y ≤ ~10⁵ ⇒ y² ≈ 10¹⁰ per row would overflow a single int64 Σ at
+# ~10⁹ rows).  Mirrors DuckDB's regr_slope/regr_intercept/regr_r2 closed
+# forms but evaluates them from the shared sums in a pinned op order.
+# ---------------------------------------------------------------------------
+@query(
+    "regr_price_on_qty",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(l_quantity AS BIGINT)) AS sx,
+             sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+             sum(CAST(round(l_extendedprice) AS BIGINT)) AS sy,
+             sum(CAST(l_quantity AS BIGINT)
+                 * CAST(round(l_extendedprice) AS BIGINT)) AS sxy,
+             sum(CAST(round(l_extendedprice) AS BIGINT)
+                 * CAST(round(l_extendedprice) AS BIGINT)) AS syy
+      FROM lineitem GROUP BY l_returnflag),
+    d AS (
+      SELECT l_returnflag, n,
+             CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+             CAST(sxx AS DOUBLE) AS sxxd, CAST(sy AS DOUBLE) AS syd,
+             CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd
+      FROM m)
+    SELECT l_returnflag, n,
+           (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope,
+           (syd / nd) - ((nd * sxyd - sxd * syd)
+                         / (nd * sxxd - sxd * sxd)) * (sxd / nd) AS intercept,
+           ((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))
+             / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) AS r2
+    FROM d
+    ORDER BY l_returnflag
+    """,
+)
+def regr_price_on_qty(sf_dir: str):
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = _round_half_away_int(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        base = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n": pa.array(np.ones(len(x), np.int64)),
+            "sx": pa.array(x), "sxx": pa.array(x * x),
+            "sy": pa.array(y), "sxy": pa.array(x * y), "syy": pa.array(y * y),
+        }).group_by("l_returnflag").aggregate(
+            [(c, "sum") for c in ("n", "sx", "sxx", "sy", "sxy", "syy")])
+        out = {"l_returnflag": base["l_returnflag"],
+               "n": base["n_sum"], "sx": base["sx_sum"],
+               "sxx": base["sxx_sum"], "sy": base["sy_sum"]}
+        out.update(_limb_cols(
+            "sxy", base["sxy_sum"].to_numpy(zero_copy_only=False)))
+        out.update(_limb_cols(
+            "syy", base["syy_sum"].to_numpy(zero_copy_only=False)))
+        return pa.table(out)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(*[Sum(c, alias_name=c)
+                     for c in ("n", "sx", "sxx", "sy",
+                               "sxy_hi", "sxy_lo", "syy_hi", "syy_lo")])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_pylist()
+        sx = t["sx"].to_pylist()
+        sxx = t["sxx"].to_pylist()
+        sy = t["sy"].to_pylist()
+        sxy = _limb_total(t, "sxy")
+        syy = _limb_total(t, "syy")
+        slope = np.empty(len(n), np.float64)
+        icept = np.empty(len(n), np.float64)
+        r2 = np.empty(len(n), np.float64)
+        for i in range(len(n)):  # one iteration PER GROUP
+            nd, sxd, sxxd = float(n[i]), float(sx[i]), float(sxx[i])
+            syd, sxyd, syyd = float(sy[i]), float(sxy[i]), float(syy[i])
+            sl = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+            slope[i] = sl
+            icept[i] = (syd / nd) - sl * (sxd / nd)
+            r2[i] = ((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)) \
+                / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "slope": pa.array(slope, pa.float64()),
+            "intercept": pa.array(icept, pa.float64()),
+            "r2": pa.array(r2, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
