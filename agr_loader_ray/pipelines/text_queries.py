@@ -1037,3 +1037,252 @@ def decontaminate_overlap(sf_dir: str):
         )
 
     return contaminated_docs(side(False), side(True), k=4)
+
+
+# ---------------------------------------------------------------------------
+# bpe_merge_pairs — the counting step of one BPE tokenizer-training merge
+# round: global adjacent character-pair frequencies over the corpus, top-20
+# by (count DESC, pair ASC).  Per batch, all texts are joined with a
+# sentinel and encoded ONCE to a UTF-32 codepoint vector, pairs are formed
+# by offset arithmetic (c[:-1] << 21 | c[1:] — codepoints < 2^21 so the
+# packed key fits int64), sentinel-spanning pairs dropped, and np.unique
+# pre-aggregates before the (vocab²-bounded, data-size-independent)
+# groupby.  Reference provenance: the token/occurrence counting family of
+# src/etl/summary_etl.py generalized to the tokenizer-training primitive
+# a training-data pipeline needs.
+# ---------------------------------------------------------------------------
+@query(
+    "bpe_merge_pairs",
+    """
+    WITH pairs AS (
+      SELECT substr(text, CAST(i AS INTEGER), 2) AS pair
+      FROM documents, unnest(generate_series(1, length(text) - 1)) AS t(i)),
+    c AS (
+      SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM pairs GROUP BY pair)
+    SELECT pair, cnt FROM c ORDER BY cnt DESC, pair ASC LIMIT 20
+    """,
+)
+def bpe_merge_pairs(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    SENT = 0x10FFFF  # non-occurring sentinel codepoint
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        cp = np.frombuffer(
+            chr(SENT).join(texts).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        if len(cp) < 2:
+            return pa.table({"pk": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        a, b = cp[:-1], cp[1:]
+        keep = (a != SENT) & (b != SENT)
+        packed = (a[keep] << np.int64(21)) | b[keep]
+        uniq, counts = np.unique(packed, return_counts=True)
+        return pa.table({"pk": pa.array(uniq),
+                         "cnt": pa.array(counts.astype(np.int64))})
+
+    agg = (
+        ds.map_batches(pair_counts, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("pk")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        pair = [chr(int(k) >> 21) + chr(int(k) & 0x1FFFFF) for k in pk]
+        return pa.table({"pair": pa.array(pair, pa.string()),
+                         "cnt": t["cnt"]})
+
+    # distinct-pair table is charset²-bounded — the final top-k sort is
+    # over a tiny aggregate, not the corpus
+    out = agg.map_batches(decode, batch_format="pyarrow")
+    return out.sort(["cnt", "pair"], descending=[True, False]).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# token_familiarity_scores — DSIR-flavored per-document importance proxy:
+# for each document, the sum (exact int) and mean of the GLOBAL corpus
+# occurrence counts of its whitespace tokens.  Two passes: (1) partial
+# token counts inside map_batches → small groupby = the corpus unigram
+# table; (2) hybrid attach — broadcast the vocab as a ray.put dict when it
+# is small (the common case: vocab grows sublinearly in corpus size),
+# else explode tokens and hash-join (scale path, exercised in tests via
+# broadcast_limit=0).  The mean is ONE float division per row from exact
+# int64 sums, mirroring the oracle bit-for-bit.
+# ---------------------------------------------------------------------------
+@query(
+    "token_familiarity_scores",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    tf AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(cnt) AS BIGINT) AS sum_tf,
+           CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_tf
+    FROM tok JOIN tf USING (w)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def token_familiarity_scores(sf_dir: str, broadcast_limit: int = 2_000_000):
+    import ray
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial_tf(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        g = pa.table({"w": toks}).group_by("w").aggregate([("w", "count")])
+        return pa.table({"w": g["w"], "cnt": pc.cast(g["w_count"], pa.int64())})
+
+    vocab = (
+        ds.map_batches(partial_tf, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("w")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+
+    if vocab.count() <= broadcast_limit:
+        vt = vocab.to_pandas()  # small by construction (≤ broadcast_limit)
+        tf_ref = ray.put({w: int(c) for w, c in zip(vt["w"], vt["cnt"])})
+
+        class Score:
+            def __init__(self, ref):
+                self.tf = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                lists = pc.split_pattern(t["text"], " ").combine_chunks()
+                flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+                n_tok = pc.list_value_length(lists).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                uniq, inv = np.unique(flat, return_inverse=True)
+                lut = np.array([self.tf[w] for w in uniq], np.int64)
+                per_tok = lut[inv]
+                ids = np.repeat(np.arange(len(n_tok)), n_tok)
+                full = np.zeros(len(n_tok), np.int64)
+                np.add.at(full, ids, per_tok)  # exact int64 per-doc sums
+                mean = full.astype(np.float64) / n_tok.astype(np.float64)
+                return pa.table({
+                    "doc_id": t["doc_id"],
+                    "n_tokens": pa.array(n_tok),
+                    "sum_tf": pa.array(full),
+                    "mean_tf": pa.array(mean, pa.float64()),
+                })
+
+        return ds.map_batches(Score, fn_constructor_args=(tf_ref,),
+                              batch_format="pyarrow", zero_copy_batch=True,
+                              concurrency=_pool()).sort("doc_id")
+
+    # scale path: explode (doc_id, w) and hash-join the unigram table
+    def explode(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(lists)
+        reps = pc.list_value_length(lists)
+        ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False),
+                        reps.to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": pa.array(ids), "w": flat})
+
+    from ..functions.pools import join_parts
+    nparts = join_parts()
+    joined = (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .join(vocab, join_type="inner", num_partitions=nparts, on=("w",))
+    )
+    agg = joined.groupby("doc_id").aggregate(
+        Count(alias_name="n_tokens"), Sum("cnt", alias_name="sum_tf"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["sum_tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"], "n_tokens": pa.array(n),
+            "sum_tf": pa.array(s),
+            "mean_tf": pa.array(s.astype(np.float64) / n.astype(np.float64),
+                                pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# incremental_dedup_new_docs — CDC × dedup: treat docs with doc_id > K
+# (K = max(doc_id) // 2, i.e. the "new epoch's batch") as arrivals and
+# dedup them against the already-ingested base (doc_id ≤ K) by normalized
+# text, first-writer-wins within the new batch.  One hash-partition
+# exchange co-locates base and new copies of each normalized text; the
+# per-partition kernel is vectorized pandas (groupby transform/cumcount),
+# confirming real string equality inside each 64-bit hash bucket so a
+# collision cannot merge unrelated docs.  Emits per-lang arrival/dup/
+# survivor counts (the idempotent-re-ingest audit a lake needs).
+# ---------------------------------------------------------------------------
+@query(
+    "incremental_dedup_new_docs",
+    """
+    WITH k AS (SELECT CAST(max(doc_id) // 2 AS BIGINT) AS kv FROM documents),
+    base AS (
+      SELECT DISTINCT lower(trim(text)) AS norm
+      FROM documents, k WHERE doc_id <= kv),
+    new_docs AS (
+      SELECT doc_id, lang, lower(trim(text)) AS norm,
+             row_number() OVER (PARTITION BY lower(trim(text))
+                                ORDER BY doc_id) AS rn
+      FROM documents, k WHERE doc_id > kv)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN norm IN (SELECT norm FROM base)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_vs_base,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_within,
+           CAST(sum(CASE WHEN rn = 1 AND norm NOT IN (SELECT norm FROM base)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+    FROM new_docs GROUP BY lang ORDER BY lang
+    """,
+)
+def incremental_dedup_new_docs(sf_dir: str):
+    from ..functions.pools import join_parts
+    from ..stages.partition import int_key_part_col, stable_hash_strings
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    # K is metadata-scale: an exact max over one int64 column
+    kv = int(read_table(sf_dir, "documents", columns=["doc_id"])
+             .max("doc_id")) // 2
+
+    def prep(t: pa.Table) -> pa.Table:
+        norm = pc.utf8_lower(pc.utf8_trim_whitespace(t["text"]))
+        h = stable_hash_strings(norm.combine_chunks()).astype(np.int64)
+        out = pa.table({"h": pa.array(h), "norm": norm,
+                        "doc_id": t["doc_id"], "lang": t["lang"]})
+        return int_key_part_col(out, "h", join_parts())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        is_base = g["doc_id"].to_numpy() <= kv
+        g = g.assign(is_base=is_base)
+        # C-speed 'max' transform — any base copy in the (h, norm) group
+        in_base = g.groupby(["h", "norm"], sort=False)["is_base"] \
+            .transform("max").to_numpy().astype(bool)
+        new = g[~is_base].copy()
+        new_in_base = in_base[~is_base]
+        rn = new.groupby(["h", "norm"], sort=False).cumcount().to_numpy()
+        flags = pd.DataFrame({
+            "lang": new["lang"].to_numpy(),
+            "n_new": np.ones(len(new), np.int64),
+            "n_dup_vs_base": new_in_base.astype(np.int64),
+            "n_dup_within": (rn > 0).astype(np.int64),
+            "n_survivors": ((rn == 0) & ~new_in_base).astype(np.int64),
+        })
+        return flags.groupby("lang", as_index=False).sum()
+
+    partials = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+    )
+    return (
+        partials.groupby("lang")
+        .aggregate(*[Sum(c, alias_name=c)
+                     for c in ("n_new", "n_dup_vs_base",
+                               "n_dup_within", "n_survivors")])
+        .sort("lang")
+    )
