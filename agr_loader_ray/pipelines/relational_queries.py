@@ -912,3 +912,63 @@ def quartile_bin_counts(sf_dir: str):
                             concurrency=_pool())
             .groupby(["event_type", "bin"])
             .aggregate(Sum("bin_count", alias_name="n")))
+
+
+# ---------------------------------------------------------------------------
+# linenumber_gap_audit — per-order sequence-integrity audit (the D5
+# uniqueness/contiguity invariant family, reference's primary-key and
+# ordering QC): an order's linenumbers are CONTIGUOUS iff the multiset is
+# exactly {1..n} (min=1, max=n, distinct=n — catching both gaps and
+# duplicates).  One hash-partition exchange on l_orderkey; the kernel is
+# a single C-speed pandas groupby computing min/max/count/nunique per
+# order, pre-aggregated to (n_lines, n_orders, n_gapped) partials so the
+# final exchange is statistics-sized.
+# ---------------------------------------------------------------------------
+@query(
+    "linenumber_gap_audit",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+             min(l_linenumber) AS mn, max(l_linenumber) AS mx,
+             count(DISTINCT l_linenumber) AS nd
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT n_lines,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN mn = 1 AND mx = n_lines AND nd = n_lines
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_gapped
+    FROM per_order GROUP BY n_lines ORDER BY n_lines
+    """,
+)
+def linenumber_gap_audit(sf_dir: str):
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber"])
+    nparts = _join_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "ln": pc.cast(t["l_linenumber"], pa.int64()),
+        })
+        return int_key_part_col(out, "l_orderkey", nparts)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("l_orderkey", sort=False)["ln"] \
+            .agg(n_lines="size", mn="min", mx="max", nd="nunique")
+        gapped = ~((per["mn"] == 1) & (per["mx"] == per["n_lines"])
+                   & (per["nd"] == per["n_lines"]))
+        out = pd.DataFrame({
+            "n_lines": per["n_lines"].to_numpy().astype(np.int64),
+            "n_orders": np.ones(len(per), np.int64),
+            "n_gapped": gapped.to_numpy().astype(np.int64),
+        })
+        return out.groupby("n_lines", as_index=False).sum()
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+        .groupby("n_lines")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("n_gapped", alias_name="n_gapped"))
+        .sort("n_lines")
+    )

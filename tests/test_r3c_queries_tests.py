@@ -1,0 +1,43 @@
+"""Typed-hash gate pins (the driver's exact compare) for the round-3
+late-session operator batch, at sf0.001 so the suite stays fast."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+
+PINNED = [
+    "linenumber_gap_audit",
+]
+
+
+def _typed_hash(df: pd.DataFrame):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return (tuple(str(df[c].dtype) for c in df.columns),
+            int(pd.util.hash_pandas_object(df, index=False).sum()))
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", PINNED)
+def test_r3c_query_typed_hash(name, oracle_con):
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    got = qs[name](SF).to_pandas()
+    want = oracle_con.sql(oracles[name]).arrow().to_pandas()
+    assert len(got) == len(want)
+    g, w = _typed_hash(got), _typed_hash(want)
+    assert g[0] == w[0]
+    assert g[1] == w[1]
