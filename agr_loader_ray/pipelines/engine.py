@@ -43,6 +43,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 import time
 
 import numpy as np
@@ -768,6 +770,83 @@ class CdcEngine:
                                    m.get("wal_offsets"), n_partitions=new_n)
         self.n_partitions = new_n
         return {"n_partitions": new_n, "partitions_written": len(new_parts)}
+
+    def vacuum(self, retain_epochs: int = 1) -> dict:
+        """Retention GC: delete data files reachable ONLY from epochs
+        older than the newest ``retain_epochs`` committed ones, giving
+        up time travel below that watermark (the Delta/Iceberg VACUUM /
+        expire-snapshots move — reference analogue: the loader's
+        drop-and-reload storage reclaim, here bounded and incremental).
+
+        Protocol (crash-safe, idempotent):
+          1. publish ``_VACUUM.json`` with the new watermark FIRST —
+             readers check it before resolving epoch→files, so no
+             reader that passed the check can lose a file mid-read;
+          2. delete every ``part=*/…parquet`` whose embedded write
+             epoch is below the watermark and which no RETAINED
+             manifest references (a compacted base written at epoch 2
+             that is still epoch 9's base stays).  A crash between
+             deletes just leaves garbage a re-run removes.
+
+        Never touches staged/in-flight epochs: those carry write
+        epochs > last committed ≥ watermark.
+        """
+        if retain_epochs < 1:
+            raise ValueError("retain_epochs must be >= 1")
+        epochs = self.manifest.committed_epochs()
+        if not epochs:
+            return {"removed_files": 0, "min_readable_epoch": None}
+        kept = epochs[-retain_epochs:]
+        watermark = kept[0]
+        prior = self.manifest.min_readable_epoch()
+        if prior is not None and prior > watermark:
+            # never move the watermark backwards — files are gone
+            watermark = prior
+            kept = [e for e in epochs if e >= watermark]
+
+        live: set[str] = set()
+        for e in kept:
+            m = self.manifest.read_epoch(e)
+            for info in m["partitions"].values():
+                live.update(_info_files(info))
+            live.update(m.get("quarantine", {}).get("files", []))
+
+        self.manifest.write_vacuum({
+            "min_readable_epoch": watermark,
+            "retained_epochs": kept,
+        })
+
+        epoch_re = re.compile(r"(?:^|-)epoch=(\d+)")
+        removed = 0
+        removed_bytes = 0
+        root = self.manifest.lake_root
+        for dirname in sorted(os.listdir(root)):
+            full_dir = os.path.join(root, dirname)
+            if not (dirname.startswith("part=") and os.path.isdir(full_dir)):
+                continue
+            for name in sorted(os.listdir(full_dir)):
+                if not name.endswith(".parquet"):
+                    continue
+                rel = os.path.join(dirname, name)
+                mobj = epoch_re.search(name)
+                if mobj is None or rel in live:
+                    continue  # unparseable (conservative) or still live
+                if int(mobj.group(1)) < watermark:
+                    path = os.path.join(full_dir, name)
+                    removed_bytes += os.path.getsize(path)
+                    os.remove(path)
+                    removed += 1
+        # staged manifests of committed pre-watermark epochs are obsolete
+        staged_root = os.path.join(self.manifest.manifest_dir, "staged")
+        if os.path.isdir(staged_root):
+            for name in sorted(os.listdir(staged_root)):
+                if name.startswith("epoch="):
+                    e = int(name.split("=", 1)[1])
+                    if e < watermark and e in epochs:
+                        shutil.rmtree(os.path.join(staged_root, name),
+                                      ignore_errors=True)
+        return {"removed_files": removed, "removed_bytes": removed_bytes,
+                "min_readable_epoch": watermark, "retained_epochs": kept}
 
 
 def lake_metrics(lake_root: str) -> dict:

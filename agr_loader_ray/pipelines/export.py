@@ -46,6 +46,7 @@ def read_lake(lake_root: str, epoch: int | None = None,
     e = manifest.last_committed_epoch() if epoch is None else epoch
     if e is None:
         raise FileNotFoundError(f"no committed epoch in {lake_root}")
+    manifest.assert_readable(e)
     m = manifest.read_epoch(e)
     registry_dict = dict(m["schema_registry"])
     payload_cols = [n for n, _ in registry_dict["fields"]]
@@ -156,9 +157,14 @@ def change_feed(lake_root: str, epoch: int, images: str = "post") -> ray.data.Da
     from .engine import _info_files
 
     manifest = LakeManifest(lake_root)
+    manifest.assert_readable(epoch)
     m_post = manifest.read_epoch(epoch)
     registry_dict = m_post["schema_registry"]
     try:
+        # the diff needs epoch-1's files too: a vacuumed pre-image must
+        # fail loudly, not silently degrade every change to an 'insert'
+        if epoch - 1 in manifest.committed_epochs():
+            manifest.assert_readable(epoch - 1)
         m_pre = manifest.read_epoch(epoch - 1)
         pre_parts = m_pre["partitions"]
     except FileNotFoundError:
@@ -260,6 +266,7 @@ def point_lookup(lake_root: str, conv_id: str, turn_idx: int,
     e = manifest.last_committed_epoch() if epoch is None else epoch
     if e is None:
         raise FileNotFoundError(f"no committed epoch in {lake_root}")
+    manifest.assert_readable(e)
     m = manifest.read_epoch(e)
     registry = SchemaRegistry.from_dict(m["schema_registry"])
     h = key_hash(np.asarray([conv_id], dtype=object),

@@ -143,3 +143,36 @@ class LakeManifest:
         if last is None:
             return None
         return self.read_epoch(last)["schema_registry"]
+
+    # ---- vacuum (data-file retention) --------------------------------------
+    def vacuum_marker_path(self) -> str:
+        return os.path.join(self.manifest_dir, "_VACUUM.json")
+
+    def read_vacuum(self) -> dict | None:
+        p = self.vacuum_marker_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
+    def min_readable_epoch(self) -> int | None:
+        """Oldest epoch whose data files are guaranteed present (None =
+        never vacuumed, all committed epochs readable)."""
+        v = self.read_vacuum()
+        return None if v is None else int(v["min_readable_epoch"])
+
+    def assert_readable(self, epoch: int) -> None:
+        """Raise if ``epoch``'s data files may have been vacuumed.
+
+        Readers MUST call this before resolving an epoch manifest to
+        file paths: the vacuum protocol publishes the watermark BEFORE
+        deleting, so a reader that checks first can never race a
+        concurrent vacuum into reading a half-deleted snapshot."""
+        w = self.min_readable_epoch()
+        if w is not None and epoch < w:
+            raise ValueError(
+                f"epoch {epoch} was vacuumed (min readable epoch: {w}); "
+                "time-travel below the retention watermark is gone")
+
+    def write_vacuum(self, obj: dict) -> None:
+        self.commit_io.publish_json(self.vacuum_marker_path(), obj)
