@@ -336,3 +336,42 @@ def multimodal_frames_sql(n: int = 32, seed: int = 42, n_frames: int = 24,
            count(*) AS frame_len
     FROM fb GROUP BY m, fi
     """
+
+
+def multimodal_resize_sql(n: int = 128, seed: int = 42, size: int = 16,
+                          factor: int = 2) -> str:
+    """Mirror of synth_media_table → png_encode → ResizeImage: both the
+    nearest-neighbor gather (pixel at (ry·f, rx·f)) and the 2×2 block-sum
+    pool, recomputed from the generative hash formula
+    pixel(m, i) = ((A·((m+seed)·65536 + i + 1)) mod 2^64 >> 24) % 256."""
+    out = size // factor
+    px = (f"((({_HASH_A}::HUGEINT * ((m + {seed}) * 65536 + {{idx}} + 1))"
+          f" & {_MASK})::UBIGINT >> 24)::BIGINT % 256")
+    return f"""
+    WITH g AS (
+      SELECT m, ry, rx, (ry * {out} + rx) AS j
+      FROM (SELECT unnest(generate_series(0, {n - 1})) AS m)
+      CROSS JOIN (SELECT unnest(generate_series(0, {out - 1})) AS ry)
+      CROSS JOIN (SELECT unnest(generate_series(0, {out - 1})) AS rx)),
+    near AS (
+      SELECT m, j,
+             {px.format(idx=f"(ry * {factor} * {size} + rx * {factor})")} AS p
+      FROM g),
+    poolpx AS (
+      SELECT m, j,
+             {px.format(idx=f"((ry * {factor} + dy) * {size} + rx * {factor} + dx)")} AS p
+      FROM g
+      CROSS JOIN (SELECT unnest(generate_series(0, {factor - 1})) AS dy)
+      CROSS JOIN (SELECT unnest(generate_series(0, {factor - 1})) AS dx)),
+    poolsum AS (
+      SELECT m, j, CAST(sum(p) AS BIGINT) AS b FROM poolpx GROUP BY m, j)
+    SELECT nn.media_id, nn.rz_sum, nn.rz_checksum, pp.pool_checksum,
+           nn.n_px_out
+    FROM (SELECT m AS media_id, CAST(sum(p) AS BIGINT) AS rz_sum,
+                 CAST(sum(p * (j + 1)) AS BIGINT) AS rz_checksum,
+                 count(*) AS n_px_out
+          FROM near GROUP BY m) nn
+    JOIN (SELECT m AS media_id, CAST(sum(b * (j + 1)) AS BIGINT) AS pool_checksum
+          FROM poolsum GROUP BY m) pp USING (media_id)
+    ORDER BY media_id
+    """

@@ -1286,3 +1286,26 @@ def incremental_dedup_new_docs(sf_dir: str):
                                "n_dup_within", "n_survivors")])
         .sort("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_image_resize — the resize/downsample member of the media
+# family: REAL PNG decode on an actor pool, then nearest-neighbor gather
+# AND 2×2 block-sum pooling, both proven byte-exact against the SQL
+# mirror of the generative pixel formula.
+# ---------------------------------------------------------------------------
+from .sketch_sql import multimodal_resize_sql  # noqa: E402
+
+
+@query("multimodal_image_resize",
+       multimodal_resize_sql(n=128, seed=42, size=16, factor=2))
+def multimodal_image_resize(sf_dir: str):
+    import ray.data as _rd
+
+    from ..stages.multimodal import ResizeImage, synth_media_table
+
+    media = _rd.from_arrow(synth_media_table(n=128, seed=42, size=16))
+    return media.map_batches(
+        ResizeImage, fn_constructor_kwargs={"factor": 2},
+        batch_format="pyarrow", batch_size=32, concurrency=_pool(),
+    )

@@ -362,3 +362,48 @@ def meanpool_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     ph, pw = -(-h // out_h) * out_h, -(-w // out_w) * out_w
     padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
     return padded.reshape(out_h, ph // out_h, out_w, pw // out_w).mean(axis=(1, 3))
+
+
+class ResizeImage:
+    """Actor-pool stage: PNG payload → REAL decode → downsample, emitting
+    exact integer proofs of both resize paths:
+
+    - nearest-neighbor gather (``img[::s, ::s]``): rz_sum + position-
+      weighted rz_checksum over the resized grid;
+    - 2×2 block-sum pooling (the integer core of mean-pool resize):
+      pool_checksum over the same grid.
+
+    Kernel work is numpy slicing/reshape over the decoded array — no
+    per-pixel Python.  Same actor-pool shape as ``DecodeImage`` (decode
+    state lives once per actor; small batches because rows carry wide
+    binary payloads).
+    """
+
+    def __init__(self, factor: int = 2):
+        self.factor = factor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = self.factor
+        ids, rz_sums, rz_checks, pool_checks, n_out = [], [], [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            img = png_decode(payload).astype(np.int64)
+            near = img[::s, ::s]
+            flat = near.reshape(-1)
+            w = np.arange(len(flat), dtype=np.int64) + 1
+            h, wd = img.shape
+            blocks = img[: h - h % s, : wd - wd % s] \
+                .reshape(h // s, s, wd // s, s).sum(axis=(1, 3)).reshape(-1)
+            ids.append(mid)
+            rz_sums.append(int(flat.sum()))
+            rz_checks.append(int((flat * w).sum()))
+            pool_checks.append(int((blocks * np.arange(len(blocks), dtype=np.int64)
+                                    + blocks).sum()))
+            n_out.append(len(flat))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "rz_sum": pa.array(rz_sums, pa.int64()),
+            "rz_checksum": pa.array(rz_checks, pa.int64()),
+            "pool_checksum": pa.array(pool_checks, pa.int64()),
+            "n_px_out": pa.array(n_out, pa.int64()),
+        })

@@ -13,6 +13,7 @@ TABLES = ("region nation customer supplier part orders lineitem "
 
 PINNED = [
     "linenumber_gap_audit",
+    "multimodal_image_resize",
 ]
 
 
