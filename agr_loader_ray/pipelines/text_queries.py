@@ -1309,3 +1309,104 @@ def multimodal_image_resize(sf_dir: str):
         ResizeImage, fn_constructor_kwargs={"factor": 2},
         batch_format="pyarrow", batch_size=32, concurrency=_pool(),
     )
+
+
+# ---------------------------------------------------------------------------
+# bm25_topk_docs — BM25 ranked retrieval over the corpus for a fixed
+# 3-term query (k1=1.2, b=0.75, Lucene idf = ln(1 + (N-df+0.5)/(df+0.5))).
+# Pass 1 reduces the corpus to 5 exact integers (N, Σdl, df per term)
+# via in-batch partials; the 3 idf scalars are evaluated ONCE on the
+# driver with libm log (bit-identical to DuckDB ln).  Pass 2 scores every
+# doc vectorized — per-term tf from flattened token equality + segment
+# sums, then the BM25 expression in the oracle's exact op order (all
+# remaining float math is +,-,*,/ on exact-int-derived doubles).  Top-10
+# by (score DESC, doc_id) after a tiny aggregate-side sort.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("table", "query", "value")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_sql() -> str:
+    t1, t2, t3 = _BM25_TERMS
+    tf_cols = ",\n           ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS, 1))
+    df_cols = ", ".join(
+        f"CAST(count(*) FILTER (tf{i} > 0) AS BIGINT) AS df{i}"
+        for i in range(1, 4))
+    term = lambda i: (  # noqa: E731
+        f"(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf{i} AS DOUBLE) / (CAST(tf{i} AS DOUBLE)"
+        f" + {_BM25_K1} * ((1.0 - {_BM25_B}) + {_BM25_B}"
+        f" * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE)"
+        f" / CAST(n_docs AS DOUBLE)))))))")
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+           {tf_cols}
+      FROM documents),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl, {df_cols}
+      FROM tf)
+    SELECT doc_id, {term(1)} + {term(2)} + {term(3)} AS score
+    FROM tf, stats
+    ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+@query("bm25_topk_docs", _bm25_sql())
+def bm25_topk_docs(sf_dir: str):
+    import math
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_batch(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(t["text"], " ").combine_chunks()
+        flat = pc.list_flatten(lists)
+        n_tok = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = np.repeat(np.arange(len(n_tok)), n_tok)
+        cols = {"doc_id": t["doc_id"], "dl": pa.array(n_tok)}
+        for i, term in enumerate(_BM25_TERMS, 1):
+            eq = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tf = np.zeros(len(n_tok), np.int64)
+            np.add.at(tf, ids, eq.astype(np.int64))
+            cols[f"tf{i}"] = pa.array(tf)
+        return pa.table(cols)
+
+    tf = ds.map_batches(tf_batch, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        row = {"n_docs": [t.num_rows],
+               "sum_dl": [int(pc.sum(t["dl"]).as_py() or 0)]}
+        for i in range(1, 4):
+            row[f"df{i}"] = [int(pc.sum(pc.cast(pc.greater(
+                t[f"tf{i}"], 0), pa.int64())).as_py() or 0)]
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in row.items()})
+
+    s = tf.map_batches(stats_partial, batch_format="pyarrow",
+                       zero_copy_batch=True) \
+        .sum(["n_docs", "sum_dl", "df1", "df2", "df3"])
+    n_docs, sum_dl = float(s["sum(n_docs)"]), float(s["sum(sum_dl)"])
+    avgdl = sum_dl / n_docs
+    idf = [math.log(1.0 + (n_docs - float(s[f"sum(df{i})"]) + 0.5)
+                    / (float(s[f"sum(df{i})"]) + 0.5)) for i in (1, 2, 3)]
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        xdl = dl / avgdl
+        denom_part = _BM25_K1 * ((1.0 - _BM25_B) + _BM25_B * xdl)
+        score = np.zeros(t.num_rows, np.float64)
+        for i in (1, 2, 3):  # fixed 3-term loop, vectorized inside
+            tfv = t[f"tf{i}"].to_numpy(zero_copy_only=False).astype(np.float64)
+            score = score + idf[i - 1] * (tfv / (tfv + denom_part))
+        return pa.table({"doc_id": t["doc_id"],
+                         "score": pa.array(score, pa.float64())})
+
+    return (tf.map_batches(score_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .sort(["score", "doc_id"], descending=[True, False])
+            .limit(10))

@@ -14,6 +14,7 @@ TABLES = ("region nation customer supplier part orders lineitem "
 PINNED = [
     "linenumber_gap_audit",
     "multimodal_image_resize",
+    "bm25_topk_docs",
 ]
 
 
