@@ -15,6 +15,8 @@ PINNED = [
     "linenumber_gap_audit",
     "multimodal_image_resize",
     "bm25_topk_docs",
+    "fk_childless_orders",
+    "cusum_alarm_counts",
 ]
 
 
@@ -43,3 +45,12 @@ def test_r3c_query_typed_hash(name, oracle_con):
     g, w = _typed_hash(got), _typed_hash(want)
     assert g[0] == w[0]
     assert g[1] == w[1]
+
+
+def test_fk_childless_join_path_equals_broadcast_path():
+    from agr_loader_ray.pipelines.relational_queries import fk_childless_orders
+
+    a = fk_childless_orders(SF).to_pandas().reset_index(drop=True)
+    b = fk_childless_orders(SF, broadcast_limit=0) \
+        .to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns.tolist()], check_dtype=True)
