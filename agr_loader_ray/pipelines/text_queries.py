@@ -1410,3 +1410,184 @@ def bm25_topk_docs(sf_dir: str):
                            zero_copy_batch=True)
             .sort(["score", "doc_id"], descending=[True, False])
             .limit(10))
+
+
+# ---------------------------------------------------------------------------
+# kmeans_int_clusters — distributed k-means (k=4, 2 Lloyd iterations)
+# over embeddings on a GLOBAL integer grid (x → round(x·1000)), the
+# iterative-ML member of the similarity family next to ANN/IVF.  Every
+# assignment is an exact-int64 argmin (ties → smallest cluster id) and
+# every centroid update is an exact integer sum + ONE double division +
+# half-away round, so the whole trajectory is bit-reproducible and the
+# oracle unrolls both iterations in SQL.  Scale shape: per-iteration
+# broadcast of the k×64 centroid grid, vectorized (n×k×64) distance
+# matmul per batch, per-batch (cluster, dim) partial sums — the exchange
+# per iteration is k×64 rows regardless of data size.
+# ---------------------------------------------------------------------------
+_KM_K, _KM_ITERS, _KM_DIM, _KM_SCALE = 4, 2, 64, 1000
+
+
+def _kmeans_sql() -> str:
+    k, dim, sc = _KM_K, _KM_DIM, _KM_SCALE
+    it = """
+    d{n} AS (
+      SELECT vd.vec_id, c.c,
+             sum((vd.x - c.m) * (vd.x - c.m)) AS d
+      FROM vd JOIN c{p} c ON vd.i = c.i
+      GROUP BY vd.vec_id, c.c),
+    a{n} AS (
+      SELECT vec_id, c, d FROM (
+        SELECT vec_id, c, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM d{n}) WHERE rn = 1),
+    c{n} AS (
+      SELECT a.c, vd.i,
+             CAST(round(CAST(sum(vd.x) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
+      FROM vd JOIN a{n} a ON a.vec_id = vd.vec_id
+      GROUP BY a.c, vd.i)"""
+    iters = ",".join(it.format(n=i + 1, p=i) for i in range(_KM_ITERS))
+    return f"""
+    WITH vd AS (
+      SELECT vec_id, i,
+             CAST(round(CAST(CAST(embedding AS DOUBLE[])[i] AS DOUBLE)
+                        * {sc}) AS BIGINT) AS x
+      FROM embeddings, unnest(generate_series(1, {dim})) AS t(i)),
+    c0 AS (
+      SELECT vec_id AS c, i, x AS m FROM vd WHERE vec_id < {k}),
+    {iters},
+    fin AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS n_points,
+             CAST(sum(d) AS BIGINT) AS inertia
+      FROM a{_KM_ITERS} GROUP BY c)
+    SELECT f.c, f.n_points, f.inertia,
+           CAST(sum(cc.m * cc.i) AS BIGINT) AS centroid_checksum
+    FROM fin f JOIN c{_KM_ITERS} cc ON cc.c = f.c
+    GROUP BY f.c, f.n_points, f.inertia
+    ORDER BY f.c
+    """
+
+
+@query("kmeans_int_clusters", _kmeans_sql())
+def kmeans_int_clusters(sf_dir: str):
+    import ray
+
+    k, dim, sc = _KM_K, _KM_DIM, _KM_SCALE
+
+    def to_int_grid(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(t["embedding"].combine_chunks()) \
+            .to_numpy(zero_copy_only=False).astype(np.float64) * sc
+        x = np.trunc(flat + np.sign(flat) * 0.5).astype(np.int64)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "xs": pa.FixedSizeListArray.from_arrays(
+                pa.array(x, pa.int64()), dim),
+        })
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
+        .map_batches(to_int_grid, batch_format="pyarrow",
+                     zero_copy_batch=True).materialize()
+
+    # init: the k lowest vec_ids (metadata-scale pull of k rows)
+    init = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], k)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).to_pandas().sort_values("vec_id")
+    C = np.vstack(init["xs"].to_numpy()).astype(np.int64)  # (k, dim)
+
+    def make_assign(C_ref, emit: str):
+        class Assign:
+            def __init__(self):
+                self.C = ray.get(C_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                X = pc.list_flatten(t["xs"].combine_chunks()) \
+                    .to_numpy(zero_copy_only=False).reshape(-1, dim)
+                diff = X[:, None, :] - self.C[None, :, :]
+                dists = np.einsum("nkd,nkd->nk", diff, diff)
+                a = np.argmin(dists, axis=1)  # first min = smallest c (tie rule)
+                if emit == "sums":
+                    # per-(cluster, dim) partial sums + counts, flattened
+                    out_c, out_i, out_s, out_n = [], [], [], []
+                    for c in range(len(self.C)):
+                        mask = a == c
+                        if not mask.any():
+                            continue
+                        s = X[mask].sum(axis=0)
+                        out_c.append(np.full(dim, c, np.int64))
+                        out_i.append(np.arange(1, dim + 1, dtype=np.int64))
+                        out_s.append(s)
+                        out_n.append(np.full(dim, int(mask.sum()), np.int64))
+                    if not out_c:
+                        return pa.table({"c": pa.array([], pa.int64()),
+                                         "i": pa.array([], pa.int64()),
+                                         "s": pa.array([], pa.int64()),
+                                         "n": pa.array([], pa.int64())})
+                    return pa.table({
+                        "c": pa.array(np.concatenate(out_c)),
+                        "i": pa.array(np.concatenate(out_i)),
+                        "s": pa.array(np.concatenate(out_s)),
+                        "n": pa.array(np.concatenate(out_n)),
+                    })
+                # emit final per-point stats
+                best = dists[np.arange(len(a)), a]
+                return pa.table({
+                    "c": pa.array(a.astype(np.int64)),
+                    "d": pa.array(best.astype(np.int64)),
+                })
+        return Assign
+
+    for _ in range(_KM_ITERS - 1):
+        C_ref = ray.put(C)
+        agg = (
+            ds.map_batches(make_assign(C_ref, "sums"),
+                           batch_format="pyarrow", zero_copy_batch=True,
+                           concurrency=_pool())
+            .groupby(["c", "i"])
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        ).to_pandas()  # k×dim rows — statistics-sized
+        C = _centroids_from_sums(agg, dim)
+
+    # final iteration: same update, then score against the UPDATED grid
+    C_ref = ray.put(C)
+    agg = (
+        ds.map_batches(make_assign(C_ref, "sums"), batch_format="pyarrow",
+                       zero_copy_batch=True, concurrency=_pool())
+        .groupby(["c", "i"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    ).to_pandas()
+    # per-cluster sizes/inertia of the FINAL assignment round
+    stats = (
+        ds.map_batches(make_assign(C_ref, "stats"), batch_format="pyarrow",
+                       zero_copy_batch=True, concurrency=_pool())
+        .groupby("c")
+        .aggregate(Count(alias_name="n_points"), Sum("d", alias_name="inertia"))
+    ).to_pandas()
+    C_fin = _centroids_from_sums(agg, dim)
+    live = sorted(int(c) for c in agg["c"].unique())
+    ck = {c: int((C_fin[j] * np.arange(1, dim + 1, dtype=np.int64)).sum())
+          for j, c in enumerate(live)}
+    stats = stats.sort_values("c").reset_index(drop=True)
+    out = pa.table({
+        "c": pa.array(stats["c"].to_numpy().astype(np.int64)),
+        "n_points": pa.array(stats["n_points"].to_numpy().astype(np.int64)),
+        "inertia": pa.array(stats["inertia"].to_numpy().astype(np.int64)),
+        "centroid_checksum": pa.array(
+            np.array([ck[int(c)] for c in stats["c"]], np.int64)),
+    })
+    import ray.data as _rd
+    return _rd.from_arrow(out)
+
+
+def _centroids_from_sums(agg: pd.DataFrame, dim: int) -> np.ndarray:
+    """Exact centroid update: per-dim int sums → one double division →
+    half-away round (the oracle's op order).  Empty clusters drop out."""
+    agg = agg.sort_values(["c", "i"])
+    live = sorted(int(c) for c in agg["c"].unique())
+    C = np.empty((len(live), dim), np.int64)
+    for j, c in enumerate(live):  # ≤ k iterations
+        sub = agg[agg["c"] == c]
+        mean = sub["s"].to_numpy().astype(np.float64) \
+            / sub["n"].to_numpy().astype(np.float64)
+        C[j] = np.trunc(mean + np.sign(mean) * 0.5).astype(np.int64)
+    return C

@@ -17,6 +17,7 @@ PINNED = [
     "bm25_topk_docs",
     "fk_childless_orders",
     "cusum_alarm_counts",
+    "kmeans_int_clusters",
 ]
 
 
