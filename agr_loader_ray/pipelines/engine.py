@@ -307,10 +307,12 @@ class _PartitionApplier:
         new_existing = wk if existing_keys is None else np.union1d(existing_keys, wk)
         return info, new_existing
 
-    def _write(self, rel: str, tbl: pa.Table) -> None:
+    def _write(self, rel: str, tbl: pa.Table,
+               row_group_size: int | None = None) -> None:
         # all data-file publishes go through the commit-I/O seam (atomic
         # rename locally; single-shot PUT on object stores — commit_io.py)
-        self.manifest.commit_io.publish_table(self.manifest.abspath(rel), tbl)
+        self.manifest.commit_io.publish_table(self.manifest.abspath(rel), tbl,
+                                              row_group_size=row_group_size)
 
 
 def _manifest_row_table(rows: list[dict]) -> pa.Table:
@@ -640,7 +642,8 @@ class CdcEngine:
         return total
 
     # -- maintenance --------------------------------------------------------
-    def compact(self, drop_tombstones_before_offset: int | None = None) -> dict:
+    def compact(self, drop_tombstones_before_offset: int | None = None,
+                row_group_size: int | None = 32_768) -> dict:
         """Compact every partition with outstanding deltas (maintenance
         pass, e.g. before heavy reads).  Rewrites the CURRENT epoch's
         manifest in place (atomic) with exact live counts/checksums.
@@ -663,6 +666,9 @@ class CdcEngine:
         if not todo:
             return {"compacted": 0}
         gc_off = drop_tombstones_before_offset
+        # bounded row groups keep per-row-group conv_id min/max stats
+        # tight on the key-sorted base → range_scan's data skipping
+        rg_size = row_group_size
 
         reg_ref = ray.put(registry.to_dict())
         lake_root = self.manifest.lake_root
@@ -684,7 +690,7 @@ class CdcEngine:
                 merged = merged.filter(pc.invert(stale))
             merged = merged.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
             rel = os.path.join(f"part={part}", f"base-epoch={info['epoch']}-c.parquet")
-            ap._write(rel, merged)
+            ap._write(rel, merged, row_group_size=rg_size)
             live = merged.filter(pc.equal(merged[DELETED_COL], False))
             return {
                 **info, "part": part, "base": rel, "deltas": [],

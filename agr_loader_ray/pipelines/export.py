@@ -310,3 +310,111 @@ def point_lookup(lake_root: str, conv_id: str, turn_idx: int,
         live = live.drop_columns([OFFSET_COL, DELETED_COL])
         row = live.to_pylist()[0] if live.num_rows else None
     return (row, stats) if return_stats else row
+
+
+def _rg_intersecting(path: str, lo: str, hi: str) -> tuple[list[int], int]:
+    """Row groups of ``path`` whose conv_id [min, max] stats intersect
+    [lo, hi] (metadata-only footer read — no data I/O).  Returns
+    (row_group_indices, n_pruned); a row group without stats is kept
+    (conservative, never unsound)."""
+    pf = pq.ParquetFile(path)
+    try:
+        ci = pf.schema_arrow.names.index("conv_id")
+    except ValueError:
+        return list(range(pf.num_row_groups)), 0
+    keep, pruned = [], 0
+    for g in range(pf.num_row_groups):
+        st = pf.metadata.row_group(g).column(ci).statistics
+        if st is not None and st.has_min_max and (st.max < lo or st.min > hi):
+            pruned += 1
+        else:
+            keep.append(g)
+    return keep, pruned
+
+
+def range_scan(lake_root: str, lo: str, hi: str, epoch: int | None = None,
+               with_stats: bool = False):
+    """Key-range scan ``lo <= conv_id <= hi`` over the lake with
+    row-group data skipping (SURVEY 'prune at the read').
+
+    Hash partitioning scatters a key range across every partition, so
+    partition-level pruning is impossible by construction — the skip
+    unit is the parquet ROW GROUP: compacted bases are key-sorted
+    (``CdcEngine.compact``), so their row-group conv_id min/max stats
+    are tight and a narrow range touches O(1) row groups per base;
+    unsorted delta files degrade gracefully to full reads (their stats
+    span the key space).  Sound for merge-on-read LWW because a skipped
+    row group provably contains no row of any key in the range.
+
+    ``with_stats=True`` → ``(dataset, stats_dict)`` with the driver-side
+    footer-only pruning counts (the same decision the read tasks make).
+    """
+    from .engine import _info_files
+
+    if lo > hi:
+        raise ValueError(f"empty range: lo={lo!r} > hi={hi!r}")
+    manifest = LakeManifest(lake_root)
+    e = manifest.last_committed_epoch() if epoch is None else epoch
+    if e is None:
+        raise FileNotFoundError(f"no committed epoch in {lake_root}")
+    manifest.assert_readable(e)
+    m = manifest.read_epoch(e)
+    registry_dict = m["schema_registry"]
+    payload_cols = [n for n, _ in registry_dict["fields"]]
+    alias_names = [a for als in registry_dict.get("aliases", {}).values() for a in als]
+    file_cols = payload_cols + alias_names + [OFFSET_COL, DELETED_COL]
+
+    items = []
+    for info in m["partitions"].values():
+        files = [manifest.abspath(f) for f in _info_files(info)]
+        if files:
+            items.append({"files": files})
+    if not items:
+        ds = ray.data.from_arrow(pa.Table.from_pylist(
+            [], schema=SchemaRegistry.from_dict(registry_dict).schema))
+        return (ds, {"row_groups_considered": 0, "row_groups_pruned": 0}) \
+            if with_stats else ds
+
+    def scan_fold(batch: pa.Table) -> pa.Table:
+        registry = SchemaRegistry.from_dict(registry_dict)
+        outs = []
+        for files in batch["files"].to_pylist():
+            tables = []
+            for f in files:
+                keep, _ = _rg_intersecting(f, lo, hi)
+                if not keep:
+                    continue
+                pf = pq.ParquetFile(f)
+                avail = set(pf.schema_arrow.names)
+                cols = [c for c in file_cols if c in avail]
+                t = pf.read_row_groups(keep, columns=cols)
+                tables.append(registry.conform(t, _EXTRA))
+            if not tables:
+                continue
+            t = tables[0] if len(tables) == 1 else lww_last_per_key(
+                pa.concat_tables(tables), ["conv_id", "turn_idx"],
+                ["ts", OFFSET_COL])
+            outs.append(t)
+        if not outs:
+            return registry.conform(pa.Table.from_pylist([]), _EXTRA) \
+                .select(payload_cols)
+        t = pa.concat_tables(outs)
+        t = t.filter(pc.and_(
+            pc.greater_equal(t["conv_id"], pa.scalar(lo)),
+            pc.less_equal(t["conv_id"], pa.scalar(hi))))
+        t = t.filter(pc.equal(t[DELETED_COL], False))
+        return t.select(payload_cols)
+
+    ds = ray.data.from_items(items).map_batches(
+        scan_fold, batch_format="pyarrow", batch_size=1)
+    if not with_stats:
+        return ds
+    stats = {"row_groups_considered": 0, "row_groups_pruned": 0,
+             "files": 0}
+    for it in items:
+        for f in it["files"]:
+            keep, pruned = _rg_intersecting(f, lo, hi)
+            stats["files"] += 1
+            stats["row_groups_considered"] += len(keep) + pruned
+            stats["row_groups_pruned"] += pruned
+    return ds, stats

@@ -33,10 +33,11 @@ import pyarrow.parquet as pq
 class LocalCommitIO:
     """POSIX rename-based atomic publish (single node / shared POSIX fs)."""
 
-    def publish_table(self, path: str, tbl: pa.Table) -> None:
+    def publish_table(self, path: str, tbl: pa.Table,
+                      row_group_size: int | None = None) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.tmp.{os.getpid()}"
-        pq.write_table(tbl, tmp)
+        pq.write_table(tbl, tmp, row_group_size=row_group_size)
         os.replace(tmp, path)
 
     def publish_json(self, path: str, obj: Any) -> None:
@@ -88,9 +89,10 @@ class ObjectStoreCommitIO:
     def __init__(self, client):
         self.client = client
 
-    def publish_table(self, path: str, tbl: pa.Table) -> None:
+    def publish_table(self, path: str, tbl: pa.Table,
+                      row_group_size: int | None = None) -> None:
         sink = pa.BufferOutputStream()
-        pq.write_table(tbl, sink)
+        pq.write_table(tbl, sink, row_group_size=row_group_size)
         self.client.put(path, sink.getvalue().to_pybytes())
 
     def publish_json(self, path: str, obj: Any) -> None:

@@ -151,3 +151,56 @@ def test_watermark_published_before_deletion(replayed, monkeypatch):
     s = eng.vacuum(retain_epochs=1)
     assert s["removed_files"] > 0
     assert export_sorted(lake).count() > 0
+
+
+# --------------------------------------------------------------------------
+# range_scan: row-group data skipping over the merge-on-read lake
+# --------------------------------------------------------------------------
+def test_range_scan_equals_filtered_read(replayed):
+    from agr_loader_ray.pipelines.export import range_scan
+
+    eng, _, lake = replayed
+    lo, hi = "conv-00000010", "conv-00000040"
+    got = range_scan(lake, lo, hi).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    full = export_sorted(lake).to_pandas()
+    want = full[(full["conv_id"] >= lo) & (full["conv_id"] <= hi)] \
+        .reset_index(drop=True)
+    got = got[want.columns.tolist()]
+    pd.testing.assert_frame_equal(got, want)
+    assert len(want) > 0
+
+
+def test_range_scan_prunes_row_groups_on_compacted_lake(tmp_path):
+    from agr_loader_ray.pipelines.export import range_scan
+
+    wal, lake = str(tmp_path / "wal"), str(tmp_path / "lake")
+    generate_wal(wal, WalSpec(n_events=40_000, n_convs=2_000, n_epochs=2,
+                              update_frac=0.2, delete_frac=0.05))
+    eng = CdcEngine(lake, n_partitions=4)
+    eng.replay(wal)
+    # key-sorted bases + bounded row groups -> tight row-group stats
+    eng.compact(row_group_size=1024)
+
+    lo, hi = "conv-00000100", "conv-00000120"
+    ds, stats = range_scan(lake, lo, hi, with_stats=True)
+    got = ds.to_pandas().sort_values(["conv_id", "turn_idx"]) \
+        .reset_index(drop=True)
+    full = export_sorted(lake).to_pandas()
+    want = full[(full["conv_id"] >= lo) & (full["conv_id"] <= hi)] \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+    assert stats["row_groups_pruned"] > 0, stats
+
+
+def test_range_scan_empty_range_and_vacuum_fence(replayed):
+    from agr_loader_ray.pipelines.export import range_scan
+
+    eng, _, lake = replayed
+    assert range_scan(lake, "zzz", "zzzz").count() == 0
+    with pytest.raises(ValueError, match="empty range"):
+        range_scan(lake, "b", "a")
+    eng.compact()
+    eng.vacuum(retain_epochs=1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        range_scan(lake, "conv-00000001", "conv-00000002", epoch=0)
