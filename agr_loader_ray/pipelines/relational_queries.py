@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 from ..functions.pools import join_parts as _join_parts
 from ..functions.pools import pool as _pool
@@ -1146,4 +1146,202 @@ def cusum_alarm_counts(sf_dir: str):
         .groupby("gpart")
         .map_groups(kernel, batch_format="pandas")
         .sort("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational_division_users — the relational-division operator: users
+# whose event stream covers ALL of a required event-type set (the
+# "for-all" join the semi/anti family lacks).  In-batch indicator
+# partials (one row per (user, batch)) → statistics-sized groupby →
+# coverage test; no exploded exchange.
+# ---------------------------------------------------------------------------
+_DIV_REQUIRED = ("view", "click", "purchase")
+
+
+@query(
+    "relational_division_users",
+    f"""
+    SELECT user_id FROM events
+    WHERE event_type IN {_DIV_REQUIRED!r}
+    GROUP BY user_id
+    HAVING count(DISTINCT event_type) = {len(_DIV_REQUIRED)}
+    ORDER BY user_id
+    """.replace('"', "'"),
+)
+def relational_division_users(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        for typ in _DIV_REQUIRED:
+            cols[f"has_{typ}"] = pc.cast(
+                pc.equal(t["event_type"], typ), pa.int64())
+        return pa.table(cols).group_by("user_id").aggregate(
+            [(f"has_{typ}", "max") for typ in _DIV_REQUIRED])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(*[Max(f"has_{typ}_max", alias_name=f"has_{typ}")
+                     for typ in _DIV_REQUIRED])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = np.ones(t.num_rows, bool)
+        for typ in _DIV_REQUIRED:
+            keep &= t[f"has_{typ}"].to_numpy(zero_copy_only=False) == 1
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64())}) \
+            .filter(pa.array(keep))
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True).sort("user_id")
+
+
+# ---------------------------------------------------------------------------
+# event_trigram_topk — sequential pattern mining one step past the Markov
+# bigram transitions: top-10 length-3 event-type sequences over each
+# user's ts-ordered stream (ties → sequence string ASC).  One
+# hash-partition exchange; the kernel forms trigrams by two array shifts
+# with user-boundary masking — no per-row Python.
+# ---------------------------------------------------------------------------
+@query(
+    "event_trigram_topk",
+    """
+    WITH s AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT e1 || '>' || e2 || '>' || e3 AS trigram,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s WHERE e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, trigram LIMIT 10
+    """,
+)
+def event_trigram_topk(sf_dir: str):
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "event_type"])
+    nparts = _join_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_type": t["event_type"],
+        })
+        return int_key_part_col(out, "user_id", nparts)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        if len(et) < 3:
+            return pd.DataFrame({"trigram": [], "n": []})
+        same = (uid[:-2] == uid[1:-1]) & (uid[1:-1] == uid[2:])
+        tri = np.char.add(np.char.add(np.char.add(
+            et[:-2].astype("U16"), ">"),
+            np.char.add(et[1:-1].astype("U16"), ">")), et[2:].astype("U16"))
+        tri = tri[same]
+        uniq, counts = np.unique(tri, return_counts=True)
+        return pd.DataFrame({"trigram": uniq,
+                             "n": counts.astype(np.int64)})
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+        .groupby("trigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "trigram"], descending=[True, False])
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouping_sets_order_stats — GROUPING SETS ((priority), (status), ())
+# in one pass: per-batch partials for each grouping set (bounded output
+# per batch), one statistics-sized exchange, NULL-filled grouping
+# columns exactly as SQL emits them (completes the ROLLUP/CUBE family).
+# ---------------------------------------------------------------------------
+_GS_ALL = "\x00ALL\x00"  # sentinel: never a real priority/status value
+
+
+@query(
+    "grouping_sets_order_stats",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    ORDER BY o_orderpriority, o_orderstatus
+    """,
+)
+def grouping_sets_order_stats(sf_dir: str):
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_orderstatus",
+                             "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t["o_totalprice"])
+        base = pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "o_orderstatus": t["o_orderstatus"],
+            "n_orders": pa.array(np.ones(t.num_rows, np.int64)),
+            "sum_cents": pa.array(cents),
+        })
+        # Ray's sort-based shuffle rejects NULL string keys, so the
+        # grouped-out column travels as a sentinel and becomes a real
+        # NULL only in the final projection
+        outs = []
+        for keep in (("o_orderpriority",), ("o_orderstatus",), ()):
+            g_cols = list(keep)
+            if g_cols:
+                g = base.select([*g_cols, "n_orders", "sum_cents"]) \
+                    .group_by(g_cols).aggregate(
+                        [("n_orders", "sum"), ("sum_cents", "sum")])
+                n = g.num_rows
+                all_col = pa.array([_GS_ALL] * n, pa.string())
+                tbl = {
+                    "gp": (g["o_orderpriority"]
+                           if "o_orderpriority" in g_cols else all_col),
+                    "gs": (g["o_orderstatus"]
+                           if "o_orderstatus" in g_cols else all_col),
+                    "n_orders": g["n_orders_sum"],
+                    "sum_cents": g["sum_cents_sum"],
+                }
+            else:
+                tbl = {
+                    "gp": pa.array([_GS_ALL], pa.string()),
+                    "gs": pa.array([_GS_ALL], pa.string()),
+                    "n_orders": pa.array(
+                        [int(pc.sum(base["n_orders"]).as_py() or 0)]),
+                    "sum_cents": pa.array(
+                        [int(pc.sum(base["sum_cents"]).as_py() or 0)]),
+                }
+            outs.append(pa.table(tbl))
+        return pa.concat_tables(outs)
+
+    def finish(t: pa.Table) -> pa.Table:
+        def unsent(col):
+            c = t[col].combine_chunks()
+            return pc.if_else(pc.equal(c, _GS_ALL),
+                              pa.scalar(None, pa.string()), c)
+        return pa.table({
+            "o_orderpriority": unsent("gp"),
+            "o_orderstatus": unsent("gs"),
+            "n_orders": t["n_orders"],
+            "sum_cents": t["sum_cents"],
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["gp", "gs"])
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("sum_cents", alias_name="sum_cents"))
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
     )

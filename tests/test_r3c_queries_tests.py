@@ -18,6 +18,9 @@ PINNED = [
     "fk_childless_orders",
     "cusum_alarm_counts",
     "kmeans_int_clusters",
+    "relational_division_users",
+    "event_trigram_topk",
+    "grouping_sets_order_stats",
 ]
 
 
