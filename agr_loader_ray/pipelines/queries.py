@@ -1575,7 +1575,7 @@ _KMV_B = 1442695040888963407
     )
     SELECT event_type,
            CAST(CASE WHEN nd < {_KMV_K} THEN nd
-                ELSE ({_KMV_K - 1}::HUGEINT * 18446744073709551616::HUGEINT) / hv
+                ELSE ({_KMV_K - 1}::HUGEINT * 18446744073709551616::HUGEINT) // hv
            END AS BIGINT) AS n_distinct_est
     FROM ranked
     WHERE rn = {_KMV_K} OR (nd < {_KMV_K} AND rn = 1)
