@@ -189,15 +189,21 @@ class _PreFoldPartition:
         return out
 
 
+def _base_files(info: dict | None) -> list[str]:
+    """Base file(s) of a partition info entry — a single path for the
+    common case, a LIST when compaction split a large partition into
+    size-bounded parts (disjoint key ranges of one sorted snapshot)."""
+    base = (info or {}).get("base")
+    if not base:
+        return []
+    return list(base) if isinstance(base, (list, tuple)) else [base]
+
+
 def _info_files(info: dict | None) -> list[str]:
     """Relative data files of a partition info entry, base first."""
     if not info:
         return []
-    files = []
-    if info.get("base"):
-        files.append(info["base"])
-    files.extend(info.get("deltas") or [])
-    return files
+    return _base_files(info) + list(info.get("deltas") or [])
 
 
 class _PartitionApplier:
@@ -266,7 +272,7 @@ class _PartitionApplier:
 
         if compact:
             tables = [self._read_conformed(rel, registry)
-                      for rel in ([prev_base] if prev_base else []) + prev_deltas]
+                      for rel in _base_files(prev_info) + prev_deltas]
             merged = pa.concat_tables([*tables, ev]) if tables else ev
             merged = lww_last_per_key(merged, ["conv_id", "turn_idx"], ["ts", OFFSET_COL])
             # base files are key-sorted: parquet row-group min/max stats on
@@ -316,14 +322,16 @@ class _PartitionApplier:
 
 
 def _manifest_row_table(rows: list[dict]) -> pa.Table:
-    """Manifest rows → one consistently-typed Arrow table (deltas is
-    list<string>; sentinel-typed counters — no schema drift across groups)."""
+    """Manifest rows → one consistently-typed Arrow table (base and
+    deltas are list<string> — base may be multiple size-bounded parts;
+    sentinel-typed counters — no schema drift across groups)."""
     if not rows:
         return pa.table({"part": pa.array([], pa.int64())})
+    rows = [{**r, "base": _base_files(r)} for r in rows]
     schema = pa.schema(
         [
             pa.field("part", pa.int64()),
-            pa.field("base", pa.string()),
+            pa.field("base", pa.list_(pa.string())),
             pa.field("deltas", pa.list_(pa.string())),
             pa.field("delta_blooms", pa.list_(pa.string())),
             pa.field("rows", pa.int64()),
@@ -551,7 +559,8 @@ class CdcEngine:
                 parts[r["part"]] = {k: v for k, v in r.items() if k != "part"}
             max_off = max((r["max_offset"] for r in erows), default=None)
             quarantine = (
-                {"rows": sum(r["rows"] for r in qrows), "files": [r["base"] for r in qrows]}
+                {"rows": sum(r["rows"] for r in qrows),
+                 "files": [f for r in qrows for f in _base_files(r)]}
                 if qrows else None
             )
             self.manifest.commit_epoch(
@@ -643,7 +652,8 @@ class CdcEngine:
 
     # -- maintenance --------------------------------------------------------
     def compact(self, drop_tombstones_before_offset: int | None = None,
-                row_group_size: int | None = 32_768) -> dict:
+                row_group_size: int | None = 32_768,
+                max_rows_per_file: int | None = None) -> dict:
         """Compact every partition with outstanding deltas (maintenance
         pass, e.g. before heavy reads).  Rewrites the CURRENT epoch's
         manifest in place (atomic) with exact live counts/checksums.
@@ -669,6 +679,7 @@ class CdcEngine:
         # bounded row groups keep per-row-group conv_id min/max stats
         # tight on the key-sorted base → range_scan's data skipping
         rg_size = row_group_size
+        max_rows = max_rows_per_file
 
         reg_ref = ray.put(registry.to_dict())
         lake_root = self.manifest.lake_root
@@ -689,11 +700,26 @@ class CdcEngine:
                 )
                 merged = merged.filter(pc.invert(stale))
             merged = merged.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
-            rel = os.path.join(f"part={part}", f"base-epoch={info['epoch']}-c.parquet")
-            ap._write(rel, merged, row_group_size=rg_size)
+            if max_rows and merged.num_rows > max_rows:
+                # split the sorted snapshot into size-bounded base parts
+                # (disjoint key ranges): a 100 TB partition never has to
+                # round-trip through one writer file or one reader task
+                rels = []
+                for j, lo in enumerate(range(0, merged.num_rows, max_rows)):
+                    rel_j = os.path.join(
+                        f"part={part}",
+                        f"base-epoch={info['epoch']}-c{j}.parquet")
+                    ap._write(rel_j, merged.slice(lo, max_rows),
+                              row_group_size=rg_size)
+                    rels.append(rel_j)
+                base: str | list[str] = rels
+            else:
+                base = os.path.join(f"part={part}",
+                                    f"base-epoch={info['epoch']}-c.parquet")
+                ap._write(base, merged, row_group_size=rg_size)
             live = merged.filter(pc.equal(merged[DELETED_COL], False))
             return {
-                **info, "part": part, "base": rel, "deltas": [],
+                **info, "part": part, "base": base, "deltas": [],
                 "delta_blooms": [],
                 "rows": merged.num_rows, "live_rows": live.num_rows,
                 "checksum": _live_checksum(live),

@@ -282,11 +282,13 @@ def point_lookup(lake_root: str, conv_id: str, turn_idx: int,
     stats = {"files_considered": 0, "files_pruned": 0, "files_read": 0}
     tables = []
     for info in part_infos:
+        from .engine import _base_files
+
         deltas = info.get("deltas") or []
         blooms = info.get("delta_blooms") or []
         if len(blooms) != len(deltas):
             blooms = [None] * len(deltas)
-        files = ([(info["base"], None)] if info.get("base") else []) + \
+        files = [(b, None) for b in _base_files(info)] + \
             list(zip(deltas, blooms))
         for rel, bloom in files:
             stats["files_considered"] += 1

@@ -1345,3 +1345,73 @@ def grouping_sets_order_stats(sf_dir: str):
                    Sum("sum_cents", alias_name="sum_cents"))
         .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# debounce_dedup_events — streaming time-epsilon dedup (the CDC-side
+# "debounce" QC: drop an event when the SAME user emitted the SAME type
+# within the preceding second — double-click / retry suppression).
+# Note the chained semantics: a kept event resets the clock, a dropped
+# one does NOT (drop is vs the previous RAW event, LAG semantics — the
+# SQL-mirrorable variant).  One hash-partition exchange; kernel = two
+# array shifts with boundary masking.
+# ---------------------------------------------------------------------------
+_DEBOUNCE_US = 1_000_000
+
+
+@query(
+    "debounce_dedup_events",
+    f"""
+    WITH lagged AS (
+      SELECT user_id, event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN prev_ts IS NOT NULL
+                          AND epoch_us(ts) - epoch_us(prev_ts) <= {_DEBOUNCE_US}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_debounced
+    FROM lagged GROUP BY event_type ORDER BY event_type
+    """,
+)
+def debounce_dedup_events(sf_dir: str):
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "event_type"])
+    nparts = _join_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_type": t["event_type"],
+        })
+        return int_key_part_col(out, "user_id", nparts)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts_us", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        same = np.zeros(len(g), bool)
+        if len(g) > 1:
+            same[1:] = (uid[1:] == uid[:-1]) & (et[1:] == et[:-1]) \
+                & (ts[1:] - ts[:-1] <= _DEBOUNCE_US)
+        out = pd.DataFrame({
+            "event_type": et,
+            "n_events": np.ones(len(g), np.int64),
+            "n_debounced": same.astype(np.int64),
+        })
+        return out.groupby("event_type", as_index=False).sum()
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("n_debounced", alias_name="n_debounced"))
+        .sort("event_type")
+    )

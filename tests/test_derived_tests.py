@@ -81,7 +81,8 @@ def test_verify_lake_audit(tmp_lake, tmp_wal):
     info = next(iter(m["partitions"].values()))
     import pyarrow.parquet as pq
     import pyarrow as pa
-    path = os.path.join(tmp_lake, info["base"])
+    from agr_loader_ray.pipelines.engine import _base_files
+    path = os.path.join(tmp_lake, _base_files(info)[0])
     t = pq.read_table(path)
     import pyarrow.compute as pc
     live = t.filter(pc.equal(t["_deleted"], False))

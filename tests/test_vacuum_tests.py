@@ -204,3 +204,49 @@ def test_range_scan_empty_range_and_vacuum_fence(replayed):
     eng.vacuum(retain_epochs=1)
     with pytest.raises(ValueError, match="vacuumed"):
         range_scan(lake, "conv-00000001", "conv-00000002", epoch=0)
+
+
+# --------------------------------------------------------------------------
+# size-bounded multi-file base compaction
+# --------------------------------------------------------------------------
+def test_compact_split_base_roundtrip(tmp_path):
+    """compact(max_rows_per_file) splits each partition's sorted base
+    into disjoint key-range parts; reads, lookups, later epochs, range
+    scans and vacuum all keep working on the list-valued base."""
+    from agr_loader_ray.pipelines.export import point_lookup, range_scan
+
+    wal, lake = str(tmp_path / "wal"), str(tmp_path / "lake")
+    generate_wal(wal, SPEC)
+    eng = CdcEngine(lake, n_partitions=4, compact_every=100)
+    eng.replay(wal, upto_epoch=3)
+    before = export_sorted(lake).to_pandas().reset_index(drop=True)
+
+    eng.compact(max_rows_per_file=200)
+    info = next(iter(eng.manifest.current_partitions().values()))
+    assert isinstance(info["base"], list) and len(info["base"]) > 1
+    after = export_sorted(lake).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
+
+    # point lookup + range scan over split bases
+    key = before.iloc[0]
+    row = point_lookup(lake, key["conv_id"], int(key["turn_idx"]))
+    assert row is not None and row["conv_id"] == key["conv_id"]
+    lo, hi = "conv-00000010", "conv-00000040"
+    got = range_scan(lake, lo, hi).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = after[(after["conv_id"] >= lo) & (after["conv_id"] <= hi)] \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+    # later epochs apply on top of the split base; final state == oracle
+    eng.replay(wal)
+    eng.compact(max_rows_per_file=200)
+    eng.vacuum(retain_epochs=1)
+    got = export_sorted(lake).to_pandas().reset_index(drop=True)
+    want = oracle_reduce(
+        pads.dataset(wal, partitioning="hive").to_table().to_pandas()
+    ).reset_index(drop=True)
+    got = got[want.columns.tolist()]
+    for c in want.columns:
+        want[c] = want[c].astype(got[c].dtype)
+    pd.testing.assert_frame_equal(got, want)
