@@ -1,0 +1,293 @@
+"""Time-series / windowed-statistics operator batch (round 3).
+
+Same contract as ``queries.py``: every entry pairs a Ray-Data-first
+pipeline with a DuckDB oracle mirrored operation-for-operation (exact
+integer cents, integer rank arithmetic) so typed value hashes match.
+
+Reference provenance: the reference's expression pipelines resample
+and densify sparse per-entity measurements before export
+(src/etl/expression_etl.py stage ordering + the per-entity grouped
+assembly in SURVEY §2.5 O1/O2); the gap-fill here is that densify
+step as a distributed generator, the weighted median extends the
+exact order-statistics family (A2/quantiles), and the rolling z-score
+is the windowed QC analogue of its per-batch sanity counters
+(SURVEY A1/A5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Sum
+
+from ..functions.pools import join_parts as _join_parts
+from ..stages.partition import int_key_part_col
+from .queries import _cents, query
+
+_HOUR_US = 3_600_000_000
+
+
+# ---------------------------------------------------------------------------
+# gap_fill_hourly — per-user hourly resample (densify): every hour
+# between a user's first and last event appears exactly once, missing
+# hours zero-filled.  A GENERATOR op (output rows > input rows), so the
+# scale design matters: users are hash-partitioned once (all of a
+# user's rows land in one partition), and the grid is built inside the
+# partition kernel with offset math (np.repeat over per-user spans +
+# grid-cumcount) — no per-user Python loop, no driver-side series.  At
+# 100 TB the output is ∝ Σ per-user spans and streams out per
+# partition; nothing materializes globally.
+# ---------------------------------------------------------------------------
+@query(
+    "gap_fill_hourly",
+    """
+    WITH bounds AS (
+      SELECT user_id,
+             date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds),
+    agg AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2)
+    SELECT g.user_id, g.hour,
+           coalesce(a.cents, 0) AS cents,
+           coalesce(a.n_events, 0) AS n_events
+    FROM grid g LEFT JOIN agg a USING (user_id, hour)
+    """,
+)
+def gap_fill_hourly(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    nparts = _join_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        # pre-aggregate to (user, hour) partials per batch: the exchange
+        # ships at most |distinct (user, hour)| rows per block
+        hour = pc.multiply(
+            pc.divide(pc.cast(t["ts"], pa.int64()), _HOUR_US),
+            pa.scalar(_HOUR_US, pa.int64()),
+        )
+        part = pa.table({
+            "user_id": t["user_id"],
+            "hour_us": hour,
+            "cents": _cents(t["value"]),
+            "n_events": pa.array(np.ones(t.num_rows, np.int64)),
+        }).group_by(["user_id", "hour_us"]).aggregate(
+            [("cents", "sum"), ("n_events", "sum")])
+        part = part.rename_columns(["user_id", "hour_us", "cents", "n_events"])
+        return int_key_part_col(part, "user_id", nparts)
+
+    def densify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "hour_us"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        hr = g["hour_us"].to_numpy()
+        cents = g["cents"].to_numpy()
+        nev = g["n_events"].to_numpy()
+        # per-user [h0, h1] spans via boundary masks (rows are sorted by
+        # (user, hour) so first/last row per user carry min/max)
+        first = np.empty(len(g), bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.r_[starts[1:], len(g)] - 1
+        h0, h1 = hr[starts], hr[ends]
+        spans = (h1 - h0) // _HOUR_US + 1
+        # grid: user repeated span times, hour = h0 + cumcount·1h
+        offsets = np.r_[0, np.cumsum(spans)]
+        total = int(offsets[-1])
+        gu = np.repeat(uid[starts], spans)
+        cum = np.arange(total) - np.repeat(offsets[:-1], spans)
+        gh = np.repeat(h0, spans) + cum * _HOUR_US
+        # scatter-ADD the sparse aggregates into their grid slots (the
+        # same (user, hour) may arrive as partials from several input
+        # batches, so accumulate rather than assign)
+        run = np.searchsorted(uid[starts], uid)
+        slot = offsets[run] + (hr - hr[starts[run]]) // _HOUR_US
+        gc = np.zeros(total, np.int64)
+        gn = np.zeros(total, np.int64)
+        np.add.at(gc, slot, cents)
+        np.add.at(gn, slot, nev)
+        return pd.DataFrame({
+            "user_id": gu, "hour_us": gh, "cents": gc, "n_events": gn})
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "hour": pc.cast(t["hour_us"], pa.timestamp("us")),
+            "cents": t["cents"],
+            "n_events": t["n_events"],
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(densify, batch_format="pandas")
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# weighted_median_price — exact WEIGHTED lower median per group:
+# smallest price v whose cumulative quantity reaches ceil(W/2).
+# Scale design: per-batch (flag, cents)→Σqty partials bound the
+# exchange by the PRICE DOMAIN (distinct cent values), not the row
+# count — the same domain-bounded-partials trick as the grouped
+# histogram; the per-flag kernel is a sort + one cumsum + one
+# searchsorted over that bounded set.
+# ---------------------------------------------------------------------------
+@query(
+    "weighted_median_price",
+    """
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1, 2),
+    c AS (
+      SELECT l_returnflag, cents, qty,
+             sum(qty) OVER (PARTITION BY l_returnflag ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(qty) OVER (PARTITION BY l_returnflag) AS total
+      FROM w)
+    SELECT l_returnflag,
+           CAST(min(cents) AS BIGINT) AS wmedian_cents,
+           CAST(min(total) AS BIGINT) AS total_qty
+    FROM c WHERE cum >= (total + 1) // 2
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def weighted_median_price(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        part = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "cents": _cents(t["l_extendedprice"]),
+            "qty": pc.cast(t["l_quantity"], pa.int64()),
+        }).group_by(["l_returnflag", "cents"]).aggregate([("qty", "sum")])
+        return part.rename_columns(["l_returnflag", "cents", "qty"])
+
+    def wmedian(g: pd.DataFrame) -> pd.DataFrame:
+        flag = g["l_returnflag"].iloc[0]
+        g = g.groupby("cents", as_index=False)["qty"].sum() \
+            .sort_values("cents", kind="mergesort")
+        cum = g["qty"].to_numpy().cumsum()
+        total = int(cum[-1])
+        idx = int(np.searchsorted(cum, (total + 1) // 2))
+        return pd.DataFrame({
+            "l_returnflag": [flag],
+            "wmedian_cents": np.array([g["cents"].iloc[idx]], np.int64),
+            "total_qty": np.array([total], np.int64),
+        })
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .map_groups(wmedian, batch_format="pandas")
+        .sort("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling_zscore_outliers — per-user rolling anomaly flag: an event is
+# an outlier when its value deviates from the mean of the user's 8
+# PRECEDING events by more than 2 standard deviations (full windows
+# only).  The |x−μ|>2σ test is evaluated in EXACT integer arithmetic —
+# (n·x − S)² > 4·(n·Q − S²) with S=Σcents, Q=Σcents² over the window —
+# so there is no float-order sensitivity to mirror; the SQL oracle
+# runs the identical integer comparison.  One hash-partition exchange
+# on user; rolling sums are two cumsum-difference passes.
+# ---------------------------------------------------------------------------
+_ZW = 8  # window length (preceding rows)
+
+
+@query(
+    "rolling_zscore_outliers",
+    f"""
+    WITH v AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    w AS (
+      SELECT user_id, cents,
+             CAST(count(*) OVER win AS BIGINT) AS n,
+             CAST(sum(cents) OVER win AS BIGINT) AS s,
+             CAST(sum(cents * cents) OVER win AS BIGINT) AS q
+      FROM v
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {_ZW} PRECEDING AND 1 PRECEDING))
+    SELECT user_id,
+           CAST(sum(CASE WHEN n = {_ZW} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_windows,
+           CAST(sum(CASE WHEN n = {_ZW}
+                          AND ({_ZW} * cents - s) * ({_ZW} * cents - s)
+                              > 4 * ({_ZW} * q - s * s)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM w GROUP BY user_id ORDER BY user_id
+    """,
+)
+def rolling_zscore_outliers(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "value"])
+    nparts = _join_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+            "cents": _cents(t["value"]),
+        })
+        return int_key_part_col(out, "user_id", nparts)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        x = g["cents"].to_numpy()
+        n = len(g)
+        # rolling sums over the 8 preceding rows via cumsum differences
+        cs = np.r_[0, np.cumsum(x)]
+        cq = np.r_[0, np.cumsum(x * x)]
+        lo = np.maximum(np.arange(n) - _ZW, 0)
+        s = cs[np.arange(n)] - cs[lo]
+        q = cq[np.arange(n)] - cq[lo]
+        # user boundaries: a window is full only when the 8th-preceding
+        # row exists AND belongs to the same user
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        start = np.maximum.accumulate(np.where(first, np.arange(n), 0))
+        full = (np.arange(n) - start) >= _ZW
+        # exact integer test (n·x − S)² > 4·(n·Q − S²)
+        d = _ZW * x - s
+        out_mask = full & (d * d > 4 * (_ZW * q - s * s))
+        res = pd.DataFrame({
+            "user_id": uid,
+            "n_windows": full.astype(np.int64),
+            "n_outliers": out_mask.astype(np.int64),
+        })
+        return res.groupby("user_id", as_index=False).sum()
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Sum("n_windows", alias_name="n_windows"),
+                   Sum("n_outliers", alias_name="n_outliers"))
+        .sort("user_id")
+    )
