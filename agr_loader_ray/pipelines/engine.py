@@ -416,13 +416,25 @@ class CdcEngine:
 
     def __init__(self, lake_root: str, n_partitions: int = 32,
                  base_schema: pa.Schema = TRANSCRIPT_SCHEMA,
-                 compact_every: int = 4, commit_io=None):
+                 compact_every: int = 4, commit_io=None, lease=None):
         self.commit_io = commit_io
         self.manifest = LakeManifest(lake_root, commit_io)
         self.n_partitions = n_partitions
         self.base_schema = base_schema
         self.compact_every = max(1, compact_every)
+        self.lease = lease
         os.makedirs(lake_root, exist_ok=True)
+
+    def _check_writer(self) -> None:
+        """Single-writer guard (state/lease.py): leased engines must
+        still hold their fencing token; lease-less engines may write
+        only while no live foreign lease exists.  Called at the start
+        of every mutating entry point AND immediately before each
+        manifest commit, so a zombie writer cannot commit over its
+        successor."""
+        from ..state.lease import check_no_foreign_lease
+
+        check_no_foreign_lease(self.manifest.lake_root, self.lease)
 
     # -- WAL introspection --------------------------------------------------
     @staticmethod
@@ -505,6 +517,7 @@ class CdcEngine:
                   if not os.path.exists(self.manifest.epoch_manifest_path(e))]
         if not epochs:
             return {"epochs": [], "events": 0, "sec": 0.0}
+        self._check_writer()
 
         registry = self._load_registry()
         prev_parts = self.manifest.current_partitions()
@@ -563,6 +576,7 @@ class CdcEngine:
                  "files": [f for r in qrows for f in _base_files(r)]}
                 if qrows else None
             )
+            self._check_writer()
             self.manifest.commit_epoch(
                 e, registries_by_epoch[e], parts,
                 (None, max_off) if max_off is not None else None,
@@ -663,6 +677,7 @@ class CdcEngine:
         outlive the maximum expected event lateness, else an older-ts
         event could resurrect the key; policy documented in README).
         """
+        self._check_writer()
         last = self.manifest.last_committed_epoch()
         if last is None:
             return {"compacted": 0}
@@ -728,9 +743,80 @@ class CdcEngine:
         results = ray.get([compact_part.remote(p, info) for p, info in todo.items()])
         for r in results:
             parts[r["part"]] = {k: v for k, v in r.items() if k != "part"}
+        self._check_writer()
         self.manifest.commit_epoch(last, m["schema_registry"], parts, m.get("wal_offsets"),
                                    n_partitions=m.get("n_partitions"))
         return {"compacted": len(results)}
+
+    def compact_deltas(self, min_deltas: int = 2,
+                       row_group_size: int | None = 32_768) -> dict:
+        """MINOR compaction: stitch each partition's outstanding delta
+        files into ONE delta without rewriting the base.
+
+        The 100 TB rationale: full ``compact`` rewrites the whole base
+        (cost ∝ partition size) to bound read amplification, but most
+        of a partition's bytes are cold — deltas are the hot tail.
+        Stitching bounds merge-on-read fan-in at base+1 files for cost
+        ∝ delta bytes only.  LWW last-per-key is associative on
+        (ts, offset), so folding the deltas among themselves first
+        yields exactly the same merged state; the stitched file keeps
+        every surviving row INCLUDING tombstones (the key-hash set and
+        late-event resolution are unchanged).  Deterministic output
+        names make a crashed/rerun pass idempotent; the manifest swap
+        is the same atomic current-epoch rewrite as ``compact``.
+        """
+        self._check_writer()
+        last = self.manifest.last_committed_epoch()
+        if last is None:
+            return {"stitched": 0}
+        m = self.manifest.read_epoch(last)
+        parts = {int(p): info for p, info in m["partitions"].items()}
+        todo = {p: info for p, info in parts.items()
+                if len(info.get("deltas") or []) >= max(2, min_deltas)}
+        if not todo:
+            return {"stitched": 0}
+
+        reg_ref = ray.put(m["schema_registry"])
+        lake_root = self.manifest.lake_root
+        commit_io = self.commit_io
+        rg_size = row_group_size
+
+        @ray.remote
+        def stitch_part(part: int, info: dict) -> dict:
+            from ..stages.bloom import bloom_hex_from_hashes
+            from ..stages.partition import key_hash
+
+            reg = SchemaRegistry.from_dict(ray.get(reg_ref))
+            ap = _PartitionApplier(lake_root, 1, commit_io)
+            deltas = list(info["deltas"])
+            merged = lww_last_per_key(
+                pa.concat_tables([ap._read_conformed(rel, reg) for rel in deltas]),
+                ["conv_id", "turn_idx"], ["ts", OFFSET_COL],
+            )
+            # key-sorted like bases: row-group stats stay selective
+            merged = merged.sort_by(
+                [("conv_id", "ascending"), ("turn_idx", "ascending")])
+            rel = os.path.join(
+                f"part={part}",
+                f"delta-epoch={info['epoch']}-s{len(deltas)}.parquet")
+            ap._write(rel, merged, row_group_size=rg_size)
+            wk = key_hash(merged["conv_id"], merged["turn_idx"])
+            base_rows = sum(
+                pq.read_metadata(ap.manifest.abspath(b)).num_rows
+                for b in _base_files(info))
+            return {
+                **info, "part": part, "deltas": [rel],
+                "delta_blooms": [bloom_hex_from_hashes(wk)],
+                "rows": base_rows + merged.num_rows,
+            }
+
+        results = ray.get([stitch_part.remote(p, info) for p, info in todo.items()])
+        for r in results:
+            parts[r["part"]] = {k: v for k, v in r.items() if k != "part"}
+        self._check_writer()
+        self.manifest.commit_epoch(last, m["schema_registry"], parts, m.get("wal_offsets"),
+                                   n_partitions=m.get("n_partitions"))
+        return {"stitched": len(results)}
 
     def repartition(self, new_n: int) -> dict:
         """Rewrite the lake's ownership partitioning to ``new_n``
@@ -749,6 +835,7 @@ class CdcEngine:
         Subsequent ``apply_epochs`` calls must come from an engine built
         with ``n_partitions=new_n`` (enforced by the manifest guard).
         """
+        self._check_writer()
         last = self.manifest.last_committed_epoch()
         if last is None:
             raise FileNotFoundError("no committed epoch to repartition")
@@ -798,6 +885,7 @@ class CdcEngine:
         ).take_all()
         new_parts = {r["part"]: {k: v for k, v in r.items() if k != "part"}
                      for r in rows}
+        self._check_writer()
         self.manifest.commit_epoch(last, m["schema_registry"], new_parts,
                                    m.get("wal_offsets"), n_partitions=new_n)
         self.n_partitions = new_n
@@ -843,6 +931,7 @@ class CdcEngine:
                 live.update(_info_files(info))
             live.update(m.get("quarantine", {}).get("files", []))
 
+        self._check_writer()
         self.manifest.write_vacuum({
             "min_readable_epoch": watermark,
             "retained_epochs": kept,
