@@ -1415,3 +1415,120 @@ def debounce_dedup_events(sf_dir: str):
                    Sum("n_debounced", alias_name="n_debounced"))
         .sort("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# data_quality_audit — Deequ-style one-pass multi-constraint validation
+# over the events table (the distributed generalization of the
+# reference's per-ETL sanity counters, SURVEY A1/A5): null check,
+# range check, domain allow-list, format regex, temporal bounds — all
+# evaluated as per-batch integer partials in ONE scan; the uniqueness
+# constraint (inherently global) is the audit's only exchange, run as
+# a key-hash partition kernel.  Output: one row per constraint with
+# exact violation counts.
+# ---------------------------------------------------------------------------
+_DQ_PROPS_RE = r'^\{"k": [0-9]+\}$'
+_DQ_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "data_quality_audit",
+    f"""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events)
+    SELECT * FROM (
+      SELECT 'user_id_not_null' AS check_name, n_rows,
+             (SELECT CAST(count(*) FILTER (user_id IS NULL) AS BIGINT)
+              FROM events) AS n_violations FROM n
+      UNION ALL
+      SELECT 'value_in_range_0_400', n_rows,
+             (SELECT CAST(count(*) FILTER (value < 0 OR value > 400) AS BIGINT)
+              FROM events) FROM n
+      UNION ALL
+      SELECT 'event_type_in_domain', n_rows,
+             (SELECT CAST(count(*) FILTER (event_type NOT IN
+               ('click','error','purchase','signup','view')) AS BIGINT)
+              FROM events) FROM n
+      UNION ALL
+      SELECT 'props_json_format', n_rows,
+             (SELECT CAST(count(*) FILTER (NOT regexp_matches(props,
+               '^\\{{"k": [0-9]+\\}}$')) AS BIGINT) FROM events) FROM n
+      UNION ALL
+      SELECT 'ts_within_2024', n_rows,
+             (SELECT CAST(count(*) FILTER (ts < TIMESTAMP '2024-01-01'
+               OR ts >= TIMESTAMP '2025-01-01') AS BIGINT) FROM events) FROM n
+      UNION ALL
+      SELECT 'event_id_unique', n_rows,
+             (SELECT CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+              FROM events) FROM n
+    ) ORDER BY check_name
+    """,
+)
+def data_quality_audit(sf_dir: str):
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type",
+                             "value", "props"])
+    nparts = _join_parts()
+    _TS_LO = 1_704_067_200_000_000   # 2024-01-01 epoch us
+    _TS_HI = 1_735_689_600_000_000   # 2025-01-01
+
+    def partials(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ts = pc.cast(t["ts"], pa.int64())
+        viol = {
+            "user_id_not_null": pc.sum(pc.is_null(t["user_id"])).as_py() or 0,
+            "value_in_range_0_400": pc.sum(pc.or_(
+                pc.less(t["value"], 0.0),
+                pc.greater(t["value"], 400.0))).as_py() or 0,
+            "event_type_in_domain": n - (pc.sum(pc.is_in(
+                t["event_type"], value_set=pa.array(_DQ_TYPES))).as_py() or 0),
+            "props_json_format": n - (pc.sum(pc.match_substring_regex(
+                t["props"], _DQ_PROPS_RE)).as_py() or 0),
+            "ts_within_2024": pc.sum(pc.or_(
+                pc.less(ts, _TS_LO), pc.greater_equal(ts, _TS_HI))).as_py() or 0,
+        }
+        return pa.table({
+            "check_name": pa.array(list(viol), pa.string()),
+            "n_rows": pa.array([n] * len(viol), pa.int64()),
+            "n_violations": pa.array([int(v) for v in viol.values()], pa.int64()),
+        })
+
+    scan_checks = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("check_name")
+        .aggregate(Sum("n_rows", alias_name="n_rows"),
+                   Sum("n_violations", alias_name="n_violations"))
+    )
+
+    # uniqueness: the one global constraint — key-hash exchange, then a
+    # vectorized per-partition duplicate count (exact: equal ids always
+    # co-locate)
+    ids = read_table(sf_dir, "events", columns=["event_id"])
+
+    def id_part(t: pa.Table) -> pa.Table:
+        return int_key_part_col(t, "event_id", nparts)
+
+    def dup_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        ids_np = g["event_id"].to_numpy()
+        return pd.DataFrame({
+            "check_name": ["event_id_unique"],
+            "n_rows": np.array([len(ids_np)], np.int64),
+            "n_violations": np.array(
+                [len(ids_np) - len(np.unique(ids_np))], np.int64),
+        })
+
+    def to_arrow(t: pa.Table) -> pa.Table:
+        return t.select(["check_name", "n_rows", "n_violations"])
+
+    uniq = (
+        ids.map_batches(id_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(dup_kernel, batch_format="pandas")
+        .groupby("check_name")
+        .aggregate(Sum("n_rows", alias_name="n_rows"),
+                   Sum("n_violations", alias_name="n_violations"))
+        .map_batches(to_arrow, batch_format="pyarrow")
+    )
+
+    # union requires both sides in the same block format
+    scan_checks = scan_checks.map_batches(to_arrow, batch_format="pyarrow")
+    return scan_checks.union(uniq).sort("check_name")

@@ -291,3 +291,149 @@ def rolling_zscore_outliers(sf_dir: str):
                    Sum("n_outliers", alias_name="n_outliers"))
         .sort("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# last_touch_attribution — marketing-attribution join: each purchase is
+# credited to the user's most recent PRECEDING non-purchase event
+# (last-touch).  One hash-partition exchange on user; the credit lookup
+# is a vectorized forward-fill (maximum.accumulate over source indices
+# with user-boundary masking), never a per-row scan-back.
+# ---------------------------------------------------------------------------
+@query(
+    "last_touch_attribution",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS attributed
+      FROM events)
+    SELECT coalesce(attributed, '(none)') AS attributed_type,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def last_touch_attribution(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    nparts = _join_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+        })
+        return int_key_part_col(out, "user_id", nparts)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        n = len(g)
+        idx = np.arange(n)
+        is_p = et == "purchase"
+        # forward-fill index of the last non-purchase row
+        ffill = np.maximum.accumulate(np.where(~is_p, idx, -1))
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        user_start = np.maximum.accumulate(np.where(first, idx, 0))
+        valid = ffill >= user_start
+        credit = np.where(valid & is_p, et[np.maximum(ffill, 0)], "(none)")
+        res = pd.DataFrame({"attributed_type": credit[is_p]})
+        res = res.groupby("attributed_type", as_index=False).size() \
+            .rename(columns={"size": "n_purchases"})
+        res["n_purchases"] = res["n_purchases"].astype(np.int64)
+        return res
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+        .groupby("attributed_type")
+        .aggregate(Sum("n_purchases", alias_name="n_purchases"))
+        .sort("attributed_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# daily_revenue_growth — period-over-period analytics: per event type,
+# the daily cents total plus LAG deltas vs the previous observed day.
+# The wide input collapses to (type, day) integer partials per batch
+# (exchange bounded by types × calendar days); the LAG itself runs on
+# that bounded series inside a per-type kernel.  First-day rows carry
+# real NULLs, mirrored by the SQL LAG.
+# ---------------------------------------------------------------------------
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "daily_revenue_growth",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, day, cents,
+           lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS prev_cents,
+           cents - lag(cents) OVER (PARTITION BY event_type ORDER BY day)
+             AS delta_cents
+    FROM d ORDER BY event_type, day
+    """,
+)
+def daily_revenue_growth(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        day = pc.multiply(
+            pc.divide(pc.cast(t["ts"], pa.int64()), _DAY_US),
+            pa.scalar(_DAY_US, pa.int64()),
+        )
+        part = pa.table({
+            "event_type": t["event_type"],
+            "day_us": day,
+            "cents": _cents(t["value"]),
+        }).group_by(["event_type", "day_us"]).aggregate([("cents", "sum")])
+        return part.rename_columns(["event_type", "day_us", "cents"])
+
+    def lag_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["event_type", "day_us"], as_index=False)["cents"].sum() \
+            .sort_values("day_us", kind="mergesort")
+        cents = g["cents"].to_numpy()
+        prev = np.empty(len(g), np.float64)
+        prev[0] = np.nan
+        prev[1:] = cents[:-1]
+        g["prev_f"] = prev
+        return g
+
+    def finish(t: pa.Table) -> pa.Table:
+        nanmask = pc.is_nan(t["prev_f"])
+        prev = pc.if_else(
+            nanmask, pa.scalar(None, pa.int64()),
+            pc.cast(pc.fill_null(pc.if_else(nanmask, 0.0, t["prev_f"]), 0.0),
+                    pa.int64()))
+        return pa.table({
+            "event_type": t["event_type"],
+            "day": pc.cast(t["day_us"], pa.timestamp("us")),
+            "cents": t["cents"],
+            "prev_cents": prev,
+            "delta_cents": pc.subtract(t["cents"], prev),
+        })
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(lag_kernel, batch_format="pandas")
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["event_type", "day"])
+    )

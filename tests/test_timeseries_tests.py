@@ -17,6 +17,9 @@ PINNED = [
     "weighted_median_price",
     "rolling_zscore_outliers",
     "debounce_dedup_events",
+    "last_touch_attribution",
+    "daily_revenue_growth",
+    "data_quality_audit",
 ]
 
 
