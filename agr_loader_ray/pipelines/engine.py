@@ -969,6 +969,108 @@ class CdcEngine:
         return {"removed_files": removed, "removed_bytes": removed_bytes,
                 "min_readable_epoch": watermark, "retained_epochs": kept}
 
+    def restore(self, epoch: int) -> dict:
+        """Roll the CURRENT table state back to committed ``epoch``
+        (Delta-style RESTORE — the undo for a bad replay or a poisoned
+        upstream batch).
+
+        Metadata-only and O(partitions): the LAST epoch's manifest is
+        atomically rewritten to reference ``epoch``'s partition map and
+        schema registry — no data file moves, no shuffle.  The epoch
+        NUMBERING is preserved (no new epoch id is burned), so
+        exactly-once replay bookkeeping is untouched: WAL epochs up to
+        the last commit stay consumed, and FUTURE WAL epochs apply on
+        top of the restored state.  ``restored_from`` is recorded for
+        lineage; the vacuum fence rejects restoring below the retention
+        watermark (those files are gone).
+        """
+        self._check_writer()
+        last = self.manifest.last_committed_epoch()
+        if last is None:
+            raise FileNotFoundError("no committed epoch to restore")
+        if epoch == last:
+            return {"restored_from": epoch, "current_epoch": last,
+                    "noop": True}
+        self.manifest.assert_readable(epoch)
+        src = self.manifest.read_epoch(epoch)       # target snapshot
+        cur = self.manifest.read_epoch(last)        # numbering keeper
+        manifest = {
+            "epoch": last,
+            "schema_registry": src["schema_registry"],
+            "wal_offsets": cur.get("wal_offsets"),
+            "partitions": src["partitions"],
+            "restored_from": epoch,
+        }
+        if cur.get("n_partitions") is not None:
+            if src.get("n_partitions") not in (None, cur["n_partitions"]):
+                raise ValueError(
+                    f"cannot restore across a repartition boundary "
+                    f"({src.get('n_partitions')} → {cur['n_partitions']} "
+                    "partitions); run repartition() after restore instead")
+            manifest["n_partitions"] = cur["n_partitions"]
+        self._check_writer()
+        self.manifest.commit_io.publish_json(
+            self.manifest.epoch_manifest_path(last), manifest)
+        return {"restored_from": epoch, "current_epoch": last, "noop": False}
+
+    def clone_to(self, target_root: str) -> dict:
+        """Cheap writable CLONE of the lake at its current state (the
+        dev/test-sandbox move).
+
+        Copies the manifest chain + vacuum watermark and HARDLINKS
+        every referenced data file (falls back to copy across
+        devices).  Safe because published data files are immutable:
+        every rewrite in this engine goes through the commit-I/O seam
+        as write-temp-then-rename, which swaps the directory entry and
+        never mutates the shared inode.  The clone has its own
+        manifests, lease, and vacuum lifecycle — a vacuum on either
+        side only unlinks its own name, the other side's link keeps
+        the bytes alive.  On an object store the CommitIO analogue is
+        server-side copy of immutable objects.
+        """
+        if os.path.exists(target_root) and os.listdir(target_root):
+            raise FileExistsError(f"clone target {target_root} is not empty")
+        os.makedirs(target_root, exist_ok=True)
+        src_root = self.manifest.lake_root
+
+        # snapshot the manifest chain first: a concurrent writer's new
+        # epoch after this point is simply not part of the clone
+        epochs = self.manifest.committed_epochs()
+        if not epochs:
+            raise FileNotFoundError(f"no committed epoch in {src_root}")
+        os.makedirs(os.path.join(target_root, "_manifests"), exist_ok=True)
+        live: set[str] = set()
+        wm = self.manifest.min_readable_epoch()
+        for e in epochs:
+            if wm is not None and e < wm:
+                continue  # vacuumed below the watermark: not cloneable
+            m = self.manifest.read_epoch(e)
+            for info in m["partitions"].values():
+                live.update(_info_files(info))
+            live.update(m.get("quarantine", {}).get("files", []))
+            shutil.copy2(self.manifest.epoch_manifest_path(e),
+                         os.path.join(target_root, "_manifests",
+                                      os.path.basename(
+                                          self.manifest.epoch_manifest_path(e))))
+        v = self.manifest.read_vacuum()
+        if v is not None:
+            tgt = LakeManifest(target_root, self.commit_io)
+            tgt.write_vacuum(v)
+
+        linked = copied = 0
+        for rel in sorted(live):
+            src = os.path.join(src_root, rel)
+            dst = os.path.join(target_root, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+                linked += 1
+            except OSError:
+                shutil.copy2(src, dst)
+                copied += 1
+        return {"target": target_root, "epochs": len(epochs),
+                "files_linked": linked, "files_copied": copied}
+
 
 def lake_metrics(lake_root: str) -> dict:
     """Run-level metrics from the manifest chain (the reference's final

@@ -1,0 +1,137 @@
+"""RESTORE (epoch rollback) and CLONE (hardlink snapshot copy)."""
+
+import os
+
+import pandas as pd
+import pyarrow.dataset as pads
+import pytest
+
+from agr_loader_ray.oracle import oracle_reduce
+from agr_loader_ray.pipelines.engine import CdcEngine
+from agr_loader_ray.pipelines.export import export_sorted, point_lookup
+from agr_loader_ray.wal.generator import WalSpec, generate_wal
+
+SPEC = WalSpec(n_events=6_000, n_convs=200, n_epochs=5,
+               update_frac=0.3, delete_frac=0.1)
+
+
+@pytest.fixture()
+def replayed(tmp_path):
+    wal, lake = str(tmp_path / "wal"), str(tmp_path / "lake")
+    generate_wal(wal, SPEC)
+    eng = CdcEngine(lake, n_partitions=4, compact_every=3)
+    eng.replay(wal)
+    return eng, wal, lake
+
+
+# --------------------------------------------------------------------------
+# restore
+# --------------------------------------------------------------------------
+def test_restore_rolls_state_back_metadata_only(replayed, tmp_path):
+    eng, wal, lake = replayed
+    snap2 = export_sorted(lake, epoch=2).to_pandas().reset_index(drop=True)
+    final = export_sorted(lake).to_pandas().reset_index(drop=True)
+    assert not snap2.equals(final)
+
+    files_before = sum(len(fs) for _, _, fs in os.walk(lake))
+    r = eng.restore(2)
+    assert r == {"restored_from": 2, "current_epoch": 4, "noop": False}
+    # metadata-only: no data file was added or removed
+    assert sum(len(fs) for _, _, fs in os.walk(lake)) == files_before
+
+    cur = export_sorted(lake).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(cur, snap2)
+
+    # lineage recorded; epoch numbering preserved
+    m = eng.manifest.read_epoch(4)
+    assert m["restored_from"] == 2 and m["epoch"] == 4
+
+    # point lookups serve the restored snapshot
+    key = snap2.iloc[0]
+    row = point_lookup(lake, key["conv_id"], int(key["turn_idx"]))
+    assert row is not None and row["text"] == key["text"]
+
+    # restore forward again (epoch 4's manifest was overwritten, but
+    # epoch 3 still has the pre-restore chain): noop + idempotence
+    assert eng.restore(4)["noop"] is True
+    r2 = eng.restore(2)
+    pd.testing.assert_frame_equal(
+        export_sorted(lake).to_pandas().reset_index(drop=True), snap2)
+    assert r2["noop"] is False
+
+
+def test_restore_below_vacuum_watermark_raises(replayed):
+    eng, wal, lake = replayed
+    eng.vacuum(retain_epochs=2)
+    with pytest.raises(ValueError, match="vacuumed"):
+        eng.restore(1)
+    # restoring within the retained window still works
+    eng.restore(3)
+    got = export_sorted(lake).to_pandas()
+    assert len(got) > 0
+
+
+def test_replay_after_restore_applies_future_epochs_only(tmp_path):
+    """Restore to an early epoch, then replay: already-committed WAL
+    epochs stay consumed (exactly-once), so the state remains the
+    restored snapshot — the documented undo semantics."""
+    wal, lake = str(tmp_path / "wal"), str(tmp_path / "lake")
+    generate_wal(wal, SPEC)
+    eng = CdcEngine(lake, n_partitions=4, compact_every=3)
+    eng.replay(wal)
+    snap1 = export_sorted(lake, epoch=1).to_pandas().reset_index(drop=True)
+    eng.restore(1)
+    r = eng.replay(wal)
+    assert r["events_applied"] == 0  # nothing new to apply
+    pd.testing.assert_frame_equal(
+        export_sorted(lake).to_pandas().reset_index(drop=True), snap1)
+
+
+# --------------------------------------------------------------------------
+# clone
+# --------------------------------------------------------------------------
+def test_clone_snapshot_equality_and_independence(replayed, tmp_path):
+    eng, wal, lake = replayed
+    clone = str(tmp_path / "clone")
+    r = eng.clone_to(clone)
+    assert r["files_linked"] + r["files_copied"] > 0
+
+    src_df = export_sorted(lake).to_pandas().reset_index(drop=True)
+    cl_df = export_sorted(clone).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(src_df, cl_df)
+
+    # independence: compaction + vacuum on the SOURCE (rewrites bases,
+    # unlinks old names) must not disturb the clone
+    eng.compact()
+    eng.vacuum(retain_epochs=1)
+    cl_df2 = export_sorted(clone).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(cl_df2, src_df)
+
+    # clone is writable: its own engine can restore without touching
+    # the source
+    ceng = CdcEngine(clone, n_partitions=4, compact_every=3)
+    ceng.restore(2)
+    assert len(export_sorted(clone).to_pandas()) > 0
+    pd.testing.assert_frame_equal(
+        export_sorted(lake).to_pandas().reset_index(drop=True), src_df)
+
+
+def test_clone_refuses_nonempty_target(replayed, tmp_path):
+    eng, wal, lake = replayed
+    tgt = tmp_path / "occupied"
+    tgt.mkdir()
+    (tgt / "junk").write_text("x")
+    with pytest.raises(FileExistsError):
+        eng.clone_to(str(tgt))
+
+
+def test_clone_after_vacuum_skips_expired_epochs(replayed, tmp_path):
+    eng, wal, lake = replayed
+    eng.vacuum(retain_epochs=2)
+    clone = str(tmp_path / "clone")
+    eng.clone_to(clone)
+    cl = CdcEngine(clone, n_partitions=4).manifest
+    assert cl.min_readable_epoch() == 3
+    pd.testing.assert_frame_equal(
+        export_sorted(clone).to_pandas().reset_index(drop=True),
+        export_sorted(lake).to_pandas().reset_index(drop=True))
