@@ -437,3 +437,223 @@ def daily_revenue_growth(sf_dir: str):
         .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
         .sort(["event_type", "day"])
     )
+
+
+# ---------------------------------------------------------------------------
+# time_to_conversion — per user, each 'view' event's delay to that
+# user's NEXT 'purchase' (strictly after; unconverted views counted
+# separately).  The forward lookup is a vectorized BACKWARD-fill
+# (reversed minimum.accumulate of purchase timestamps with
+# user-boundary masking) — the mirror image of last-touch's
+# forward-fill; one hash-partition exchange.  Delay aggregates stay
+# exact int64 microseconds; the mean is one mirrored float division.
+# ---------------------------------------------------------------------------
+@query(
+    "time_to_conversion",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_purchase
+      FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_views,
+           CAST(count(next_purchase) AS BIGINT) AS n_converted,
+           CAST(coalesce(sum(epoch_us(next_purchase) - epoch_us(ts)), 0)
+                AS BIGINT) AS total_delay_us,
+           CASE WHEN count(next_purchase) > 0
+                THEN CAST(sum(epoch_us(next_purchase) - epoch_us(ts))
+                          AS DOUBLE) / count(next_purchase)
+                END AS mean_delay_us
+    FROM seq WHERE event_type = 'view'
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def time_to_conversion(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    nparts = _join_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+        })
+        return int_key_part_col(out, "user_id", nparts)
+
+    _SENT = np.iinfo(np.int64).max
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        n = len(g)
+        # next purchase STRICTLY AFTER row i: reversed cummin over
+        # purchase timestamps shifted by one
+        src = np.where(et == "purchase", ts, _SENT)
+        nxt = np.empty(n, np.int64)
+        nxt[:-1] = np.minimum.accumulate(src[::-1])[::-1][1:]
+        nxt[-1] = _SENT
+        # user boundary: the lookahead must stay within the same user —
+        # invalidate where the LAST row of the user's run is before it
+        last = np.empty(n, bool)
+        last[-1] = True
+        last[:-1] = uid[1:] != uid[:-1]
+        # reversed max-accumulate of run-end indices gives each row its
+        # user-run end; nxt is valid only if some purchase exists at or
+        # before that end — equivalently recompute nxt per user segment:
+        # reset the reversed scan at user boundaries via segment trick
+        idx = np.arange(n)
+        run_end = np.flip(np.minimum.accumulate(
+            np.flip(np.where(last, idx, np.iinfo(np.int64).max))))
+        # positions of purchases; for validity compare nxt against the
+        # max ts within the user run — simpler: recompute via per-user
+        # reversed scan by masking cross-user carries:
+        # a carried value from a LATER user has index > run_end; encode
+        # (ts, idx) jointly to detect it
+        src2 = np.where(et == "purchase", idx, n)
+        nxt_idx = np.empty(n, np.int64)
+        nxt_idx[:-1] = np.minimum.accumulate(src2[::-1])[::-1][1:]
+        nxt_idx[-1] = n
+        valid = nxt_idx <= run_end
+        is_v = et == "view"
+        conv = is_v & valid
+        delay = np.where(conv, ts[np.minimum(nxt_idx, n - 1)] - ts, 0)
+        res = pd.DataFrame({
+            "user_id": uid[is_v],
+            "n_views": np.ones(int(is_v.sum()), np.int64),
+            "n_converted": conv[is_v].astype(np.int64),
+            "total_delay_us": delay[is_v].astype(np.int64),
+        })
+        return res.groupby("user_id", as_index=False).sum()
+
+    def finish(t: pa.Table) -> pa.Table:
+        conv = t["n_converted"]
+        mean = pc.if_else(
+            pc.greater(conv, 0),
+            pc.divide(pc.cast(t["total_delay_us"], pa.float64()),
+                      pc.cast(conv, pa.float64())),
+            pa.scalar(None, pa.float64()))
+        return pa.table({
+            "user_id": t["user_id"], "n_views": t["n_views"],
+            "n_converted": conv, "total_delay_us": t["total_delay_us"],
+            "mean_delay_us": mean,
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Sum("n_views", alias_name="n_views"),
+                   Sum("n_converted", alias_name="n_converted"),
+                   Sum("total_delay_us", alias_name="total_delay_us"))
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ma_crossover_signals — golden-cross detection per user: count rows
+# where the 4-event short mean crosses ABOVE the 16-event long mean
+# (both over preceding rows, full windows only).  Means are never
+# materialized: the comparison S4·16 > S16·4 (and its negation at the
+# previous row) is exact int64, so the SQL oracle mirrors bit-for-bit
+# with no float rounding anywhere.
+# ---------------------------------------------------------------------------
+_MA_S, _MA_L = 4, 16
+
+
+@query(
+    "ma_crossover_signals",
+    f"""
+    WITH v AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    w0 AS (
+      SELECT user_id, ts, event_id,
+             CAST(count(*) OVER wl AS BIGINT) AS nl,
+             CAST(sum(cents) OVER ws AS BIGINT) AS s4,
+             CAST(sum(cents) OVER wl AS BIGINT) AS s16
+      FROM v
+      WINDOW ws AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN {_MA_S - 1} PRECEDING AND CURRENT ROW),
+             wl AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN {_MA_L - 1} PRECEDING AND CURRENT ROW)),
+    w AS (
+      SELECT user_id, nl, s4, s16,
+             lag(s4)  OVER wp AS p4,
+             lag(s16) OVER wp AS p16,
+             lag(nl)  OVER wp AS pnl
+      FROM w0
+      WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id,
+           CAST(sum(CASE WHEN nl = {_MA_L} AND pnl = {_MA_L}
+                          AND s4 * {_MA_L} > s16 * {_MA_S}
+                          AND p4 * {_MA_L} <= p16 * {_MA_S}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_golden_crosses,
+           CAST(sum(CASE WHEN nl = {_MA_L} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_full_windows
+    FROM w GROUP BY user_id ORDER BY user_id
+    """,
+)
+def ma_crossover_signals(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "value"])
+    nparts = _join_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+            "cents": _cents(t["value"]),
+        })
+        return int_key_part_col(out, "user_id", nparts)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        x = g["cents"].to_numpy()
+        n = len(g)
+        idx = np.arange(n)
+        cs = np.r_[0, np.cumsum(x)]
+        s4 = cs[idx + 1] - cs[np.maximum(idx + 1 - _MA_S, 0)]
+        s16 = cs[idx + 1] - cs[np.maximum(idx + 1 - _MA_L, 0)]
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        start = np.maximum.accumulate(np.where(first, idx, 0))
+        full = (idx - start) >= (_MA_L - 1)          # nl == 16
+        above = s4 * _MA_L > s16 * _MA_S
+        prev_full = np.zeros(n, bool)
+        prev_above = np.zeros(n, bool)
+        prev_full[1:] = full[:-1] & ~first[1:]
+        prev_above[1:] = above[:-1]
+        cross = full & prev_full & above & ~prev_above
+        res = pd.DataFrame({
+            "user_id": uid,
+            "n_golden_crosses": cross.astype(np.int64),
+            "n_full_windows": full.astype(np.int64),
+        })
+        return res.groupby("user_id", as_index=False).sum()
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Sum("n_golden_crosses", alias_name="n_golden_crosses"),
+                   Sum("n_full_windows", alias_name="n_full_windows"))
+        .sort("user_id")
+    )

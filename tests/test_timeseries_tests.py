@@ -20,6 +20,8 @@ PINNED = [
     "last_touch_attribution",
     "daily_revenue_growth",
     "data_quality_audit",
+    "time_to_conversion",
+    "ma_crossover_signals",
 ]
 
 
