@@ -375,3 +375,33 @@ def multimodal_resize_sql(n: int = 128, seed: int = 42, size: int = 16,
           FROM poolsum GROUP BY m) pp USING (media_id)
     ORDER BY media_id
     """
+
+
+def multimodal_augment_sql(n: int = 128, seed: int = 42, size: int = 16,
+                           brightness: int = 40) -> str:
+    """Mirror of synth_media_table → png_encode → AugmentImage: flip /
+    center-crop / brightness proofs recomputed from the generative
+    pixel formula (same hash as multimodal_resize_sql)."""
+    q, c = size // 4, size // 2
+    px = (f"((({_HASH_A}::HUGEINT * ((m + {seed}) * 65536 + (y * {size} + x) + 1))"
+          f" & {_MASK})::UBIGINT >> 24)::BIGINT % 256")
+    return f"""
+    WITH g AS (
+      SELECT m, y, x, {px} AS v
+      FROM (SELECT unnest(generate_series(0, {n - 1})) AS m)
+      CROSS JOIN (SELECT unnest(generate_series(0, {size - 1})) AS y)
+      CROSS JOIN (SELECT unnest(generate_series(0, {size - 1})) AS x))
+    SELECT m AS media_id,
+           CAST(sum(v * (y * {size} + ({size} - 1 - x) + 1)) AS BIGINT)
+             AS flip_checksum,
+           CAST(sum(CASE WHEN y BETWEEN {q} AND {q + c - 1}
+                          AND x BETWEEN {q} AND {q + c - 1}
+                         THEN v ELSE 0 END) AS BIGINT) AS crop_sum,
+           CAST(sum(CASE WHEN y BETWEEN {q} AND {q + c - 1}
+                          AND x BETWEEN {q} AND {q + c - 1}
+                         THEN v * ((y - {q}) * {c} + (x - {q}) + 1)
+                         ELSE 0 END) AS BIGINT) AS crop_checksum,
+           CAST(sum(least(v + {brightness}, 255)) AS BIGINT) AS bright_sum,
+           CAST(count(*) AS BIGINT) AS n_px
+    FROM g GROUP BY m
+    """

@@ -657,3 +657,28 @@ def ma_crossover_signals(sf_dir: str):
                    Sum("n_full_windows", alias_name="n_full_windows"))
         .sort("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_image_augment — the data-AUGMENTATION member of the media
+# family (flip / center-crop / brightness): REAL PNG decode on an actor
+# pool, then one stacked numpy expression per batch; every transform is
+# proven byte-exact against the SQL mirror of the generative pixel
+# formula (same contract as multimodal_image_resize).
+# ---------------------------------------------------------------------------
+from ..functions.pools import pool as _pool  # noqa: E402
+from .sketch_sql import multimodal_augment_sql  # noqa: E402
+
+
+@query("multimodal_image_augment",
+       multimodal_augment_sql(n=128, seed=42, size=16, brightness=40))
+def multimodal_image_augment(sf_dir: str):
+    import ray.data as _rd
+
+    from ..stages.multimodal import AugmentImage, synth_media_table
+
+    media = _rd.from_arrow(synth_media_table(n=128, seed=42, size=16))
+    return media.map_batches(
+        AugmentImage, fn_constructor_kwargs={"brightness": 40},
+        batch_format="pyarrow", batch_size=32, concurrency=_pool(),
+    )

@@ -407,3 +407,43 @@ class ResizeImage:
             "pool_checksum": pa.array(pool_checks, pa.int64()),
             "n_px_out": pa.array(n_out, pa.int64()),
         })
+
+
+class AugmentImage:
+    """Actor-pool stage: PNG payload → REAL decode → training-data
+    augmentation, emitting exact integer proofs of each transform:
+
+    - horizontal flip: position-weighted checksum of the flipped grid
+      (equivalently Σ p(y, W−1−x)·(y·W+x+1) over the original);
+    - center crop (half side): crop_sum + weighted crop_checksum;
+    - brightness shift (+delta, clipped at 255): bright_sum.
+
+    Decoded images in one batch share a size, so everything after the
+    per-payload PNG decode is ONE stacked numpy expression across the
+    batch — no per-pixel Python.  Same actor-pool shape as DecodeImage
+    (small batches: rows carry wide binary payloads).
+    """
+
+    def __init__(self, brightness: int = 40):
+        self.brightness = brightness
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        imgs = np.stack([
+            png_decode(p).astype(np.int64)
+            for p in batch["payload"].to_pylist()
+        ])
+        n, h, w = imgs.shape
+        wts = (np.arange(h * w, dtype=np.int64) + 1).reshape(h, w)
+        flipped = imgs[:, :, ::-1]
+        q, c = h // 4, h // 2
+        crop = imgs[:, q:q + c, q:q + c]
+        cwts = (np.arange(c * c, dtype=np.int64) + 1).reshape(c, c)
+        bright = np.minimum(imgs + self.brightness, 255)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "flip_checksum": pa.array((flipped * wts).sum(axis=(1, 2)), pa.int64()),
+            "crop_sum": pa.array(crop.sum(axis=(1, 2)), pa.int64()),
+            "crop_checksum": pa.array((crop * cwts).sum(axis=(1, 2)), pa.int64()),
+            "bright_sum": pa.array(bright.sum(axis=(1, 2)), pa.int64()),
+            "n_px": pa.array(np.full(n, h * w, dtype=np.int64)),
+        })

@@ -22,6 +22,7 @@ PINNED = [
     "data_quality_audit",
     "time_to_conversion",
     "ma_crossover_signals",
+    "multimodal_image_augment",
 ]
 
 
