@@ -952,7 +952,12 @@ class CdcEngine:
                 mobj = epoch_re.search(name)
                 if mobj is None or rel in live:
                     continue  # unparseable (conservative) or still live
-                if int(mobj.group(1)) < watermark:
+                # delete anything unreferenced with write epoch <= last
+                # committed: pre-watermark history AND current-epoch
+                # files orphaned by compact/stitch/purge rewrites (the
+                # GDPR second step needs those bytes actually gone);
+                # epochs > last committed are in-flight — never touched
+                if int(mobj.group(1)) <= epochs[-1]:
                     path = os.path.join(full_dir, name)
                     removed_bytes += os.path.getsize(path)
                     os.remove(path)
@@ -968,6 +973,89 @@ class CdcEngine:
                                       ignore_errors=True)
         return {"removed_files": removed, "removed_bytes": removed_bytes,
                 "min_readable_epoch": watermark, "retained_epochs": kept}
+
+    def purge(self, predicate, drop_matching_tombstones: bool = True) -> dict:
+        """Physical row erase (the GDPR/right-to-be-forgotten move —
+        ``DELETE FROM lake WHERE …`` with actual byte removal, not a
+        tombstone).
+
+        ``predicate``: ``pa.Table -> pa.BooleanArray`` over the
+        conformed partition state; True rows are REMOVED from the
+        rewritten files (live rows and, by default, their tombstones —
+        a tombstone's key is itself data).  Every partition is folded
+        (base+deltas), filtered, and rewritten as one key-sorted base —
+        the same distributed pass and atomic current-epoch manifest
+        rewrite as ``compact``, with exact live counts/checksums and a
+        ``purged`` lineage counter.  Prior epochs' manifests still
+        reference the old files: run ``vacuum(retain_epochs=1)``
+        afterwards to destroy the bytes — the documented two-step
+        erase.  NOTE: purge is point-in-time — a LATER WAL event for a
+        purged key re-inserts it (by design: the WAL is upstream).
+        """
+        self._check_writer()
+        last = self.manifest.last_committed_epoch()
+        if last is None:
+            return {"purged_rows": 0, "partitions": 0}
+        m = self.manifest.read_epoch(last)
+        registry = SchemaRegistry.from_dict(m["schema_registry"])
+        parts = {int(p): info for p, info in m["partitions"].items()}
+        todo = {p: info for p, info in parts.items() if _info_files(info)}
+        if not todo:
+            return {"purged_rows": 0, "partitions": 0}
+
+        reg_ref = ray.put(registry.to_dict())
+        lake_root = self.manifest.lake_root
+        commit_io = self.commit_io
+        drop_tomb = drop_matching_tombstones
+        seq = int(m.get("purge_seq", 0)) + 1  # unique file names per purge
+
+        @ray.remote
+        def purge_part(part: int, info: dict) -> dict:
+            reg = SchemaRegistry.from_dict(ray.get(reg_ref))
+            ap = _PartitionApplier(lake_root, 1, commit_io)
+            tables = [ap._read_conformed(rel, reg) for rel in _info_files(info)]
+            merged = lww_last_per_key(
+                pa.concat_tables(tables), ["conv_id", "turn_idx"], ["ts", OFFSET_COL])
+            hit = pc.fill_null(predicate(merged), False)
+            if not drop_tomb:
+                # keep tombstoned rows even when the predicate matches
+                hit = pc.and_(hit, pc.equal(merged[DELETED_COL], False))
+            n_hit = int(pc.sum(hit).as_py() or 0)
+            merged = merged.filter(pc.invert(hit))
+            merged = merged.sort_by(
+                [("conv_id", "ascending"), ("turn_idx", "ascending")])
+            rel = os.path.join(f"part={part}",
+                               f"base-epoch={info['epoch']}-p{seq}.parquet")
+            ap._write(rel, merged)
+            live = merged.filter(pc.equal(merged[DELETED_COL], False))
+            return {
+                **info, "part": part, "base": rel, "deltas": [],
+                "delta_blooms": [], "rows": merged.num_rows,
+                "live_rows": live.num_rows, "checksum": _live_checksum(live),
+                "purged": n_hit,
+            }
+
+        results = ray.get([purge_part.remote(p, info) for p, info in todo.items()])
+        purged = 0
+        for r in results:
+            purged += r.pop("purged")
+            parts[r["part"]] = {k: v for k, v in r.items() if k != "part"}
+        self._check_writer()
+        manifest = {
+            "epoch": last,
+            "schema_registry": m["schema_registry"],
+            "wal_offsets": m.get("wal_offsets"),
+            "partitions": {str(p): info for p, info in sorted(parts.items())},
+            "purged_rows": purged + int(m.get("purged_rows", 0)),
+            "purge_seq": seq,
+        }
+        if m.get("n_partitions") is not None:
+            manifest["n_partitions"] = m["n_partitions"]
+        if m.get("quarantine"):
+            manifest["quarantine"] = m["quarantine"]
+        self.manifest.commit_io.publish_json(
+            self.manifest.epoch_manifest_path(last), manifest)
+        return {"purged_rows": purged, "partitions": len(results)}
 
     def restore(self, epoch: int) -> dict:
         """Roll the CURRENT table state back to committed ``epoch``
