@@ -682,3 +682,111 @@ def multimodal_image_augment(sf_dir: str):
         AugmentImage, fn_constructor_kwargs={"brightness": 40},
         batch_format="pyarrow", batch_size=32, concurrency=_pool(),
     )
+
+
+# ---------------------------------------------------------------------------
+# benford_leading_digit — fraud/anomaly audit: leading-digit histogram
+# of order totals (Benford's-law check).  The digit extraction is a
+# fixed 19-step vectorized halving loop (int64 has ≤19 decimal digits)
+# — exact integer, no string conversion, no log10 rounding edge.
+# ---------------------------------------------------------------------------
+@query(
+    "benford_leading_digit",
+    """
+    SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def benford_leading_digit(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        d = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False).copy()
+        for _ in range(19):           # int64 ⇒ ≤ 19 decimal digits
+            big = d >= 10
+            if not big.any():
+                break
+            d[big] //= 10
+        digit, cnt = np.unique(d, return_counts=True)
+        return pa.table({
+            "digit": pa.array(digit, pa.int64()),
+            "n_orders": pa.array(cnt.astype(np.int64)),
+        })
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("digit")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .sort("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# chi2_type_weekday — chi-square independence contributions for the
+# event-type × weekday contingency table.  Each cell's statistic is
+# evaluated as ONE float division of two EXACT integer products —
+# contribution = (n·N − r·c)² / (N·r·c) — so no float sum order exists
+# to mirror (the 35 cells are emitted as rows, not summed).  Counts
+# fold as per-batch integer partials; magnitudes hold to ~10^5-row
+# groups per cell (diff² < 2^63), the documented envelope.
+# ---------------------------------------------------------------------------
+@query(
+    "chi2_type_weekday",
+    """
+    WITH cell AS (
+      SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS weekday,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, weekday, n,
+             sum(n) OVER (PARTITION BY event_type) AS r,
+             sum(n) OVER (PARTITION BY weekday) AS c,
+             sum(n) OVER () AS ntot
+      FROM cell)
+    SELECT event_type, weekday, n,
+           CAST((n * ntot - r * c) * (n * ntot - r * c) AS DOUBLE)
+             / CAST(ntot * r * c AS DOUBLE) AS contribution
+    FROM tot ORDER BY event_type, weekday
+    """,
+)
+def chi2_type_weekday(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+    _DAY_US_ = 86_400_000_000
+
+    def partials(t: pa.Table) -> pa.Table:
+        # DuckDB dayofweek: 0=Sunday; epoch day 0 (1970-01-01) was a
+        # Thursday ⇒ weekday = (days + 4) % 7
+        days = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False) \
+            // _DAY_US_
+        wd = pa.array((days + 4) % 7, pa.int64())
+        part = pa.table({
+            "event_type": t["event_type"],
+            "weekday": wd,
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+        }).group_by(["event_type", "weekday"]).aggregate([("n", "sum")])
+        return part.rename_columns(["event_type", "weekday", "n"])
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        # the contingency table is bounded (types × 7): one kernel
+        g = g.groupby(["event_type", "weekday"], as_index=False)["n"].sum()
+        n = g["n"].to_numpy()
+        r = g.groupby("event_type")["n"].transform("sum").to_numpy()
+        c = g.groupby("weekday")["n"].transform("sum").to_numpy()
+        N = n.sum()
+        diff = n * N - r * c                       # exact int64
+        g["contribution"] = (diff * diff).astype(np.float64) \
+            / (N * r * c).astype(np.float64)
+        return g.sort_values(["event_type", "weekday"], kind="mergesort")
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)  # bounded: ≤ types × 7 partial rows per block
+        .map_batches(finish, batch_format="pandas", batch_size=None)
+        .sort(["event_type", "weekday"])
+    )

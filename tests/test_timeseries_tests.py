@@ -23,6 +23,8 @@ PINNED = [
     "time_to_conversion",
     "ma_crossover_signals",
     "multimodal_image_augment",
+    "benford_leading_digit",
+    "chi2_type_weekday",
 ]
 
 
