@@ -1159,6 +1159,67 @@ class CdcEngine:
         return {"target": target_root, "epochs": len(epochs),
                 "files_linked": linked, "files_copied": copied}
 
+    def sync_to(self, target_root: str) -> dict:
+        """Incrementally refresh a CLONE to the source's current state
+        (log shipping — the disaster-recovery / read-replica move).
+
+        Ships, for every source epoch at or beyond the replica's last
+        committed one, the epoch manifest plus any referenced data
+        files the replica lacks (hardlink, copy across devices).  The
+        replica's LAST epoch is always re-shipped because ``compact`` /
+        ``compact_deltas`` / ``purge`` / ``restore`` rewrite the
+        current manifest in place — same epoch id, different file set.
+        Files ship BEFORE their manifest (a crashed sync leaves the
+        replica's previous consistent state readable; rerun is
+        idempotent).  Never deletes on the replica — it runs its own
+        vacuum lifecycle.  The source vacuum watermark is propagated
+        forward-only (max of the two sides).
+        """
+        tgt = LakeManifest(target_root, self.commit_io)
+        if not os.path.isdir(os.path.join(target_root, "_manifests")):
+            return self.clone_to(target_root)
+        src_epochs = self.manifest.committed_epochs()
+        if not src_epochs:
+            raise FileNotFoundError(f"no committed epoch in "
+                                    f"{self.manifest.lake_root}")
+        tgt_last = tgt.last_committed_epoch()
+        wm = self.manifest.min_readable_epoch()
+        todo = [e for e in src_epochs
+                if (tgt_last is None or e >= tgt_last)
+                and (wm is None or e >= wm)]
+
+        linked = copied = shipped = 0
+        for e in todo:
+            m = self.manifest.read_epoch(e)
+            need: set[str] = set()
+            for info in m["partitions"].values():
+                need.update(_info_files(info))
+            need.update(m.get("quarantine", {}).get("files", []))
+            for rel in sorted(need):
+                dst = os.path.join(target_root, rel)
+                if os.path.exists(dst):
+                    continue
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                src = os.path.join(self.manifest.lake_root, rel)
+                try:
+                    os.link(src, dst)
+                    linked += 1
+                except OSError:
+                    shutil.copy2(src, dst)
+                    copied += 1
+            # manifest last: the replica flips to this epoch atomically
+            tgt.commit_io.publish_json(tgt.epoch_manifest_path(e), m)
+            shipped += 1
+
+        v = self.manifest.read_vacuum()
+        if v is not None:
+            tv = tgt.read_vacuum()
+            if tv is None or int(v["min_readable_epoch"]) > \
+                    int(tv["min_readable_epoch"]):
+                tgt.write_vacuum(v)
+        return {"target": target_root, "epochs_shipped": shipped,
+                "files_linked": linked, "files_copied": copied}
+
 
 def lake_metrics(lake_root: str) -> dict:
     """Run-level metrics from the manifest chain (the reference's final

@@ -135,3 +135,73 @@ def test_clone_after_vacuum_skips_expired_epochs(replayed, tmp_path):
     pd.testing.assert_frame_equal(
         export_sorted(clone).to_pandas().reset_index(drop=True),
         export_sorted(lake).to_pandas().reset_index(drop=True))
+
+
+# --------------------------------------------------------------------------
+# incremental replication (sync_to)
+# --------------------------------------------------------------------------
+def test_sync_to_ships_new_epochs_incrementally(tmp_path):
+    wal, lake = str(tmp_path / "wal"), str(tmp_path / "lake")
+    generate_wal(wal, SPEC)
+    eng = CdcEngine(lake, n_partitions=4, compact_every=3)
+    eng.replay(wal, upto_epoch=2)
+    replica = str(tmp_path / "replica")
+    eng.clone_to(replica)
+
+    # source advances; replica refreshes incrementally
+    eng.replay(wal)
+    r = eng.sync_to(replica)
+    assert r["epochs_shipped"] >= 2 and r["files_linked"] > 0
+    pd.testing.assert_frame_equal(
+        export_sorted(replica).to_pandas().reset_index(drop=True),
+        export_sorted(lake).to_pandas().reset_index(drop=True))
+
+    # idempotent: nothing new to ship but the (re-shipped) last manifest
+    r2 = eng.sync_to(replica)
+    assert r2["files_linked"] == 0 and r2["files_copied"] == 0
+
+
+def test_sync_to_reships_in_place_rewrites(tmp_path):
+    """compact/purge rewrite the LAST epoch's manifest in place; a sync
+    afterwards must pick up the new file set under the same epoch id."""
+    import pyarrow.compute as pc
+
+    wal, lake = str(tmp_path / "wal"), str(tmp_path / "lake")
+    generate_wal(wal, SPEC)
+    eng = CdcEngine(lake, n_partitions=4, compact_every=100)
+    eng.replay(wal)
+    replica = str(tmp_path / "replica")
+    eng.clone_to(replica)
+
+    eng.compact()
+
+    def pred(t):
+        import pyarrow as pa
+        return pc.is_in(t["conv_id"],
+                        value_set=pa.array(["conv-00000005"]))
+
+    eng.purge(pred)
+    eng.sync_to(replica)
+    pd.testing.assert_frame_equal(
+        export_sorted(replica).to_pandas().reset_index(drop=True),
+        export_sorted(lake).to_pandas().reset_index(drop=True))
+    assert point_lookup(replica, "conv-00000005", 0) is None
+
+    # replica vacuum watermark follows the source forward-only
+    eng.vacuum(retain_epochs=1)
+    eng.sync_to(replica)
+    tgt = CdcEngine(replica, n_partitions=4).manifest
+    assert tgt.min_readable_epoch() == eng.manifest.min_readable_epoch()
+
+
+def test_sync_to_empty_target_full_clones(tmp_path):
+    wal, lake = str(tmp_path / "wal"), str(tmp_path / "lake")
+    generate_wal(wal, SPEC)
+    eng = CdcEngine(lake, n_partitions=4, compact_every=3)
+    eng.replay(wal)
+    replica = str(tmp_path / "fresh")
+    r = eng.sync_to(replica)
+    assert "files_linked" in r
+    pd.testing.assert_frame_equal(
+        export_sorted(replica).to_pandas().reset_index(drop=True),
+        export_sorted(lake).to_pandas().reset_index(drop=True))
