@@ -55,6 +55,39 @@ def main(argv: list[str] | None = None) -> int:
     vp = sub.add_parser("verify", help="recompute lake checksums vs manifests")
     vp.add_argument("--lake", required=True)
 
+    sp = sub.add_parser("stitch", help="minor compaction: fold delta files "
+                                       "per partition without rewriting bases")
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--min-deltas", type=int, default=2)
+
+    gp = sub.add_parser("vacuum", help="retention GC below a snapshot window")
+    gp.add_argument("--lake", required=True)
+    gp.add_argument("--retain-epochs", type=int, default=1)
+
+    xp = sub.add_parser("restore", help="roll the table back to an epoch "
+                                        "(metadata-only)")
+    xp.add_argument("--lake", required=True)
+    xp.add_argument("--epoch", type=int, required=True)
+
+    lp = sub.add_parser("clone", help="hardlink snapshot copy of the lake")
+    lp.add_argument("--lake", required=True)
+    lp.add_argument("--target", required=True)
+
+    yp = sub.add_parser("sync", help="incrementally replicate to a clone")
+    yp.add_argument("--lake", required=True)
+    yp.add_argument("--target", required=True)
+
+    up = sub.add_parser("purge", help="physically erase conversations "
+                                      "(GDPR; follow with vacuum)")
+    up.add_argument("--lake", required=True)
+    up.add_argument("--conv-ids", required=True,
+                    help="comma-separated conv_id values to erase")
+
+    qp = sub.add_parser("repartition", help="rewrite lake ownership to a "
+                                            "new partition count")
+    qp.add_argument("--lake", required=True)
+    qp.add_argument("--new-partitions", type=int, required=True)
+
     args = p.parse_args(argv)
     _ensure_ray()
     from .pipelines.engine import CdcEngine, verify_lake
@@ -74,6 +107,28 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "compact":
         eng = CdcEngine(args.lake)
         out = eng.compact(drop_tombstones_before_offset=args.watermark)
+    elif args.cmd == "stitch":
+        out = CdcEngine(args.lake).compact_deltas(min_deltas=args.min_deltas)
+    elif args.cmd == "vacuum":
+        out = CdcEngine(args.lake).vacuum(retain_epochs=args.retain_epochs)
+    elif args.cmd == "restore":
+        out = CdcEngine(args.lake).restore(args.epoch)
+    elif args.cmd == "clone":
+        out = CdcEngine(args.lake).clone_to(args.target)
+    elif args.cmd == "sync":
+        out = CdcEngine(args.lake).sync_to(args.target)
+    elif args.cmd == "purge":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        victims = pa.array([s for s in args.conv_ids.split(",") if s])
+
+        def pred(t):
+            return pc.is_in(t["conv_id"], value_set=victims)
+
+        out = CdcEngine(args.lake).purge(pred)
+    elif args.cmd == "repartition":
+        out = CdcEngine(args.lake).repartition(args.new_partitions)
     else:
         out = verify_lake(args.lake)
     print(json.dumps(out))

@@ -30,3 +30,34 @@ def test_cli_replay_compact_verify(tmp_path):
     assert _run("compact", "--lake", lake)["compacted"] == 8
     v = _run("verify", "--lake", lake)
     assert v["ok"] and v["corrupt_partitions"] == []
+
+
+def test_cli_lifecycle_commands(tmp_path):
+    """stitch / restore / purge / vacuum / clone / sync / repartition via
+    the job CLI (each subprocess is its own `ray job submit` analogue)."""
+    wal, lake = str(tmp_path / "wal"), str(tmp_path / "lake")
+    clone = str(tmp_path / "clone")
+    generate_wal(wal, WalSpec(n_events=2000, n_convs=80, n_epochs=3,
+                              delete_frac=0.1))
+
+    _run("replay", "--wal", wal, "--lake", lake, "--partitions", "4",
+         "--compact-every", "100")
+    assert _run("stitch", "--lake", lake)["stitched"] >= 1
+
+    out = _run("restore", "--lake", lake, "--epoch", "1")
+    assert out["restored_from"] == 1 and not out["noop"]
+    _run("restore", "--lake", lake, "--epoch", "2")
+
+    assert _run("clone", "--lake", lake, "--target", clone)["epochs"] == 3
+
+    p = _run("purge", "--lake", lake, "--conv-ids",
+             "conv-00000001,conv-00000002")
+    assert p["purged_rows"] > 0
+    assert _run("sync", "--lake", lake, "--target", clone)["epochs_shipped"] >= 1
+
+    v = _run("vacuum", "--lake", lake, "--retain-epochs", "1")
+    assert v["min_readable_epoch"] == 2
+
+    r = _run("repartition", "--lake", lake, "--new-partitions", "8")
+    assert r["n_partitions"] == 8
+    assert _run("verify", "--lake", lake)["ok"]
