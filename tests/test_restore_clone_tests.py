@@ -205,3 +205,33 @@ def test_sync_to_empty_target_full_clones(tmp_path):
     pd.testing.assert_frame_equal(
         export_sorted(replica).to_pandas().reset_index(drop=True),
         export_sorted(lake).to_pandas().reset_index(drop=True))
+
+
+def test_sync_to_carries_schema_evolution(tmp_path):
+    """Schema S-events landing AFTER the clone must reach the replica
+    through sync (the registry rides inside each epoch manifest)."""
+    import json as _json
+
+    wal, lake = str(tmp_path / "wal"), str(tmp_path / "lake")
+    spec = WalSpec(
+        n_events=3_000, n_convs=100, n_epochs=4, update_frac=0.2,
+        schema_events=(
+            (0.6, _json.dumps({"kind": "add_column", "name": "lang",
+                               "type": "string", "default": "en"})),
+            (0.8, _json.dumps({"kind": "widen", "name": "turn_idx",
+                               "to": "int64"})),
+        ),
+    )
+    generate_wal(wal, spec)
+    eng = CdcEngine(lake, n_partitions=4, compact_every=3)
+    eng.replay(wal, upto_epoch=1)          # before the S-events
+    replica = str(tmp_path / "replica")
+    eng.clone_to(replica)
+    assert "lang" not in export_sorted(replica).schema().names
+
+    eng.replay(wal)                         # schema evolves on the source
+    eng.sync_to(replica)
+    src = export_sorted(lake).to_pandas().reset_index(drop=True)
+    rep = export_sorted(replica).to_pandas().reset_index(drop=True)
+    assert "lang" in rep.columns
+    pd.testing.assert_frame_equal(rep, src)
