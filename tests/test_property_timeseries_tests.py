@@ -1,0 +1,79 @@
+"""Random-input typed-hash gate for the event-series kernels.
+
+Hypothesis drives small adversarial events tables (duplicate
+timestamps, single-event users, all-one-type users) through BOTH the
+Ray pipeline and its DuckDB oracle — the same compare the driver runs,
+but on inputs the fixtures can't reach."""
+
+import os
+
+import duckdb
+import hypothesis.strategies as st
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+
+import __ray_entry__ as entry
+
+QUERIES = [
+    "debounce_dedup_events",
+    "rolling_zscore_outliers",
+    "ma_crossover_signals",
+    "time_to_conversion",
+    "last_touch_attribution",
+    "gap_fill_hourly",
+    "daily_revenue_growth",
+]
+
+_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+@st.composite
+def events_frame(draw):
+    n = draw(st.integers(min_value=5, max_value=120))  # ≥5: every type fits
+    rng = np.random.default_rng(draw(st.integers(0, 2**31 - 1)))
+    n_users = draw(st.integers(min_value=1, max_value=4))
+    # coarse ts grid → frequent duplicate timestamps (tie-break paths)
+    ts_us = rng.integers(0, 40, size=n) * 3_600_000_000 \
+        + rng.integers(0, 4, size=n) * 250_000
+    types = np.array(_TYPES, object)[rng.integers(0, 5, size=n)]
+    # guarantee every type appears (an all-but-empty projection exposes
+    # a Ray empty-aggregate schema artifact, not a kernel bug — the
+    # real tables always carry all five types)
+    types[: min(n, 5)] = np.array(_TYPES, object)[: min(n, 5)]
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(ts_us, unit="us").astype("datetime64[us]"),
+        "user_id": rng.integers(0, n_users, size=n).astype(np.int64),
+        "event_type": types,
+        "value": np.round(rng.uniform(0.01, 400.0, size=n), 2),
+        "props": np.array(['{"k": 1}'] * n, object),
+    })
+
+
+def _typed_hash(df: pd.DataFrame):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return (tuple(str(df[c].dtype) for c in df.columns),
+            int(pd.util.hash_pandas_object(df, index=False).sum()))
+
+
+@pytest.mark.parametrize("name", QUERIES)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(frame=events_frame())
+def test_random_events_match_oracle(name, frame, tmp_path_factory):
+    sf = str(tmp_path_factory.mktemp("sf"))
+    frame.to_parquet(os.path.join(sf, "events.parquet"), index=False)
+    got = entry.queries()[name](sf).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.sql(entry.oracle_sql()[name]).arrow().to_pandas()
+    con.close()
+    assert len(got) == len(want)
+    g, w = _typed_hash(got), _typed_hash(want)
+    assert g[0] == w[0], (dict(got.dtypes.astype(str)),
+                          dict(want.dtypes.astype(str)))
+    assert g[1] == w[1]
