@@ -790,3 +790,81 @@ def chi2_type_weekday(sf_dir: str):
         .map_batches(finish, batch_format="pandas", batch_size=None)
         .sort(["event_type", "weekday"])
     )
+
+
+# ---------------------------------------------------------------------------
+# winsorized_stats_per_flag — robust statistics: clip prices at the
+# exact p05/p95 order statistics per group, then recompute the mean
+# over the clipped values.  One domain-bounded (flag, cents, count)
+# partial exchange feeds a per-flag kernel that finds both thresholds
+# AND the clipped sum in a single cumsum pass — the thresholds never
+# round-trip to the driver.  quantile_disc rank convention
+# (ceil(q·n) − 1); the mean is the only float op, mirrored exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "winsorized_stats_per_flag",
+    """
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem),
+    q AS (
+      SELECT l_returnflag,
+             quantile_disc(cents, 0.05) AS lo,
+             quantile_disc(cents, 0.95) AS hi,
+             CAST(count(*) AS BIGINT) AS n
+      FROM w GROUP BY 1)
+    SELECT w.l_returnflag,
+           CAST(min(q.lo) AS BIGINT) AS p05_cents,
+           CAST(min(q.hi) AS BIGINT) AS p95_cents,
+           CAST(min(q.n) AS BIGINT) AS n,
+           CAST(sum(least(greatest(w.cents, q.lo), q.hi)) AS BIGINT)
+             AS winsorized_sum,
+           CAST(sum(least(greatest(w.cents, q.lo), q.hi)) AS DOUBLE)
+             / CAST(min(q.n) AS DOUBLE) AS winsorized_mean
+    FROM w JOIN q USING (l_returnflag)
+    GROUP BY w.l_returnflag ORDER BY w.l_returnflag
+    """,
+)
+def winsorized_stats_per_flag(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_extendedprice"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        part = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "cents": _cents(t["l_extendedprice"]),
+            "cnt": pa.array(np.ones(t.num_rows, np.int64)),
+        }).group_by(["l_returnflag", "cents"]).aggregate([("cnt", "sum")])
+        return part.rename_columns(["l_returnflag", "cents", "cnt"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        flag = g["l_returnflag"].iloc[0]
+        g = g.groupby("cents", as_index=False)["cnt"].sum() \
+            .sort_values("cents", kind="mergesort")
+        v = g["cents"].to_numpy()
+        c = g["cnt"].to_numpy()
+        cum = c.cumsum()
+        n = int(cum[-1])
+        # quantile_disc: value at rank ceil(q·n) − 1 (0-based) — the
+        # smallest v with cum ≥ ceil(q·n)
+        lo = v[np.searchsorted(cum, -(-5 * n // 100))]
+        hi = v[np.searchsorted(cum, -(-95 * n // 100))]
+        wsum = int((np.clip(v, lo, hi) * c).sum())
+        return pd.DataFrame({
+            "l_returnflag": [flag],
+            "p05_cents": np.array([lo], np.int64),
+            "p95_cents": np.array([hi], np.int64),
+            "n": np.array([n], np.int64),
+            "winsorized_sum": np.array([wsum], np.int64),
+            "winsorized_mean": np.array([wsum / n], np.float64),
+        })
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .map_groups(kernel, batch_format="pandas")
+        .sort("l_returnflag")
+    )

@@ -25,6 +25,7 @@ PINNED = [
     "multimodal_image_augment",
     "benford_leading_digit",
     "chi2_type_weekday",
+    "winsorized_stats_per_flag",
 ]
 
 
