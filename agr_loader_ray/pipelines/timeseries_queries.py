@@ -868,3 +868,82 @@ def winsorized_stats_per_flag(sf_dir: str):
         .map_groups(kernel, batch_format="pandas")
         .sort("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# cep_pattern_counts — MATCH_RECOGNIZE-lite complex-event processing:
+# count non-overlapping occurrences of the behavioral pattern
+# view (click)+ purchase inside each user's ordered event sequence.
+# Each user's sequence is compacted to a one-char-per-event string in
+# the partition kernel (same ordered-assembly shape as the dialogue
+# builder), and the pattern runs as ONE RE2 count over all sequences —
+# both sides are RE2 (pyarrow and DuckDB), so non-overlapping
+# leftmost-match semantics agree exactly.
+# ---------------------------------------------------------------------------
+_CEP_CODE = {"view": "v", "click": "c", "purchase": "p",
+             "signup": "s", "error": "e"}
+_CEP_PATTERN = "vc+p"
+
+
+@query(
+    "cep_pattern_counts",
+    f"""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(CASE event_type
+                          WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                          WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                          ELSE 'e' END, '' ORDER BY ts, event_id) AS sig
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(length(sig) AS BIGINT) AS n_events,
+           CAST(length(regexp_extract_all(sig, '{_CEP_PATTERN}'))
+                AS BIGINT) AS n_matches
+    FROM seq ORDER BY user_id
+    """,
+)
+def cep_pattern_counts(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    nparts = _join_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+        })
+        return int_key_part_col(out, "user_id", nparts)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        codes = g["event_type"].map(_CEP_CODE).to_numpy()
+        uid = g["user_id"].to_numpy()
+        first = np.empty(len(g), bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(first)
+        # per-user signature strings via one join per user run (the
+        # string assembly is the output payload, not a row loop over
+        # events — same shape as conversation_text)
+        sigs = ["".join(codes[s:e]) for s, e in
+                zip(starts, np.r_[starts[1:], len(g)])]
+        sig_arr = pa.array(sigs, pa.string())
+        matches = pc.count_substring_regex(sig_arr, _CEP_PATTERN)
+        return pd.DataFrame({
+            "user_id": uid[starts],
+            "n_events": pc.utf8_length(sig_arr).to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "n_matches": matches.to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+        .sort("user_id")
+    )

@@ -24,6 +24,7 @@ QUERIES = [
     "last_touch_attribution",
     "gap_fill_hourly",
     "daily_revenue_growth",
+    "cep_pattern_counts",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]

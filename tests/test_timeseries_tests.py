@@ -26,6 +26,7 @@ PINNED = [
     "benford_leading_digit",
     "chi2_type_weekday",
     "winsorized_stats_per_flag",
+    "cep_pattern_counts",
 ]
 
 
