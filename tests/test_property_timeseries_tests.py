@@ -78,3 +78,46 @@ def test_random_events_match_oracle(name, frame, tmp_path_factory):
     assert g[0] == w[0], (dict(got.dtypes.astype(str)),
                           dict(want.dtypes.astype(str)))
     assert g[1] == w[1]
+
+
+# --------------------------------------------------------------------------
+# order-statistics kernels over random lineitem tables (quantile ties,
+# tiny groups, all-equal prices)
+# --------------------------------------------------------------------------
+LI_QUERIES = ["weighted_median_price", "winsorized_stats_per_flag"]
+
+
+@st.composite
+def lineitem_frame(draw):
+    n = draw(st.integers(min_value=3, max_value=150))
+    rng = np.random.default_rng(draw(st.integers(0, 2**31 - 1)))
+    # few distinct prices → heavy ties at the quantile boundaries
+    n_prices = draw(st.integers(min_value=1, max_value=8))
+    prices = np.round(rng.uniform(1.0, 500.0, size=n_prices), 2)
+    flags = np.array(["A", "N", "R"], object)[rng.integers(0, 3, size=n)]
+    flags[:3] = np.array(["A", "N", "R"], object)  # every group present
+    return pd.DataFrame({
+        "l_orderkey": np.arange(n, dtype=np.int64),
+        "l_returnflag": flags,
+        "l_extendedprice": prices[rng.integers(0, n_prices, size=n)],
+        "l_quantity": rng.integers(1, 51, size=n).astype(np.float64),
+    })
+
+
+@pytest.mark.parametrize("name", LI_QUERIES)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(frame=lineitem_frame())
+def test_random_lineitem_match_oracle(name, frame, tmp_path_factory):
+    sf = str(tmp_path_factory.mktemp("sf"))
+    frame.to_parquet(os.path.join(sf, "lineitem.parquet"), index=False)
+    got = entry.queries()[name](sf).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    want = con.sql(entry.oracle_sql()[name]).arrow().to_pandas()
+    con.close()
+    assert len(got) == len(want)
+    g, w = _typed_hash(got), _typed_hash(want)
+    assert g[0] == w[0]
+    assert g[1] == w[1]

@@ -235,3 +235,43 @@ def test_sync_to_carries_schema_evolution(tmp_path):
     rep = export_sorted(replica).to_pandas().reset_index(drop=True)
     assert "lang" in rep.columns
     pd.testing.assert_frame_equal(rep, src)
+
+
+def test_sync_to_crash_mid_ship_rerun_converges(tmp_path, monkeypatch):
+    """Files ship BEFORE manifests, so a crash mid-sync leaves the
+    replica at its previous consistent state; the rerun converges."""
+    wal, lake = str(tmp_path / "wal"), str(tmp_path / "lake")
+    generate_wal(wal, SPEC)
+    eng = CdcEngine(lake, n_partitions=4, compact_every=3)
+    eng.replay(wal, upto_epoch=1)
+    replica = str(tmp_path / "replica")
+    eng.clone_to(replica)
+    before = export_sorted(replica).to_pandas().reset_index(drop=True)
+    eng.replay(wal)
+
+    from agr_loader_ray.state import commit_io as cio
+
+    real = cio.LocalCommitIO.publish_json
+    calls = {"n": 0}
+
+    def exploding(self, path, obj):
+        if "_manifests" in path and replica in path:
+            calls["n"] += 1
+            if calls["n"] == 2:          # die on the second manifest
+                raise RuntimeError("injected crash")
+        return real(self, path, obj)
+
+    monkeypatch.setattr(cio.LocalCommitIO, "publish_json", exploding)
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.sync_to(replica)
+    monkeypatch.setattr(cio.LocalCommitIO, "publish_json", real)
+
+    # replica is still a readable, consistent (older) snapshot
+    mid = export_sorted(replica).to_pandas()
+    assert len(mid) > 0
+
+    # rerun converges to the source state
+    eng.sync_to(replica)
+    pd.testing.assert_frame_equal(
+        export_sorted(replica).to_pandas().reset_index(drop=True),
+        export_sorted(lake).to_pandas().reset_index(drop=True))
