@@ -1532,3 +1532,71 @@ def data_quality_audit(sf_dir: str):
     # union requires both sides in the same block format
     scan_checks = scan_checks.map_batches(to_arrow, batch_format="pyarrow")
     return scan_checks.union(uniq).sort("check_name")
+
+
+# ---------------------------------------------------------------------------
+# entity_resolution_clusters — end-to-end entity resolution: fuzzy
+# edit-distance edges (last-token blocking, ≤4) → connected components
+# → cluster-size histogram.  Composes the blocked Levenshtein matcher
+# with the hybrid component resolver (driver union-find on this
+# bounded name dictionary; the distributed pointer-doubling path
+# engages automatically above the pair limit).  Unmatched names are
+# singleton clusters.  WITH RECURSIVE min-label oracle over the same
+# edge predicate.
+# ---------------------------------------------------------------------------
+@query(
+    "entity_resolution_clusters",
+    """
+    WITH RECURSIVE t AS (SELECT DISTINCT p_name FROM part),
+    edges AS (
+      SELECT a.p_name AS u, b.p_name AS v
+      FROM t a JOIN t b
+        ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+       AND a.p_name <> b.p_name
+       AND levenshtein(a.p_name, b.p_name) <= 4),
+    reach(u, lab) AS (
+      SELECT p_name, p_name FROM t
+      UNION
+      SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.u),
+    comp AS (SELECT u, min(lab) AS cluster FROM reach GROUP BY u),
+    sizes AS (SELECT cluster, count(*) AS sz FROM comp GROUP BY cluster)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY sz ORDER BY sz
+    """,
+)
+def entity_resolution_clusters(sf_dir: str):
+    import ray.data as _rd
+
+    from ..stages.components import connected_components_auto
+
+    pairs = fuzzy_name_pairs(sf_dir)          # blocked + matched edges
+    ds = read_table(sf_dir, "part", columns=["p_name"])
+
+    def uniq(t: pa.Table) -> pa.Table:
+        return pa.table({"p_name": pc.unique(t["p_name"])})
+
+    names = sorted(set(
+        ds.map_batches(uniq, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()["p_name"]))
+    idx = {s: i for i, s in enumerate(names)}
+
+    if len(pairs):
+        edges = _rd.from_arrow(pa.table({
+            "id_a": pa.array([idx[s] for s in pairs["name_a"]], pa.int64()),
+            "id_b": pa.array([idx[s] for s in pairs["name_b"]], pa.int64()),
+        }))
+        comp = connected_components_auto(edges).to_pandas()
+        comp_sizes = comp.groupby("component").size().to_numpy()
+        n_in_comp = int(comp_sizes.sum())
+    else:
+        comp_sizes = np.array([], np.int64)
+        n_in_comp = 0
+
+    n_singletons = len(names) - n_in_comp
+    sizes = np.r_[comp_sizes, np.ones(n_singletons, np.int64)]
+    sz, cnt = np.unique(sizes, return_counts=True)
+    return pd.DataFrame({
+        "cluster_size": sz.astype(np.int64),
+        "n_clusters": cnt.astype(np.int64),
+    })

@@ -27,6 +27,7 @@ PINNED = [
     "chi2_type_weekday",
     "winsorized_stats_per_flag",
     "cep_pattern_counts",
+    "entity_resolution_clusters",
 ]
 
 
