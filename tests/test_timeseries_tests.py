@@ -50,7 +50,8 @@ def oracle_con():
 @pytest.mark.parametrize("name", PINNED)
 def test_timeseries_query_typed_hash(name, oracle_con):
     qs, oracles = entry.queries(), entry.oracle_sql()
-    got = qs[name](SF).to_pandas()
+    res = qs[name](SF)
+    got = res.to_pandas() if hasattr(res, "to_pandas") else res
     want = oracle_con.sql(oracles[name]).arrow().to_pandas()
     assert len(got) == len(want)
     g, w = _typed_hash(got), _typed_hash(want)
