@@ -947,3 +947,164 @@ def cep_pattern_counts(sf_dir: str):
         .map_groups(kernel, batch_format="pandas")
         .sort("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# sliding_distinct_types — sliding-window COUNT(DISTINCT): distinct
+# event types among each event's 10-row window (9 preceding + current,
+# full windows within the user only).  The type domain is 5, so the
+# window fold is a bitmask OR of 10 shifted one-hot arrays + a 32-entry
+# popcount table — exact integers end-to-end, no per-window set.
+# ---------------------------------------------------------------------------
+_SD_W = 10
+
+
+@query(
+    "sliding_distinct_types",
+    f"""
+    WITH w AS (
+      SELECT user_id,
+             count(*) OVER win AS nw,
+             count(DISTINCT event_type) OVER win AS nd
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {_SD_W - 1} PRECEDING AND CURRENT ROW))
+    SELECT user_id,
+           CAST(sum(CASE WHEN nw = {_SD_W} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_windows,
+           CAST(sum(CASE WHEN nw = {_SD_W} THEN nd ELSE 0 END) AS BIGINT)
+             AS distinct_sum
+    FROM w GROUP BY user_id ORDER BY user_id
+    """,
+)
+def sliding_distinct_types(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    nparts = _join_parts()
+    code = {"view": 1, "click": 2, "purchase": 4, "signup": 8, "error": 16}
+    popcnt = np.array([bin(i).count("1") for i in range(32)], np.int64)
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+        })
+        return int_key_part_col(out, "user_id", nparts)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        bits = g["event_type"].map(code).to_numpy().astype(np.int64)
+        n = len(g)
+        idx = np.arange(n)
+        acc = bits.copy()
+        for s in range(1, _SD_W):            # OR of the 10-row window
+            acc[s:] |= bits[:-s]
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        start = np.maximum.accumulate(np.where(first, idx, 0))
+        full = (idx - start) >= (_SD_W - 1)
+        nd = popcnt[acc]
+        res = pd.DataFrame({
+            "user_id": uid,
+            "n_windows": full.astype(np.int64),
+            "distinct_sum": np.where(full, nd, 0),
+        })
+        return res.groupby("user_id", as_index=False).sum()
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Sum("n_windows", alias_name="n_windows"),
+                   Sum("distinct_sum", alias_name="distinct_sum"))
+        .sort("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling_median9_per_user — rolling-median smoother: exact median of
+# each event's 9 most recent values (full windows only).  Window is ODD
+# so every median is an exact integer; their per-user float64 sum is
+# therefore order-independent (integer-valued doubles ≪ 2^53), making
+# the aggregate safely distributable; CAST back to BIGINT both sides.
+# ---------------------------------------------------------------------------
+_RM_W = 9
+
+
+@query(
+    "rolling_median9_per_user",
+    f"""
+    WITH v AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    w AS (
+      SELECT user_id,
+             count(*) OVER win AS nw,
+             median(cents) OVER win AS med
+      FROM v
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {_RM_W - 1} PRECEDING AND CURRENT ROW))
+    SELECT user_id,
+           CAST(sum(CASE WHEN nw = {_RM_W} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_windows,
+           CAST(sum(CASE WHEN nw = {_RM_W} THEN med ELSE 0 END) AS BIGINT)
+             AS median_sum
+    FROM w GROUP BY user_id ORDER BY user_id
+    """,
+)
+def rolling_median9_per_user(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "value"])
+    nparts = _join_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+            "cents": _cents(t["value"]),
+        })
+        return int_key_part_col(out, "user_id", nparts)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        x = g["cents"].to_numpy()
+        n = len(g)
+        idx = np.arange(n)
+        # Cython rolling median over the concatenation; cross-user
+        # windows are masked out below (full-window-within-user only)
+        med = pd.Series(x).rolling(_RM_W).median().to_numpy()
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        start = np.maximum.accumulate(np.where(first, idx, 0))
+        full = (idx - start) >= (_RM_W - 1)
+        res = pd.DataFrame({
+            "user_id": uid,
+            "n_windows": full.astype(np.int64),
+            "median_sum": np.where(full, med, 0.0),
+        })
+        out = res.groupby("user_id", as_index=False).sum()
+        out["median_sum"] = out["median_sum"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Sum("n_windows", alias_name="n_windows"),
+                   Sum("median_sum", alias_name="median_sum"))
+        .sort("user_id")
+    )

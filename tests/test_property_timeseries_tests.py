@@ -25,6 +25,8 @@ QUERIES = [
     "gap_fill_hourly",
     "daily_revenue_growth",
     "cep_pattern_counts",
+    "sliding_distinct_types",
+    "rolling_median9_per_user",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]

@@ -28,6 +28,8 @@ PINNED = [
     "winsorized_stats_per_flag",
     "cep_pattern_counts",
     "entity_resolution_clusters",
+    "sliding_distinct_types",
+    "rolling_median9_per_user",
 ]
 
 
