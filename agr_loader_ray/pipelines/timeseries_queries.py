@@ -1108,3 +1108,81 @@ def rolling_median9_per_user(sf_dir: str):
                    Sum("median_sum", alias_name="median_sum"))
         .sort("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ab_test_stats_price — exact A/B-test statistics between two groups
+# (returnflag A vs R prices): Mann-Whitney U (doubled: U2 = 2U keeps
+# rank ties integer) and the Kolmogorov-Smirnov distance as its integer
+# numerator max|cumA·nR − cumR·nA| over the merged value domain.  One
+# domain-bounded (flag, cents, count) partial exchange; the kernel is
+# two cumsums over the merged domain — never a rank sort of raw rows.
+# ---------------------------------------------------------------------------
+@query(
+    "ab_test_stats_price",
+    """
+    WITH w AS (
+      SELECT l_returnflag AS f,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+      GROUP BY 1, 2),
+    m AS (
+      SELECT cents,
+             CAST(sum(CASE WHEN f = 'A' THEN cnt ELSE 0 END) AS BIGINT) AS ac,
+             CAST(sum(CASE WHEN f = 'R' THEN cnt ELSE 0 END) AS BIGINT) AS rc
+      FROM w GROUP BY cents),
+    c AS (
+      SELECT cents, ac, rc,
+             sum(rc) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) - rc
+               AS r_less,
+             sum(ac) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum_a,
+             sum(rc) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum_r,
+             sum(ac) OVER () AS na, sum(rc) OVER () AS nr
+      FROM m)
+    SELECT CAST(min(na) AS BIGINT) AS n_a,
+           CAST(min(nr) AS BIGINT) AS n_r,
+           CAST(sum(ac * (2 * r_less + rc)) AS BIGINT) AS u2,
+           CAST(max(abs(cum_a * nr - cum_r * na)) AS BIGINT) AS ks_num
+    FROM c
+    """,
+)
+def ab_test_stats_price(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_extendedprice"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["l_returnflag"], value_set=pa.array(["A", "R"]))
+        t = t.filter(keep)
+        part = pa.table({
+            "f": t["l_returnflag"],
+            "cents": _cents(t["l_extendedprice"]),
+            "cnt": pa.array(np.ones(t.num_rows, np.int64)),
+        }).group_by(["f", "cents"]).aggregate([("cnt", "sum")])
+        return part.rename_columns(["f", "cents", "cnt"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["f", "cents"], as_index=False)["cnt"].sum()
+        piv = g.pivot_table(index="cents", columns="f", values="cnt",
+                            aggfunc="sum", fill_value=0).sort_index()
+        ac = piv.get("A", pd.Series(0, index=piv.index)).to_numpy(np.int64)
+        rc = piv.get("R", pd.Series(0, index=piv.index)).to_numpy(np.int64)
+        cum_a, cum_r = ac.cumsum(), rc.cumsum()
+        na, nr = int(cum_a[-1]), int(cum_r[-1])
+        r_less = cum_r - rc
+        u2 = int((ac * (2 * r_less + rc)).sum())
+        ks = int(np.abs(cum_a * nr - cum_r * na).max())
+        return pd.DataFrame({
+            "n_a": np.array([na], np.int64),
+            "n_r": np.array([nr], np.int64),
+            "u2": np.array([u2], np.int64),
+            "ks_num": np.array([ks], np.int64),
+        })
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)  # bounded: ≤ |price domain| partial rows
+        .map_batches(kernel, batch_format="pandas", batch_size=None)
+    )

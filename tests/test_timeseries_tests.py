@@ -30,6 +30,7 @@ PINNED = [
     "entity_resolution_clusters",
     "sliding_distinct_types",
     "rolling_median9_per_user",
+    "ab_test_stats_price",
 ]
 
 
@@ -112,3 +113,25 @@ def test_rolling_zscore_matches_sequential_reference():
                 no += 1
         assert df.loc[uid, "n_windows"] == nw
         assert df.loc[uid, "n_outliers"] == no
+
+
+def test_mann_whitney_u_matches_brute_force():
+    """U2 == 2·Σ_{a,r} [a>r] + Σ [a==r] by direct pair enumeration."""
+    import numpy as np
+
+    res = entry.queries()["ab_test_stats_price"](SF)
+    row = (res.to_pandas() if hasattr(res, "to_pandas") else res).iloc[0]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    cents = np.round(li["l_extendedprice"] * 100).astype(np.int64)
+    a = cents[li["l_returnflag"] == "A"].to_numpy()
+    r = cents[li["l_returnflag"] == "R"].to_numpy()
+    gt = (a[:, None] > r[None, :]).sum()
+    eq = (a[:, None] == r[None, :]).sum()
+    assert row["u2"] == 2 * gt + eq
+    assert row["n_a"] == len(a) and row["n_r"] == len(r)
+    # KS numerator via brute force over the merged domain
+    dom = np.unique(np.r_[a, r])
+    cum_a = np.searchsorted(np.sort(a), dom, side="right")
+    cum_r = np.searchsorted(np.sort(r), dom, side="right")
+    assert row["ks_num"] == np.abs(
+        cum_a * len(r) - cum_r * len(a)).max()
