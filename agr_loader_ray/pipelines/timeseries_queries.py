@@ -29,6 +29,11 @@ from .queries import _cents, query
 
 _HOUR_US = 3_600_000_000
 
+# Invariant used by every user-keyed window kernel below: the gpart
+# exchange co-locates ALL of a user's rows in one partition, so a
+# kernel that aggregates per user emits FINAL rows — no second global
+# groupby is needed (one exchange total per query).
+
 
 # ---------------------------------------------------------------------------
 # gap_fill_hourly — per-user hourly resample (densify): every hour
@@ -286,9 +291,6 @@ def rolling_zscore_outliers(sf_dir: str):
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("gpart")
         .map_groups(kernel, batch_format="pandas")
-        .groupby("user_id")
-        .aggregate(Sum("n_windows", alias_name="n_windows"),
-                   Sum("n_outliers", alias_name="n_outliers"))
         .sort("user_id")
     )
 
@@ -551,10 +553,6 @@ def time_to_conversion(sf_dir: str):
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("gpart")
         .map_groups(kernel, batch_format="pandas")
-        .groupby("user_id")
-        .aggregate(Sum("n_views", alias_name="n_views"),
-                   Sum("n_converted", alias_name="n_converted"),
-                   Sum("total_delay_us", alias_name="total_delay_us"))
         .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
         .sort("user_id")
     )
@@ -652,9 +650,6 @@ def ma_crossover_signals(sf_dir: str):
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("gpart")
         .map_groups(kernel, batch_format="pandas")
-        .groupby("user_id")
-        .aggregate(Sum("n_golden_crosses", alias_name="n_golden_crosses"),
-                   Sum("n_full_windows", alias_name="n_full_windows"))
         .sort("user_id")
     )
 
@@ -1021,9 +1016,6 @@ def sliding_distinct_types(sf_dir: str):
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("gpart")
         .map_groups(kernel, batch_format="pandas")
-        .groupby("user_id")
-        .aggregate(Sum("n_windows", alias_name="n_windows"),
-                   Sum("distinct_sum", alias_name="distinct_sum"))
         .sort("user_id")
     )
 
@@ -1103,9 +1095,6 @@ def rolling_median9_per_user(sf_dir: str):
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("gpart")
         .map_groups(kernel, batch_format="pandas")
-        .groupby("user_id")
-        .aggregate(Sum("n_windows", alias_name="n_windows"),
-                   Sum("median_sum", alias_name="median_sum"))
         .sort("user_id")
     )
 
@@ -1185,4 +1174,203 @@ def ab_test_stats_price(sf_dir: str):
         ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
         .repartition(1)  # bounded: ≤ |price domain| partial rows
         .map_batches(kernel, batch_format="pandas", batch_size=None)
+    )
+
+
+# ---------------------------------------------------------------------------
+# lag1_autocorrelation — ACF(1) per user: Pearson correlation between
+# consecutive event values, computed from exact int64 moment sums over
+# the (x_{i-1}, x_i) pair stream (shift products with user-boundary
+# masking) and ONE closed-form float evaluation per user mirrored
+# op-for-op in SQL — the time-series diagnostic sibling of the grouped
+# correlation operator.
+# ---------------------------------------------------------------------------
+@query(
+    "lag1_autocorrelation",
+    """
+    WITH v AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             lag(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS px
+      FROM events),
+    p AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sy,
+             CAST(sum(px) AS BIGINT) AS sx,
+             CAST(sum(x * px) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS syy,
+             CAST(sum(px * px) AS BIGINT) AS sxx
+      FROM v WHERE px IS NOT NULL GROUP BY user_id)
+    SELECT user_id, n,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE))
+                END AS acf1
+    FROM p ORDER BY user_id
+    """,
+)
+def lag1_autocorrelation(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "value"])
+    nparts = _join_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+            "x": _cents(t["value"]),
+        })
+        return int_key_part_col(out, "user_id", nparts)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        x = g["x"].to_numpy()
+        n = len(g)
+        pair = np.zeros(n, bool)
+        if n > 1:
+            pair[1:] = uid[1:] == uid[:-1]
+        px = np.r_[0, x[:-1]]
+        res = pd.DataFrame({
+            "user_id": uid[pair],
+            "n": np.ones(int(pair.sum()), np.int64),
+            "sy": x[pair], "sx": px[pair],
+            "sxy": (x * px)[pair],
+            "syy": (x * x)[pair], "sxx": (px * px)[pair],
+        })
+        return res.groupby("user_id", as_index=False).sum()
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False)
+        syy = t["syy"].to_numpy(zero_copy_only=False)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        ok = (vx > 0) & (vy > 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            acf = (n.astype(np.float64) * sxy
+                   - sx.astype(np.float64) * sy) \
+                / np.sqrt(vx.astype(np.float64) * vy.astype(np.float64))
+        return pa.table({
+            "user_id": t["user_id"],
+            "n": pa.array(n),
+            "acf1": pa.array(np.where(ok, acf, np.nan), pa.float64(),
+                             mask=~ok),
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# churn_labels_weekly — training-label generation (target engineering):
+# one row per (user, week) with activity features and the SUPERVISED
+# LABEL "did this user purchase in the FOLLOWING week".  The label is a
+# shifted per-user weekly join built with one exchange; weeks with no
+# events produce no row (the model's feature grid), and the last
+# observed week per user carries a NULL label (future unknown) —
+# exactly what a leakage-safe training snapshot needs.
+# ---------------------------------------------------------------------------
+_WEEK_US = 7 * 86_400_000_000
+
+
+@query(
+    "churn_labels_weekly",
+    f"""
+    WITH w AS (
+      SELECT user_id,
+             (epoch_us(ts) // {_WEEK_US}) AS week,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+      FROM events GROUP BY 1, 2),
+    lbl AS (
+      SELECT a.user_id, a.week, a.n_events, a.n_purchases,
+             CASE WHEN b.week IS NULL THEN NULL
+                  WHEN b.n_purchases > 0 THEN 1 ELSE 0 END AS next_week_buy,
+             CASE WHEN a.week = max(a.week) OVER (PARTITION BY a.user_id)
+                  THEN TRUE ELSE FALSE END AS is_last
+      FROM w a LEFT JOIN w b
+        ON a.user_id = b.user_id AND b.week = a.week + 1)
+    SELECT user_id, CAST(week AS BIGINT) AS week, n_events, n_purchases,
+           CAST(CASE WHEN is_last THEN NULL
+                     ELSE coalesce(next_week_buy, 0) END AS BIGINT)
+             AS label_next_week_buy
+    FROM lbl ORDER BY user_id, week
+    """,
+)
+def churn_labels_weekly(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+    nparts = _join_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        week = pc.divide(pc.cast(t["ts"], pa.int64()), _WEEK_US)
+        part = pa.table({
+            "user_id": t["user_id"],
+            "week": week,
+            "n_events": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_purchases": pc.cast(
+                pc.equal(t["event_type"], "purchase"), pa.int64()),
+        }).group_by(["user_id", "week"]).aggregate(
+            [("n_events", "sum"), ("n_purchases", "sum")])
+        part = part.rename_columns(
+            ["user_id", "week", "n_events", "n_purchases"])
+        return int_key_part_col(part, "user_id", nparts)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["user_id", "week"], as_index=False)[
+            ["n_events", "n_purchases"]].sum() \
+            .sort_values(["user_id", "week"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        wk = g["week"].to_numpy()
+        np_ = g["n_purchases"].to_numpy()
+        n = len(g)
+        nxt_buy = np.zeros(n, np.float64)
+        last = np.empty(n, bool)
+        last[-1] = True
+        last[:-1] = uid[1:] != uid[:-1]
+        # next row is the following week of the same user?
+        adj = np.zeros(n, bool)
+        if n > 1:
+            adj[:-1] = (~last[:-1]) & (wk[1:] == wk[:-1] + 1)
+        nxt_buy[adj] = (np_[np.r_[1:n, 0]][adj] > 0).astype(np.float64)
+        nxt_buy[last] = np.nan              # future unknown
+        g["label_f"] = nxt_buy
+        return g
+
+    def finish(t: pa.Table) -> pa.Table:
+        lf = t["label_f"].to_numpy(zero_copy_only=False)
+        isnan = np.isnan(lf)
+        return pa.table({
+            "user_id": t["user_id"],
+            "week": pc.cast(t["week"], pa.int64()),
+            "n_events": t["n_events"],
+            "n_purchases": t["n_purchases"],
+            "label_next_week_buy": pa.array(
+                np.where(isnan, 0, lf).astype(np.int64), pa.int64(),
+                mask=isnan),
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["user_id", "week"])
     )
