@@ -419,11 +419,15 @@ def daily_revenue_growth(sf_dir: str):
         return g
 
     def finish(t: pa.Table) -> pa.Table:
-        nanmask = pc.is_nan(t["prev_f"])
-        prev = pc.if_else(
-            nanmask, pa.scalar(None, pa.int64()),
-            pc.cast(pc.fill_null(pc.if_else(nanmask, 0.0, t["prev_f"]), 0.0),
-                    pa.int64()))
+        if pa.types.is_null(t["prev_f"].type):
+            # a single-day type's block is all-NaN → Arrow null type
+            prev = pa.nulls(t.num_rows, pa.int64())
+        else:
+            nanmask = pc.is_nan(t["prev_f"])
+            prev = pc.if_else(
+                nanmask, pa.scalar(None, pa.int64()),
+                pc.cast(pc.fill_null(pc.if_else(nanmask, 0.0, t["prev_f"]),
+                                     0.0), pa.int64()))
         return pa.table({
             "event_type": t["event_type"],
             "day": pc.cast(t["day_us"], pa.timestamp("us")),
@@ -1355,8 +1359,15 @@ def churn_labels_weekly(sf_dir: str):
         return g
 
     def finish(t: pa.Table) -> pa.Table:
-        lf = t["label_f"].to_numpy(zero_copy_only=False)
-        isnan = np.isnan(lf)
+        col = t["label_f"]
+        if pa.types.is_null(col.type):
+            # a block whose every label is NaN converts from pandas as
+            # Arrow null type — treat as all-unknown
+            lf = np.zeros(t.num_rows, np.float64)
+            isnan = np.ones(t.num_rows, bool)
+        else:
+            lf = col.to_numpy(zero_copy_only=False)
+            isnan = np.isnan(lf)
         return pa.table({
             "user_id": t["user_id"],
             "week": pc.cast(t["week"], pa.int64()),

@@ -27,6 +27,8 @@ QUERIES = [
     "cep_pattern_counts",
     "sliding_distinct_types",
     "rolling_median9_per_user",
+    "lag1_autocorrelation",
+    "churn_labels_weekly",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]

@@ -31,6 +31,8 @@ PINNED = [
     "sliding_distinct_types",
     "rolling_median9_per_user",
     "ab_test_stats_price",
+    "lag1_autocorrelation",
+    "churn_labels_weekly",
 ]
 
 
