@@ -1470,8 +1470,6 @@ def _kmeans_sql() -> str:
 
 @query("kmeans_int_clusters", _kmeans_sql())
 def kmeans_int_clusters(sf_dir: str):
-    import ray
-
     k, dim, sc = _KM_K, _KM_DIM, _KM_SCALE
 
     def to_int_grid(t: pa.Table) -> pa.Table:
@@ -1495,21 +1493,21 @@ def kmeans_int_clusters(sf_dir: str):
     ).to_pandas().sort_values("vec_id")
     C = np.vstack(init["xs"].to_numpy()).astype(np.int64)  # (k, dim)
 
-    def make_assign(C_ref, emit: str):
-        class Assign:
-            def __init__(self):
-                self.C = ray.get(C_ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
+    def make_assign(C_cur, emit: str):
+        # the centroid grid is k×dim ints (~2 KB): ship it inside the
+        # task closure — an actor pool per Lloyd pass would pay pool
+        # startup (~seconds) to avoid re-sending 2 KB (measured 20 s →
+        # 3 s for the whole query at sf0.1)
+        def assign(t: pa.Table) -> pa.Table:
                 X = pc.list_flatten(t["xs"].combine_chunks()) \
                     .to_numpy(zero_copy_only=False).reshape(-1, dim)
-                diff = X[:, None, :] - self.C[None, :, :]
+                diff = X[:, None, :] - C_cur[None, :, :]
                 dists = np.einsum("nkd,nkd->nk", diff, diff)
                 a = np.argmin(dists, axis=1)  # first min = smallest c (tie rule)
                 if emit == "sums":
                     # per-(cluster, dim) partial sums + counts, flattened
                     out_c, out_i, out_s, out_n = [], [], [], []
-                    for c in range(len(self.C)):
+                    for c in range(len(C_cur)):
                         mask = a == c
                         if not mask.any():
                             continue
@@ -1535,31 +1533,28 @@ def kmeans_int_clusters(sf_dir: str):
                     "c": pa.array(a.astype(np.int64)),
                     "d": pa.array(best.astype(np.int64)),
                 })
-        return Assign
+        return assign
 
     for _ in range(_KM_ITERS - 1):
-        C_ref = ray.put(C)
         agg = (
-            ds.map_batches(make_assign(C_ref, "sums"),
-                           batch_format="pyarrow", zero_copy_batch=True,
-                           concurrency=_pool())
+            ds.map_batches(make_assign(C, "sums"),
+                           batch_format="pyarrow", zero_copy_batch=True)
             .groupby(["c", "i"])
             .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
         ).to_pandas()  # k×dim rows — statistics-sized
         C = _centroids_from_sums(agg, dim)
 
     # final iteration: same update, then score against the UPDATED grid
-    C_ref = ray.put(C)
     agg = (
-        ds.map_batches(make_assign(C_ref, "sums"), batch_format="pyarrow",
-                       zero_copy_batch=True, concurrency=_pool())
+        ds.map_batches(make_assign(C, "sums"), batch_format="pyarrow",
+                       zero_copy_batch=True)
         .groupby(["c", "i"])
         .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
     ).to_pandas()
     # per-cluster sizes/inertia of the FINAL assignment round
     stats = (
-        ds.map_batches(make_assign(C_ref, "stats"), batch_format="pyarrow",
-                       zero_copy_batch=True, concurrency=_pool())
+        ds.map_batches(make_assign(C, "stats"), batch_format="pyarrow",
+                       zero_copy_batch=True)
         .groupby("c")
         .aggregate(Count(alias_name="n_points"), Sum("d", alias_name="inertia"))
     ).to_pandas()
