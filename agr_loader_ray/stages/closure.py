@@ -216,11 +216,21 @@ class _ComposeBroadcastDelta:
     sorted-key searchsorted lookups (multi-match expansion by np.repeat
     offset math; no join exchange)."""
 
-    def __init__(self, ref, packable: bool):
+    def __init__(self, ref, packable: bool, lazy: bool = False):
         # (anc_sorted, anc_src, node_sorted, node_dst): delta indexed both
-        # ways, built once on the driver, fetched once per actor
-        self.anc_sorted, self.anc_src, self.node_sorted, self.node_dst = ray.get(ref)
+        # ways, built once on the driver.  ``lazy=True`` defers the
+        # ray.get to first use so the instance can ship inside a TASK
+        # closure (plasma read is zero-copy — per-task fetch is free,
+        # and tasks avoid per-round actor-pool startup).
+        self._ref = ref
         self.packable = packable
+        self._idx = None if lazy else ray.get(ref)
+
+    @property
+    def _index(self):
+        if self._idx is None:
+            self._idx = ray.get(self._ref)
+        return self._idx
 
     @staticmethod
     def _expand(keys_sorted, payload, probe):
@@ -241,12 +251,13 @@ class _ComposeBroadcastDelta:
         return rows[rep], payload[lo[rep] + within]
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        anc_sorted, anc_src, node_sorted, node_dst = self._index
         rn = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
         ra = t["ancestor"].to_numpy(zero_copy_only=False).astype(np.int64)
         # D∘R: d.ancestor == r.node → (d.node, r.ancestor)
-        i1, dn = self._expand(self.anc_sorted, self.anc_src, rn)
+        i1, dn = self._expand(anc_sorted, anc_src, rn)
         # R∘D: r.ancestor == d.node → (r.node, d.ancestor)
-        i2, da = self._expand(self.node_sorted, self.node_dst, ra)
+        i2, da = self._expand(node_sorted, node_dst, ra)
         new_n = np.concatenate([dn, rn[i2]])
         new_a = np.concatenate([ra[i1], da])
         if self.packable:
@@ -346,10 +357,12 @@ def closure_path_doubling(
             d_tbl = pa.concat_tables(
                 d.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
             ref = _broadcast_delta_ref(d_tbl)
+            # task closure, not an actor pool: the delta index lives in
+            # plasma, so per-task ray.get is a zero-copy map — while a
+            # fresh pool PER ROUND pays seconds of actor startup
+            compose = _ComposeBroadcastDelta(ref, packable, lazy=True)
             tagged = r.map_batches(
-                _ComposeBroadcastDelta, fn_constructor_args=(ref, packable),
-                batch_format="pyarrow", zero_copy_batch=True,
-                concurrency=pool(),
+                compose, batch_format="pyarrow", zero_copy_batch=True,
             )
             merged = _min_merge(tagged, packable=packable, nparts=nparts).materialize()
         else:
