@@ -405,3 +405,23 @@ def multimodal_augment_sql(n: int = 128, seed: int = 42, size: int = 16,
            CAST(count(*) AS BIGINT) AS n_px
     FROM g GROUP BY m
     """
+
+
+def multimodal_audio_windows_sql(n: int = 64, samples: int = 8000,
+                                 win: int = 1024) -> str:
+    """Mirror of synth_audio_hash_table → FrameAudioWindows: per
+    (clip, window) exact integer energy and peak over full windows."""
+    nw = samples // win
+    return f"""
+    WITH samp AS (
+      SELECT m, t,
+             ((({_HASH_A}::HUGEINT * (m * {samples} + t + 1))
+               & {_MASK})::UBIGINT >> 24)::BIGINT % 65536 - 32768 AS s
+      FROM (SELECT unnest(generate_series(0, {n - 1})) AS m)
+      CROSS JOIN (SELECT unnest(generate_series(0, {nw * win - 1})) AS t)
+    )
+    SELECT m AS media_id, CAST(t // {win} AS BIGINT) AS window_idx,
+           CAST(sum(s * s) AS BIGINT) AS energy,
+           CAST(max(abs(s)) AS BIGINT) AS peak
+    FROM samp GROUP BY 1, 2 ORDER BY 1, 2
+    """

@@ -1385,3 +1385,27 @@ def churn_labels_weekly(sf_dir: str):
         .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
         .sort(["user_id", "week"])
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_windows — streaming-audio chunking: fixed 1024-sample
+# analysis windows with exact integer energy/peak per window (the
+# framing stage every audio feature pipeline starts with).  One stacked
+# frombuffer+reshape per batch; SQL mirror recomputes from the
+# generative sample formula.
+# ---------------------------------------------------------------------------
+from .sketch_sql import multimodal_audio_windows_sql  # noqa: E402
+
+
+@query("multimodal_audio_windows",
+       multimodal_audio_windows_sql(n=64, samples=8000, win=1024))
+def multimodal_audio_windows(sf_dir: str):
+    import ray.data as _rd
+
+    from ..stages.multimodal import FrameAudioWindows, synth_audio_hash_table
+
+    audio = _rd.from_arrow(synth_audio_hash_table(n=64, samples=8000))
+    return audio.map_batches(
+        FrameAudioWindows, fn_constructor_kwargs={"win": 1024},
+        batch_format="pyarrow", batch_size=16, concurrency=_pool(),
+    ).sort(["media_id", "window_idx"])

@@ -447,3 +447,34 @@ class AugmentImage:
             "bright_sum": pa.array(bright.sum(axis=(1, 2)), pa.int64()),
             "n_px": pa.array(np.full(n, h * w, dtype=np.int64)),
         })
+
+
+class FrameAudioWindows:
+    """Actor-pool stage: s16le PCM → fixed-length analysis windows with
+    exact integer features (energy = Σ s², peak = max |s|) per window.
+    Clips in a batch share a length, so framing is ONE stacked
+    frombuffer + reshape across the batch — no per-clip Python.  The
+    windowing step every streaming-audio feature pipeline starts with
+    (the chunking sibling of DecodeAudioPCM's whole-clip features)."""
+
+    def __init__(self, win: int = 1024):
+        self.win = win
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        S = np.stack([np.frombuffer(p, dtype="<i2") for p in payloads]) \
+            .astype(np.int64)
+        n, total = S.shape
+        nw = total // self.win
+        W = S[:, : nw * self.win].reshape(n, nw, self.win)
+        energy = (W * W).sum(axis=2).reshape(-1)
+        peak = np.abs(W).max(axis=2).reshape(-1)
+        mids = np.repeat(
+            batch["media_id"].to_numpy(zero_copy_only=False), nw)
+        return pa.table({
+            "media_id": pa.array(mids, pa.int64()),
+            "window_idx": pa.array(
+                np.tile(np.arange(nw, dtype=np.int64), n)),
+            "energy": pa.array(energy, pa.int64()),
+            "peak": pa.array(peak, pa.int64()),
+        })

@@ -33,6 +33,7 @@ PINNED = [
     "ab_test_stats_price",
     "lag1_autocorrelation",
     "churn_labels_weekly",
+    "multimodal_audio_windows",
 ]
 
 
