@@ -1409,3 +1409,106 @@ def multimodal_audio_windows(sf_dir: str):
         FrameAudioWindows, fn_constructor_kwargs={"win": 1024},
         batch_format="pyarrow", batch_size=16, concurrency=_pool(),
     ).sort(["media_id", "window_idx"])
+
+
+# ---------------------------------------------------------------------------
+# bounce_rate_daily — session-level business metric: sessions start
+# after a 30-minute inactivity gap; a session is a BOUNCE when it has
+# exactly one event.  Sessions are derived per user in the partition
+# kernel (cumsum of gap breaks — no session state object), rolled up to
+# the day of the session's first event; the rate is one mirrored float
+# division per day.
+# ---------------------------------------------------------------------------
+_SESS_GAP_US = 30 * 60 * 1_000_000
+_DAY_US2 = 86_400_000_000
+
+
+@query(
+    "bounce_rate_daily",
+    f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > {_SESS_GAP_US}
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq),
+    per_sess AS (
+      SELECT user_id, sid,
+             (epoch_us(min(ts)) // {_DAY_US2}) AS day,
+             count(*) AS n_events
+      FROM sess GROUP BY user_id, sid)
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS bounce_rate
+    FROM per_sess GROUP BY day ORDER BY day
+    """,
+)
+def bounce_rate_daily(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    nparts = _join_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+        })
+        return int_key_part_col(out, "user_id", nparts)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        n = len(g)
+        brk = np.ones(n, np.int64)
+        if n > 1:
+            same = uid[1:] == uid[:-1]
+            brk[1:] = np.where(same & (ts[1:] - ts[:-1] <= _SESS_GAP_US),
+                               0, 1)
+        # global session key: (user, per-user running break count)
+        sid = np.cumsum(brk)          # strictly increasing at breaks →
+        # unique per session across users within this partition
+        res = pd.DataFrame({"sid": sid, "ts_us": ts})
+        per = res.groupby("sid").agg(first_ts=("ts_us", "min"),
+                                     n_events=("ts_us", "size"))
+        day = per["first_ts"].to_numpy() // _DAY_US2
+        bounce = (per["n_events"].to_numpy() == 1)
+        out = pd.DataFrame({
+            "day": day,
+            "n_sessions": np.ones(len(per), np.int64),
+            "n_bounces": bounce.astype(np.int64),
+        })
+        return out.groupby("day", as_index=False).sum()
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": t["day"],
+            "n_sessions": t["n_sessions"],
+            "n_bounces": t["n_bounces"],
+            "bounce_rate": pc.divide(
+                pc.cast(t["n_bounces"], pa.float64()),
+                pc.cast(t["n_sessions"], pa.float64())),
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("n_sessions", alias_name="n_sessions"),
+                   Sum("n_bounces", alias_name="n_bounces"))
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("day")
+    )

@@ -29,6 +29,7 @@ QUERIES = [
     "rolling_median9_per_user",
     "lag1_autocorrelation",
     "churn_labels_weekly",
+    "bounce_rate_daily",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]

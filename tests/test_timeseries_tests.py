@@ -34,6 +34,7 @@ PINNED = [
     "lag1_autocorrelation",
     "churn_labels_weekly",
     "multimodal_audio_windows",
+    "bounce_rate_daily",
 ]
 
 
