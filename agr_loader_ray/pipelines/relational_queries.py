@@ -1600,3 +1600,108 @@ def entity_resolution_clusters(sf_dir: str):
         "cluster_size": sz.astype(np.int64),
         "n_clusters": cnt.astype(np.int64),
     })
+
+
+# ---------------------------------------------------------------------------
+# frequent_part_pairs — market-basket frequent-pair mining (Apriori's
+# hot inner step): count part pairs co-purchased within an order, keep
+# pairs with support ≥ 3, top-20 by (count DESC, pair ASC).  The pair
+# explode runs inside the order-keyed partition kernel with offset math
+# (per-order C(k,2) fan-out is bounded by basket size); pair counts
+# pack into ONE int64 key (partkey < 2^31) so the count exchange ships
+# (key, n) integers only.
+# ---------------------------------------------------------------------------
+_FPP_SUPPORT, _FPP_TOPK = 3, 20
+
+
+@query(
+    "frequent_part_pairs",
+    f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (
+      SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2)
+    SELECT part_a, part_b, n_orders FROM p
+    WHERE n_orders >= {_FPP_SUPPORT}
+    ORDER BY n_orders DESC, part_a, part_b LIMIT {_FPP_TOPK}
+    """,
+)
+def frequent_part_pairs(sf_dir: str):
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    nparts = _join_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        return int_key_part_col(t, "l_orderkey", nparts)
+
+    def pair_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"]) \
+            .sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+        ok = g["l_orderkey"].to_numpy()
+        pk = g["l_partkey"].to_numpy()
+        n = len(g)
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = ok[1:] != ok[:-1]
+        starts = np.flatnonzero(first)
+        sizes = np.r_[starts[1:], n] - starts
+        # offset-math pair explode: for a basket of k parts emit C(k,2)
+        # (i<j) pairs without any per-order Python
+        ks = sizes
+        npairs = ks * (ks - 1) // 2
+        total = int(npairs.sum())
+        if total == 0:
+            return pd.DataFrame({"key": np.array([], np.int64),
+                                 "n_orders": np.array([], np.int64)})
+        basket = np.repeat(np.arange(len(ks)), npairs)
+        within = np.arange(total) - np.repeat(
+            np.r_[0, np.cumsum(npairs)[:-1]], npairs)
+        # map pair index p in [0, C(k,2)) to (i, j), i<j, row-major:
+        # i = k-2 - floor((sqrt(8(C-1-p)+1)-1)/2) … simpler: use the
+        # triangular inversion on q = C(k,2)-1-p
+        k_b = ks[basket]
+        q = k_b * (k_b - 1) // 2 - 1 - within
+        jj = np.floor((np.sqrt(8.0 * q + 1) - 1) / 2).astype(np.int64)
+        i_idx = k_b - 2 - jj
+        j_idx = within - (i_idx * (2 * k_b - i_idx - 1) // 2) + i_idx + 1
+        a = pk[starts[basket] + i_idx]
+        b = pk[starts[basket] + j_idx]
+        key = (np.minimum(a, b) << np.int64(31)) | np.maximum(a, b)
+        uk, cnt = np.unique(key, return_counts=True)
+        return pd.DataFrame({"key": uk, "n_orders": cnt.astype(np.int64)})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby("key", as_index=False)["n_orders"].sum()
+        g = g[g["n_orders"] >= _FPP_SUPPORT]
+        g["part_a"] = (g["key"].to_numpy() >> 31).astype(np.int64)
+        g["part_b"] = (g["key"].to_numpy() & ((1 << 31) - 1)).astype(np.int64)
+        g = g.sort_values(["n_orders", "part_a", "part_b"],
+                          ascending=[False, True, True],
+                          kind="mergesort").head(_FPP_TOPK)
+        return g[["part_a", "part_b", "n_orders"]].reset_index(drop=True)
+
+    # pair-count partials are per-partition-complete on the ORDER key,
+    # but the same PAIR may occur under orders in different partitions —
+    # final bounded merge on the pair key
+    def key_part(t: pa.Table) -> pa.Table:
+        return int_key_part_col(t, "key", nparts)
+
+    def local_top(g: pd.DataFrame) -> pd.DataFrame:
+        # per-pair totals are final here (pair-keyed partition);
+        # local prune to the query's support + top-k bound
+        g = g.groupby("key", as_index=False)["n_orders"].sum()
+        g = g[g["n_orders"] >= _FPP_SUPPORT]
+        return g.sort_values("n_orders", ascending=False,
+                             kind="mergesort").head(_FPP_TOPK)
+
+    parts = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(pair_kernel, batch_format="pandas")
+        .map_batches(key_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(local_top, batch_format="pandas")
+    ).to_pandas()  # ≤ nparts × topk rows
+    return finish(parts)

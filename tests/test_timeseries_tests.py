@@ -35,6 +35,7 @@ PINNED = [
     "churn_labels_weekly",
     "multimodal_audio_windows",
     "bounce_rate_daily",
+    "frequent_part_pairs",
 ]
 
 
