@@ -1705,3 +1705,95 @@ def frequent_part_pairs(sf_dir: str):
         .map_groups(local_top, batch_format="pandas")
     ).to_pandas()  # ≤ nparts × topk rows
     return finish(parts)
+
+
+# ---------------------------------------------------------------------------
+# association_rules — the full market-basket deliverable on top of the
+# frequent pairs: for each surviving pair, both directed rules with
+# exact integer supports and confidence / lift as mirrored float
+# divisions (conf(a→b) = n_ab/n_a; lift = n_ab·N / (n_a·n_b)).  Single-
+# item supports fold as bounded (part, n) partials; the 2·topk rule
+# rows assemble on the driver (statistics-sized).
+# ---------------------------------------------------------------------------
+@query(
+    "association_rules",
+    f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nord AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM b),
+    singles AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_one
+      FROM b GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_pair
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2),
+    top AS (
+      SELECT * FROM pairs WHERE n_pair >= {_FPP_SUPPORT}
+      ORDER BY n_pair DESC, part_a, part_b LIMIT {_FPP_TOPK}),
+    rules AS (
+      SELECT part_a AS antecedent, part_b AS consequent, n_pair,
+             sa.n_one AS n_ante, sb.n_one AS n_cons
+      FROM top JOIN singles sa ON sa.l_partkey = top.part_a
+               JOIN singles sb ON sb.l_partkey = top.part_b
+      UNION ALL
+      SELECT part_b, part_a, n_pair, sb.n_one, sa.n_one
+      FROM top JOIN singles sa ON sa.l_partkey = top.part_a
+               JOIN singles sb ON sb.l_partkey = top.part_b)
+    SELECT antecedent, consequent, n_pair, n_ante, n_cons,
+           CAST(n_pair AS DOUBLE) / CAST(n_ante AS DOUBLE) AS confidence,
+           CAST(n_pair AS DOUBLE) * (SELECT n FROM nord)
+             / (CAST(n_ante AS DOUBLE) * CAST(n_cons AS DOUBLE)) AS lift
+    FROM rules ORDER BY antecedent, consequent
+    """,
+)
+def association_rules(sf_dir: str):
+    pairs = frequent_part_pairs(sf_dir)        # ≤ topk rows, exact
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    nparts = _join_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        return int_key_part_col(t, "l_orderkey", nparts)
+
+    def singles_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        out = g.groupby("l_partkey", as_index=False).size() \
+            .rename(columns={"size": "n_one"})
+        out["n_one"] = out["n_one"].astype(np.int64)
+        out["n_orders_part"] = np.int64(0)
+        out.loc[out.index[:1], "n_orders_part"] = np.int64(
+            g["l_orderkey"].nunique())
+        return out
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(singles_kernel, batch_format="pandas")
+        .groupby("l_partkey")
+        .aggregate(Sum("n_one", alias_name="n_one"),
+                   Sum("n_orders_part", alias_name="n_orders_part"))
+    ).to_pandas()  # bounded by |parts|
+    n_orders = int(agg["n_orders_part"].sum())
+    ones = dict(zip(agg["l_partkey"].astype(np.int64),
+                    agg["n_one"].astype(np.int64)))
+
+    rows = []
+    for _, r in pairs.iterrows():              # ≤ topk rows
+        a, b, nab = int(r["part_a"]), int(r["part_b"]), int(r["n_orders"])
+        na, nb = int(ones[a]), int(ones[b])
+        rows.append((a, b, nab, na, nb))
+        rows.append((b, a, nab, nb, na))
+    rows.sort()
+    ante = np.array([r[0] for r in rows], np.int64)
+    cons = np.array([r[1] for r in rows], np.int64)
+    npair = np.array([r[2] for r in rows], np.int64)
+    nante = np.array([r[3] for r in rows], np.int64)
+    ncons = np.array([r[4] for r in rows], np.int64)
+    return pd.DataFrame({
+        "antecedent": ante, "consequent": cons, "n_pair": npair,
+        "n_ante": nante, "n_cons": ncons,
+        "confidence": npair.astype(np.float64) / nante.astype(np.float64),
+        "lift": npair.astype(np.float64) * np.float64(n_orders)
+        / (nante.astype(np.float64) * ncons.astype(np.float64)),
+    })

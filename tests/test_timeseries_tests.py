@@ -36,6 +36,7 @@ PINNED = [
     "multimodal_audio_windows",
     "bounce_rate_daily",
     "frequent_part_pairs",
+    "association_rules",
 ]
 
 
