@@ -1512,3 +1512,72 @@ def bounce_rate_daily(sf_dir: str):
         .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
         .sort("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# top_journey_prefixes — product-analytics "top user journeys": the
+# most common first-5-event type sequences across users (count DESC,
+# journey ASC, top 10).  Prefix assembly happens in the user-keyed
+# kernel (first 5 codes per user via boundary offsets); the journey
+# histogram is a tiny (≤ 5^5) second aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "top_journey_prefixes",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events),
+    j AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY rn) AS journey
+      FROM seq WHERE rn <= 5 GROUP BY user_id)
+    SELECT journey, CAST(count(*) AS BIGINT) AS n_users
+    FROM j GROUP BY journey
+    ORDER BY n_users DESC, journey LIMIT 10
+    """,
+)
+def top_journey_prefixes(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    nparts = _join_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+        })
+        return int_key_part_col(out, "user_id", nparts)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        codes = g["event_type"].str[0].to_numpy()
+        n = len(g)
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.r_[starts[1:], n]
+        journeys = ["".join(codes[s:min(s + 5, e)])
+                    for s, e in zip(starts, ends)]
+        res = pd.DataFrame({"journey": journeys})
+        out = res.groupby("journey", as_index=False).size() \
+            .rename(columns={"size": "n_users"})
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+        .groupby("journey")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .sort([("n_users"), ("journey")], descending=[True, False])
+        .limit(10)
+    )

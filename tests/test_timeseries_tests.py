@@ -37,6 +37,7 @@ PINNED = [
     "bounce_rate_daily",
     "frequent_part_pairs",
     "association_rules",
+    "top_journey_prefixes",
 ]
 
 
