@@ -1581,3 +1581,63 @@ def top_journey_prefixes(sf_dir: str):
         .sort([("n_users"), ("journey")], descending=[True, False])
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# new_vs_returning_daily — per-day active users split into NEW (first
+# ever activity that day) vs RETURNING.  (user, day) de-duplicates and
+# each user's first day resolves inside the user-keyed kernel; the
+# daily rollup is a bounded calendar-sized exchange.
+# ---------------------------------------------------------------------------
+@query(
+    "new_vs_returning_daily",
+    f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, (epoch_us(ts) // {_DAY_US2}) AS day
+      FROM events),
+    f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id)
+    SELECT CAST(ud.day AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN ud.day = f.first_day THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_returning
+    FROM ud JOIN f USING (user_id)
+    GROUP BY ud.day ORDER BY ud.day
+    """,
+)
+def new_vs_returning_daily(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    nparts = _join_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()),
+                        pa.scalar(_DAY_US2, pa.int64()))
+        part = pa.table({"user_id": t["user_id"], "day": day}) \
+            .group_by(["user_id", "day"]).aggregate([])
+        return int_key_part_col(part, "user_id", nparts)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        first = g.groupby("user_id")["day"].transform("min")
+        new = (g["day"].to_numpy() == first.to_numpy())
+        out = pd.DataFrame({
+            "day": g["day"].to_numpy(),
+            "n_active": np.ones(len(g), np.int64),
+            "n_new": new.astype(np.int64),
+            "n_returning": (~new).astype(np.int64),
+        })
+        return out.groupby("day", as_index=False).sum()
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("n_active", alias_name="n_active"),
+                   Sum("n_new", alias_name="n_new"),
+                   Sum("n_returning", alias_name="n_returning"))
+        .sort("day")
+    )

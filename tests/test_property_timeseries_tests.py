@@ -30,6 +30,7 @@ QUERIES = [
     "lag1_autocorrelation",
     "churn_labels_weekly",
     "bounce_rate_daily",
+    "new_vs_returning_daily",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]

@@ -38,6 +38,7 @@ PINNED = [
     "frequent_part_pairs",
     "association_rules",
     "top_journey_prefixes",
+    "new_vs_returning_daily",
 ]
 
 
