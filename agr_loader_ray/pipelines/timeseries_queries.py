@@ -1641,3 +1641,81 @@ def new_vs_returning_daily(sf_dir: str):
                    Sum("n_returning", alias_name="n_returning"))
         .sort("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# centroid_distance_matrix — inter-class geometry of the embedding
+# space: squared euclidean distance between every pair of label
+# centroids, carried EXACTLY as the integer cross-term
+# Σ_d (sa_d·nb − sb_d·na)²  ( = dist²·(na·nb)² on the round(x·1000)
+# grid) so no float vector sum exists to mirror.  Per-(label, dim)
+# integer sums fold as bounded partials (10×64 rows for any input
+# size); the 45-pair matrix assembles in one driver-side block.
+# Envelope: |Σx_d|·n < 2^31.5 per class (≈10^5-row classes on the
+# ±1-float grid) keeps the cross-term in int64.
+# ---------------------------------------------------------------------------
+@query(
+    "centroid_distance_matrix",
+    """
+    WITH vd AS (
+      SELECT label, i,
+             CAST(round(CAST(CAST(embedding AS DOUBLE[])[i] AS DOUBLE)
+                        * 1000) AS BIGINT) AS x
+      FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
+    s AS (
+      SELECT label, i, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM vd GROUP BY label, i)
+    SELECT CAST(a.label AS BIGINT) AS label_a,
+           CAST(b.label AS BIGINT) AS label_b,
+           CAST(min(a.n) AS BIGINT) AS n_a, CAST(min(b.n) AS BIGINT) AS n_b,
+           CAST(sum((a.sx * b.n - b.sx * a.n)
+                    * (a.sx * b.n - b.sx * a.n)) AS BIGINT) AS dist2_num
+    FROM s a JOIN s b ON a.i = b.i AND a.label < b.label
+    GROUP BY a.label, b.label ORDER BY a.label, b.label
+    """,
+)
+def centroid_distance_matrix(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+    dim, sc = 64, 1000
+
+    def partials(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(t["embedding"].combine_chunks()) \
+            .to_numpy(zero_copy_only=False).astype(np.float64) * sc
+        x = np.trunc(flat + np.sign(flat) * 0.5).astype(np.int64) \
+            .reshape(-1, dim)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        lab_s, x_s = lab[order], x[order]
+        uniq, starts = np.unique(lab_s, return_index=True)
+        sums = np.add.reduceat(x_s, starts, axis=0)
+        cnts = np.r_[starts[1:], len(lab_s)] - starts
+        L = len(uniq)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dim)),
+            "i": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), L)),
+            "sx": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(cnts.astype(np.int64), dim)),
+        })
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["label", "i"])
+        .aggregate(Sum("sx", alias_name="sx"), Sum("n", alias_name="n"))
+    ).to_pandas()  # ≤ labels×dim rows — statistics-sized
+
+    agg = agg.sort_values(["label", "i"], kind="mergesort")
+    labels = np.sort(agg["label"].unique()).astype(np.int64)
+    S = agg["sx"].to_numpy().reshape(len(labels), dim)
+    N = agg["n"].to_numpy().reshape(len(labels), dim)[:, 0]
+    rows = []
+    for ai in range(len(labels)):
+        for bi in range(ai + 1, len(labels)):
+            cross = S[ai] * N[bi] - S[bi] * N[ai]
+            rows.append((int(labels[ai]), int(labels[bi]),
+                         int(N[ai]), int(N[bi]),
+                         int((cross * cross).sum())))
+    return pd.DataFrame(rows, columns=[
+        "label_a", "label_b", "n_a", "n_b", "dist2_num"]).astype(np.int64)

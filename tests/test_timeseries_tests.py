@@ -39,6 +39,7 @@ PINNED = [
     "association_rules",
     "top_journey_prefixes",
     "new_vs_returning_daily",
+    "centroid_distance_matrix",
 ]
 
 
