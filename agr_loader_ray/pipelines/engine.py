@@ -1049,6 +1049,8 @@ class CdcEngine:
             "purged_rows": purged + int(m.get("purged_rows", 0)),
             "purge_seq": seq,
         }
+        if m.get("restored_from") is not None:  # keep lineage chain intact
+            manifest["restored_from"] = m["restored_from"]
         if m.get("n_partitions") is not None:
             manifest["n_partitions"] = m["n_partitions"]
         if m.get("quarantine"):
@@ -1089,6 +1091,9 @@ class CdcEngine:
             "partitions": src["partitions"],
             "restored_from": epoch,
         }
+        if cur.get("purge_seq"):  # purge lineage is historical — keep it
+            manifest["purge_seq"] = cur["purge_seq"]
+            manifest["purged_rows"] = cur.get("purged_rows", 0)
         if cur.get("n_partitions") is not None:
             if src.get("n_partitions") not in (None, cur["n_partitions"]):
                 raise ValueError(
@@ -1247,6 +1252,38 @@ def lake_metrics(lake_root: str) -> dict:
                 "max_offset": m.get("wal_offsets", [None, None])[1] if m.get("wal_offsets") else None,
             }
         )
+    return out
+
+
+def lake_history(lake_root: str) -> list[dict]:
+    """DESCRIBE HISTORY: one row per committed epoch with the operation
+    lineage the manifests carry — replay vs maintenance rewrites
+    (restore/purge annotate the CURRENT manifest in place), schema
+    version, counts, quarantine, vacuum watermark.  Metadata-only."""
+    manifest = LakeManifest(lake_root)
+    wm = manifest.min_readable_epoch()
+    out = []
+    for e in manifest.committed_epochs():
+        m = manifest.read_epoch(e)
+        parts = list(m["partitions"].values())
+        ops = ["replay"]
+        if m.get("restored_from") is not None:
+            ops.append(f"restore(from={m['restored_from']})")
+        if m.get("purge_seq"):
+            ops.append(f"purge(seq={m['purge_seq']}, "
+                       f"rows={m.get('purged_rows', 0)})")
+        if parts and all(not p.get("deltas") for p in parts):
+            ops.append("compacted")
+        out.append({
+            "epoch": e,
+            "operations": ops,
+            "schema_version": m["schema_registry"]["version"],
+            "n_partitions": m.get("n_partitions"),
+            "rows": sum(p["rows"] for p in parts),
+            "data_files": sum(len(_info_files(p)) for p in parts),
+            "quarantined": m.get("quarantine", {}).get("rows", 0),
+            "readable": wm is None or e >= wm,
+        })
     return out
 
 

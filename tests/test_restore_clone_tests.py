@@ -275,3 +275,24 @@ def test_sync_to_crash_mid_ship_rerun_converges(tmp_path, monkeypatch):
     pd.testing.assert_frame_equal(
         export_sorted(replica).to_pandas().reset_index(drop=True),
         export_sorted(lake).to_pandas().reset_index(drop=True))
+
+
+def test_lake_history_describes_lifecycle(replayed):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from agr_loader_ray.pipelines.engine import lake_history
+
+    eng, wal, lake = replayed
+    eng.restore(2)
+    eng.purge(lambda t: pc.is_in(
+        t["conv_id"], value_set=pa.array(["conv-00000001"])))
+    eng.vacuum(retain_epochs=2)
+
+    hist = lake_history(lake)
+    assert [h["epoch"] for h in hist] == [0, 1, 2, 3, 4]
+    last = hist[-1]
+    assert "restore(from=2)" in last["operations"]
+    assert any(op.startswith("purge(seq=1") for op in last["operations"])
+    assert last["schema_version"] >= 0 and last["rows"] > 0
+    assert [h["readable"] for h in hist] == [False, False, False, True, True]
