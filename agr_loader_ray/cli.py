@@ -83,6 +83,10 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("--conv-ids", required=True,
                     help="comma-separated conv_id values to erase")
 
+    hp = sub.add_parser("history", help="DESCRIBE HISTORY: per-epoch "
+                                        "operation lineage from the manifests")
+    hp.add_argument("--lake", required=True)
+
     qp = sub.add_parser("repartition", help="rewrite lake ownership to a "
                                             "new partition count")
     qp.add_argument("--lake", required=True)
@@ -127,6 +131,10 @@ def main(argv: list[str] | None = None) -> int:
             return pc.is_in(t["conv_id"], value_set=victims)
 
         out = CdcEngine(args.lake).purge(pred)
+    elif args.cmd == "history":
+        from .pipelines.engine import lake_history
+
+        out = {"history": lake_history(args.lake)}
     elif args.cmd == "repartition":
         out = CdcEngine(args.lake).repartition(args.new_partitions)
     else:

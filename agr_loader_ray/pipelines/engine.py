@@ -886,8 +886,11 @@ class CdcEngine:
         new_parts = {r["part"]: {k: v for k, v in r.items() if k != "part"}
                      for r in rows}
         self._check_writer()
+        lineage = {k: m[k] for k in ("restored_from", "purge_seq",
+                                     "purged_rows") if m.get(k) is not None}
         self.manifest.commit_epoch(last, m["schema_registry"], new_parts,
-                                   m.get("wal_offsets"), n_partitions=new_n)
+                                   m.get("wal_offsets"), n_partitions=new_n,
+                                   extras=lineage or None)
         self.n_partitions = new_n
         return {"n_partitions": new_n, "partitions_written": len(new_parts)}
 

@@ -84,7 +84,8 @@ class LakeManifest:
     def commit_epoch(self, epoch: int, schema_registry: dict, partitions: dict[int, dict],
                      wal_offsets: tuple[int, int] | None,
                      quarantine: dict | None = None,
-                     n_partitions: int | None = None) -> dict:
+                     n_partitions: int | None = None,
+                     extras: dict | None = None) -> dict:
         """Atomically publish epoch ``epoch``.  ``partitions`` maps
         part-id → {"path": rel_path|None, "rows": n, "live_rows": n,
         "checksum": hex, "max_offset": o, "epoch": last_write_epoch}.
@@ -102,6 +103,10 @@ class LakeManifest:
             # lets readers route a key straight to its partition
             # (point_lookup) without knowing the engine config
             manifest["n_partitions"] = n_partitions
+        if extras:
+            # lineage fields carried through in-place rewrites
+            # (restore/purge/repartition must never lose history)
+            manifest.update(extras)
         self.commit_io.publish_json(self.epoch_manifest_path(epoch), manifest)
         return manifest
 

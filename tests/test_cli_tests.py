@@ -61,3 +61,7 @@ def test_cli_lifecycle_commands(tmp_path):
     r = _run("repartition", "--lake", lake, "--new-partitions", "8")
     assert r["n_partitions"] == 8
     assert _run("verify", "--lake", lake)["ok"]
+
+    h = _run("history", "--lake", lake)["history"]
+    assert h[-1]["epoch"] == 2 and h[-1]["readable"]
+    assert any(op.startswith("purge") for op in h[-1]["operations"])
