@@ -1719,3 +1719,80 @@ def centroid_distance_matrix(sf_dir: str):
                          int((cross * cross).sum())))
     return pd.DataFrame(rows, columns=[
         "label_a", "label_b", "n_a", "n_b", "dist2_num"]).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# gini_per_priority — inequality measure: the Gini coefficient of order
+# totals per priority, computed EXACTLY from domain-bounded
+# (priority, cents, count) partials.  Duplicate-value rank sums are the
+# closed form cnt·c_before + cnt(cnt+1)/2 over the value histogram, so
+# Σ rank·x, the numerator 2Σrank·x − (n+1)Σx, and the denominator n·Σx
+# are all int64 — one mirrored float division total.  Envelope:
+# n²·x̄/2 < 2^63 (≈10^7 rows at 10^5-cent means).
+# ---------------------------------------------------------------------------
+@query(
+    "gini_per_priority",
+    """
+    WITH w AS (
+      SELECT o_orderpriority AS prio,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1, 2),
+    c AS (
+      SELECT prio, cents, cnt,
+             sum(cnt) OVER (PARTITION BY prio ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) - cnt AS c_before
+      FROM w),
+    s AS (
+      SELECT prio,
+             CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cents * cnt) AS BIGINT) AS sx,
+             CAST(sum(cents * (cnt * c_before + cnt * (cnt + 1) // 2))
+                  AS BIGINT) AS srx
+      FROM c GROUP BY prio)
+    SELECT prio, n, sx,
+           CAST(2 * srx - (n + 1) * sx AS BIGINT) AS gini_num,
+           CAST(2 * srx - (n + 1) * sx AS DOUBLE)
+             / CAST(n * sx AS DOUBLE) AS gini
+    FROM s ORDER BY prio
+    """,
+)
+def gini_per_priority(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_totalprice"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        part = pa.table({
+            "prio": t["o_orderpriority"],
+            "cents": _cents(t["o_totalprice"]),
+            "cnt": pa.array(np.ones(t.num_rows, np.int64)),
+        }).group_by(["prio", "cents"]).aggregate([("cnt", "sum")])
+        return part.rename_columns(["prio", "cents", "cnt"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        prio = g["prio"].iloc[0]
+        g = g.groupby("cents", as_index=False)["cnt"].sum() \
+            .sort_values("cents", kind="mergesort")
+        v = g["cents"].to_numpy()
+        c = g["cnt"].to_numpy()
+        cb = np.r_[0, np.cumsum(c)[:-1]]
+        n = int(c.sum())
+        sx = int((v * c).sum())
+        srx = int((v * (c * cb + c * (c + 1) // 2)).sum())
+        num = 2 * srx - (n + 1) * sx
+        return pd.DataFrame({
+            "prio": [prio],
+            "n": np.array([n], np.int64),
+            "sx": np.array([sx], np.int64),
+            "gini_num": np.array([num], np.int64),
+            "gini": np.array([num / (n * sx)], np.float64),
+        })
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("prio")
+        .map_groups(kernel, batch_format="pandas")
+        .sort("prio")
+    )

@@ -40,6 +40,7 @@ PINNED = [
     "top_journey_prefixes",
     "new_vs_returning_daily",
     "centroid_distance_matrix",
+    "gini_per_priority",
 ]
 
 
