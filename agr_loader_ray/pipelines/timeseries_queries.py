@@ -1796,3 +1796,110 @@ def gini_per_priority(sf_dir: str):
         .map_groups(kernel, batch_format="pandas")
         .sort("prio")
     )
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier_risk_table — survival analysis with censoring: each
+# 'view' is an observation whose duration runs to the user's next
+# purchase (event=1) or to the user's last event (censored, event=0).
+# The deliverable is the exact INTEGER risk table — (t, deaths,
+# n_at_risk) at every event time — from which S(t)=Π(1−d/n) follows;
+# the product itself is deliberately left to the caller (float Π has
+# no canonical order to mirror).  Durations derive in the user-keyed
+# kernel (same backward-fill as time_to_conversion + censor fill);
+# n_at_risk is a reverse cumulative over the bounded (duration,
+# deaths, censored) histogram.
+# ---------------------------------------------------------------------------
+@query(
+    "kaplan_meier_risk_table",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_purchase,
+             max(ts) OVER (PARTITION BY user_id) AS last_ts
+      FROM events),
+    obs AS (
+      SELECT CASE WHEN next_purchase IS NOT NULL
+                  THEN epoch_us(next_purchase) - epoch_us(ts)
+                  ELSE epoch_us(last_ts) - epoch_us(ts) END AS t_us,
+             CASE WHEN next_purchase IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM seq WHERE event_type = 'view'),
+    h AS (
+      SELECT t_us, CAST(sum(ev) AS BIGINT) AS deaths,
+             CAST(count(*) AS BIGINT) AS total
+      FROM obs GROUP BY t_us),
+    r AS (
+      SELECT t_us, deaths,
+             sum(total) OVER (ORDER BY t_us DESC
+                              ROWS UNBOUNDED PRECEDING) AS n_at_risk
+      FROM h)
+    SELECT CAST(t_us AS BIGINT) AS t_us, deaths,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk
+    FROM r WHERE deaths > 0 ORDER BY t_us
+    """,
+)
+def kaplan_meier_risk_table(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    nparts = _join_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+        })
+        return int_key_part_col(out, "user_id", nparts)
+
+    _SENT = np.iinfo(np.int64).max
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        n = len(g)
+        idx = np.arange(n)
+        last = np.empty(n, bool)
+        last[-1] = True
+        last[:-1] = uid[1:] != uid[:-1]
+        run_end = np.flip(np.minimum.accumulate(
+            np.flip(np.where(last, idx, _SENT))))
+        # next purchase strictly after, same user (index-encoded carry)
+        src2 = np.where(et == "purchase", idx, n)
+        nxt_idx = np.empty(n, np.int64)
+        nxt_idx[:-1] = np.minimum.accumulate(src2[::-1])[::-1][1:]
+        nxt_idx[-1] = n
+        valid = nxt_idx <= run_end
+        is_v = et == "view"
+        dur = np.where(valid, ts[np.minimum(nxt_idx, n - 1)] - ts,
+                       ts[np.minimum(run_end, n - 1)] - ts)
+        res = pd.DataFrame({
+            "t_us": dur[is_v],
+            "deaths": valid[is_v].astype(np.int64),
+            "total": np.ones(int(is_v.sum()), np.int64),
+        })
+        return res.groupby("t_us", as_index=False).sum()
+
+    def risk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby("t_us", as_index=False)[["deaths", "total"]].sum() \
+            .sort_values("t_us", ascending=False, kind="mergesort")
+        g["n_at_risk"] = g["total"].cumsum()
+        g = g[g["deaths"] > 0].sort_values("t_us", kind="mergesort")
+        return g[["t_us", "deaths", "n_at_risk"]].reset_index(drop=True)
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+        .repartition(1)  # bounded by distinct durations (output-sized);
+        # the two-pass global-rank pattern takes over at larger scales
+        .map_batches(risk, batch_format="pandas", batch_size=None)
+        .sort("t_us")
+    )

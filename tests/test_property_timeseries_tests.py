@@ -31,6 +31,7 @@ QUERIES = [
     "churn_labels_weekly",
     "bounce_rate_daily",
     "new_vs_returning_daily",
+    "kaplan_meier_risk_table",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
@@ -80,6 +81,11 @@ def test_random_events_match_oracle(name, frame, tmp_path_factory):
     want = con.sql(entry.oracle_sql()[name]).arrow().to_pandas()
     con.close()
     assert len(got) == len(want)
+    if len(got) == 0:
+        # equal-and-empty passes: an empty Ray Dataset drops its schema
+        # (the documented framework artifact), so there is no dtype
+        # tuple to compare — emptiness agreement is the property
+        return
     g, w = _typed_hash(got), _typed_hash(want)
     assert g[0] == w[0], (dict(got.dtypes.astype(str)),
                           dict(want.dtypes.astype(str)))

@@ -41,6 +41,7 @@ PINNED = [
     "new_vs_returning_daily",
     "centroid_distance_matrix",
     "gini_per_priority",
+    "kaplan_meier_risk_table",
 ]
 
 
