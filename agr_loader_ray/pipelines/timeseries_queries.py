@@ -1903,3 +1903,140 @@ def kaplan_meier_risk_table(sf_dir: str):
         .map_batches(risk, batch_format="pandas", batch_size=None)
         .sort("t_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# naive_forecast_backtest — forecast-evaluation metric: score the
+# naive "tomorrow = today" forecaster on daily per-type revenue.
+# Absolute errors stay exact int64 (|cents_d − cents_{d−1}| over
+# OBSERVED-day pairs); MAE is one mirrored division.  The backtest
+# shape every forecasting pipeline needs before anything fancier.
+# ---------------------------------------------------------------------------
+@query(
+    "naive_forecast_backtest",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    p AS (
+      SELECT event_type, cents,
+             lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS prev
+      FROM d)
+    SELECT event_type,
+           CAST(count(prev) AS BIGINT) AS n_forecasts,
+           CAST(sum(abs(cents - prev)) AS BIGINT) AS abs_err_sum,
+           CAST(sum(abs(cents - prev)) AS DOUBLE) / count(prev) AS mae_cents
+    FROM p WHERE prev IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def naive_forecast_backtest(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()),
+                        pa.scalar(_DAY_US2, pa.int64()))
+        part = pa.table({
+            "event_type": t["event_type"],
+            "day": day,
+            "cents": _cents(t["value"]),
+        }).group_by(["event_type", "day"]).aggregate([("cents", "sum")])
+        return part.rename_columns(["event_type", "day", "cents"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].iloc[0]
+        g = g.groupby("day", as_index=False)["cents"].sum() \
+            .sort_values("day", kind="mergesort")
+        c = g["cents"].to_numpy()
+        if len(c) < 2:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "n_forecasts": pd.Series([], dtype=np.int64),
+                "abs_err_sum": pd.Series([], dtype=np.int64),
+                "mae_cents": pd.Series([], dtype=np.float64)})
+        err = np.abs(c[1:] - c[:-1])
+        return pd.DataFrame({
+            "event_type": [et],
+            "n_forecasts": np.array([len(err)], np.int64),
+            "abs_err_sum": np.array([int(err.sum())], np.int64),
+            "mae_cents": np.array([err.sum() / len(err)], np.float64),
+        })
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(kernel, batch_format="pandas")
+        .sort("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# purchase_streaks — run-length encoding: each user's LONGEST run of
+# consecutive purchase events (and their run count) in event order.
+# Runs resolve with two boundary masks in the user-keyed kernel; the
+# SQL oracle is the classic rn-difference gaps-and-islands.
+# ---------------------------------------------------------------------------
+@query(
+    "purchase_streaks",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rnt
+      FROM events),
+    runs AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS run_len
+      FROM seq WHERE event_type = 'purchase'
+      GROUP BY user_id, rn - rnt)
+    SELECT user_id,
+           CAST(max(run_len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM runs GROUP BY user_id ORDER BY user_id
+    """,
+)
+def purchase_streaks(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    nparts = _join_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+        })
+        return int_key_part_col(out, "user_id", nparts)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        isp = (g["event_type"].to_numpy() == "purchase")
+        n = len(g)
+        newu = np.empty(n, bool)
+        newu[0] = True
+        newu[1:] = uid[1:] != uid[:-1]
+        # a purchase run STARTS where is_p and (new user or prev not p)
+        start = isp & (newu | ~np.r_[False, isp[:-1]])
+        run_id = np.cumsum(start)             # 0 before any run
+        res = pd.DataFrame({"user_id": uid[isp], "run": run_id[isp]})
+        runs = res.groupby(["user_id", "run"], as_index=False).size()
+        out = runs.groupby("user_id", as_index=False).agg(
+            longest_streak=("size", "max"), n_streaks=("size", "size"))
+        out["longest_streak"] = out["longest_streak"].astype(np.int64)
+        out["n_streaks"] = out["n_streaks"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+        .sort("user_id")
+    )

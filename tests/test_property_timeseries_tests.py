@@ -32,6 +32,7 @@ QUERIES = [
     "bounce_rate_daily",
     "new_vs_returning_daily",
     "kaplan_meier_risk_table",
+    "purchase_streaks",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]

@@ -42,6 +42,8 @@ PINNED = [
     "centroid_distance_matrix",
     "gini_per_priority",
     "kaplan_meier_risk_table",
+    "naive_forecast_backtest",
+    "purchase_streaks",
 ]
 
 
