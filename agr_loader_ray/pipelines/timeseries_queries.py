@@ -2040,3 +2040,60 @@ def purchase_streaks(sf_dir: str):
         .map_groups(kernel, batch_format="pandas")
         .sort("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# data_mix_quota_sample — dataset-mixing QUOTA sampler: a fixed budget
+# per source (not a rate), selected deterministically by Knuth-hash
+# order so the SQL oracle picks the IDENTICAL documents — reweighting
+# a training mix as a reproducible operator, the per-stratum-cap
+# sibling of stratified_sample_events.  Sources are hash-partitioned;
+# each kernel ranks its complete sources locally (one exchange).
+# ---------------------------------------------------------------------------
+_QUOTA = 10
+
+
+@query(
+    "data_mix_quota_sample",
+    f"""
+    WITH r AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM r WHERE rn <= {_QUOTA}
+    GROUP BY source ORDER BY source
+    """,
+)
+def data_mix_quota_sample(sf_dir: str):
+    from ..functions.tables import read_table
+    from ..stages.partition import str_key_part_col
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    nparts = _join_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        return str_key_part_col(t, "source", nparts)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        did = g["doc_id"].to_numpy().astype(np.uint64)
+        g = g.assign(h=(did * np.uint64(2654435761)) % np.uint64(4294967296))
+        g = g.sort_values(["source", "h", "doc_id"], kind="mergesort")
+        rank = g.groupby("source").cumcount()
+        sel = g[rank < _QUOTA]
+        out = sel.groupby("source", as_index=False).agg(
+            n_selected=("doc_id", "size"), id_sum=("doc_id", "sum"))
+        out["n_selected"] = out["n_selected"].astype(np.int64)
+        out["id_sum"] = out["id_sum"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+        .sort("source")
+    )

@@ -44,6 +44,7 @@ PINNED = [
     "kaplan_meier_risk_table",
     "naive_forecast_backtest",
     "purchase_streaks",
+    "data_mix_quota_sample",
 ]
 
 
