@@ -2097,3 +2097,70 @@ def data_mix_quota_sample(sf_dir: str):
         .map_groups(kernel, batch_format="pandas")
         .sort("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# abc_classification — inventory ABC analysis: parts ranked by revenue,
+# classified A/B/C at 80% / 95% cumulative-revenue cuts.  The class
+# test is pure integer arithmetic (cum·100 ≤ 80·total, evaluated on the
+# PREVIOUS row's cumulative so every class is non-empty by
+# construction); per-part revenue folds as partials bounded by the part
+# domain, the classify kernel is one sort+cumsum over that bounded set.
+# ---------------------------------------------------------------------------
+@query(
+    "abc_classification",
+    """
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1),
+    c AS (
+      SELECT l_partkey, rev,
+             sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) - rev AS cum_before,
+             sum(rev) OVER () AS total
+      FROM pr)
+    SELECT CASE WHEN cum_before * 100 < 80 * total THEN 'A'
+                WHEN cum_before * 100 < 95 * total THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev) AS BIGINT) AS class_rev
+    FROM c GROUP BY 1 ORDER BY 1
+    """,
+)
+def abc_classification(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_extendedprice"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        part = pa.table({
+            "l_partkey": t["l_partkey"],
+            "rev": _cents(t["l_extendedprice"]),
+        }).group_by("l_partkey").aggregate([("rev", "sum")])
+        return part.rename_columns(["l_partkey", "rev"])
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby("l_partkey", as_index=False)["rev"].sum() \
+            .sort_values(["rev", "l_partkey"], ascending=[False, True],
+                         kind="mergesort")
+        rev = g["rev"].to_numpy()
+        cum_before = np.r_[0, np.cumsum(rev)[:-1]]
+        total = int(rev.sum())
+        cls = np.where(cum_before * 100 < 80 * total, "A",
+                       np.where(cum_before * 100 < 95 * total, "B", "C"))
+        out = pd.DataFrame({"abc_class": cls, "rev": rev})
+        res = out.groupby("abc_class", as_index=False).agg(
+            n_parts=("rev", "size"), class_rev=("rev", "sum"))
+        res["n_parts"] = res["n_parts"].astype(np.int64)
+        res["class_rev"] = res["class_rev"].astype(np.int64)
+        return res
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)  # bounded by the part domain
+        .map_batches(classify, batch_format="pandas", batch_size=None)
+        .sort("abc_class")
+    )

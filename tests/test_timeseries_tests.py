@@ -45,6 +45,7 @@ PINNED = [
     "naive_forecast_backtest",
     "purchase_streaks",
     "data_mix_quota_sample",
+    "abc_classification",
 ]
 
 
