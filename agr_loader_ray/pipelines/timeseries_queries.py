@@ -2164,3 +2164,88 @@ def abc_classification(sf_dir: str):
         .map_batches(classify, batch_format="pandas", batch_size=None)
         .sort("abc_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# dag_depth_levels — shortest-path LEVELS over the multi-parent DAG
+# (k→k//2, and k→k//3 when 3|k): each node's minimum edge distance to
+# the root (1).  The edge table is the ontology-sized side, so levels
+# derive once on the driver via a level-synchronized numpy frontier BFS
+# over the REVERSED CSR adjacency (no per-node Python) and broadcast;
+# the unbounded node stream gathers its level with one searchsorted per
+# batch — the same small-edges/big-nodes contract as
+# closure_broadcast_bfs.  WITH RECURSIVE min-steps oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "dag_depth_levels",
+    """
+    WITH RECURSIVE walk(node, cur, steps) AS (
+      SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey >= 1
+      UNION
+      SELECT w.node,
+             CASE WHEN w.cur % 3 = 0 AND f = 3 THEN w.cur // 3
+                  ELSE w.cur // 2 END,
+             w.steps + 1
+      FROM walk w CROSS JOIN (SELECT unnest([2, 3]) AS f) fs
+      WHERE w.cur >= 2 AND (f = 2 OR (f = 3 AND w.cur % 3 = 0))
+    )
+    SELECT node, CAST(min(steps) AS BIGINT) AS level
+    FROM walk WHERE cur = 1 GROUP BY node ORDER BY node
+    """,
+)
+def dag_depth_levels(sf_dir: str):
+    import ray
+    import ray.data  # noqa: F401
+    from ..functions.tables import read_small, read_table
+
+    keys = read_small(sf_dir, "part", columns=["p_partkey"])["p_partkey"] \
+        .to_numpy().astype(np.int64)
+    keys = keys[keys >= 1]
+    # edge table child→parent (consumed as data)
+    child2 = keys[keys >= 2]
+    e_child = np.r_[child2, keys[(keys >= 3) & (keys % 3 == 0)]]
+    e_parent = np.r_[child2 // 2, keys[(keys >= 3) & (keys % 3 == 0)] // 3]
+
+    # driver-side frontier BFS from the root over REVERSED edges
+    # (parent→child CSR), level-synchronized — O(E) total
+    order = np.argsort(e_parent, kind="stable")
+    p_sorted, c_sorted = e_parent[order], e_child[order]
+    nodes_sorted = np.unique(np.r_[keys, e_parent])
+    level = np.full(len(nodes_sorted), -1, np.int64)
+    root = np.searchsorted(nodes_sorted, 1)
+    if root < len(nodes_sorted) and nodes_sorted[root] == 1:
+        level[root] = 0
+        frontier = np.array([1], np.int64)
+        lv = 0
+        while len(frontier):
+            lv += 1
+            lo = np.searchsorted(p_sorted, frontier, side="left")
+            hi = np.searchsorted(p_sorted, frontier, side="right")
+            counts = hi - lo
+            rep = np.repeat(np.arange(len(frontier)), counts)
+            within = np.arange(int(counts.sum())) - np.repeat(
+                np.r_[0, np.cumsum(counts)[:-1]], counts)
+            kids = np.unique(c_sorted[lo[rep] + within]) \
+                if counts.sum() else np.array([], np.int64)
+            ki = np.searchsorted(nodes_sorted, kids)
+            fresh = level[ki] < 0
+            level[ki[fresh]] = lv
+            frontier = kids[fresh]
+    lvl_ref = ray.put((nodes_sorted, level))
+
+    ds = read_table(sf_dir, "part", columns=["p_partkey"])
+
+    def gather(t: pa.Table) -> pa.Table:
+        ns, lv = ray.get(lvl_ref)
+        node = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        node = node[node >= 1]
+        li = np.searchsorted(ns, node)
+        out_l = lv[np.minimum(li, len(ns) - 1)]
+        keep = out_l >= 0
+        return pa.table({
+            "node": pa.array(node[keep]),
+            "level": pa.array(out_l[keep]),
+        })
+
+    return ds.map_batches(gather, batch_format="pyarrow",
+                          zero_copy_batch=True).sort("node")

@@ -46,6 +46,7 @@ PINNED = [
     "purchase_streaks",
     "data_mix_quota_sample",
     "abc_classification",
+    "dag_depth_levels",
 ]
 
 
