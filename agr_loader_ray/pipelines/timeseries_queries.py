@@ -2249,3 +2249,75 @@ def dag_depth_levels(sf_dir: str):
 
     return ds.map_batches(gather, batch_format="pyarrow",
                           zero_copy_batch=True).sort("node")
+
+
+# ---------------------------------------------------------------------------
+# roc_points_value — ML-evaluation operator: exact confusion-matrix
+# points for the threshold classifier "predict purchase when value ≥
+# t", at 40 integer thresholds (t = 1000..40000 cents).  The sweep
+# costs ONE pass: (label, 1000-cent bin) integer partials (bounded
+# 2×41 rows), then reverse-cumulative histograms give tp/fp per
+# threshold in a single kernel — never 40 scans.
+# ---------------------------------------------------------------------------
+@query(
+    "roc_points_value",
+    """
+    WITH b AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+             least(CAST(round(value * 100) AS BIGINT) // 1000, 40) AS bin,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    t AS (SELECT unnest(generate_series(1, 40)) AS thr)
+    SELECT CAST(thr * 1000 AS BIGINT) AS threshold_cents,
+           CAST(sum(CASE WHEN pos = 1 AND bin >= thr THEN n ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN pos = 0 AND bin >= thr THEN n ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN pos = 1 AND bin < thr THEN n ELSE 0 END)
+                AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN pos = 0 AND bin < thr THEN n ELSE 0 END)
+                AS BIGINT) AS tn
+    FROM t CROSS JOIN b GROUP BY thr ORDER BY threshold_cents
+    """,
+)
+def roc_points_value(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        cents = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        bins = np.minimum(cents // 1000, 40)
+        pos = (t["event_type"].to_numpy(zero_copy_only=False)
+               == "purchase").astype(np.int64)
+        part = pa.table({
+            "pos": pa.array(pos),
+            "bin": pa.array(bins.astype(np.int64)),
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+        }).group_by(["pos", "bin"]).aggregate([("n", "sum")])
+        return part.rename_columns(["pos", "bin", "n"])
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["pos", "bin"], as_index=False)["n"].sum()
+        hp = np.zeros(41, np.int64)
+        hn = np.zeros(41, np.int64)
+        for _, r in g.iterrows():              # ≤ 82 bounded rows
+            (hp if r["pos"] == 1 else hn)[int(r["bin"])] += int(r["n"])
+        # reverse cumulative: count(bin >= thr)
+        cp = np.cumsum(hp[::-1])[::-1]
+        cn = np.cumsum(hn[::-1])[::-1]
+        P, N = int(hp.sum()), int(hn.sum())
+        thr = np.arange(1, 41, dtype=np.int64)
+        tp = cp[thr]
+        fp = cn[thr]
+        return pd.DataFrame({
+            "threshold_cents": thr * 1000,
+            "tp": tp, "fp": fp, "fn": P - tp, "tn": N - fp,
+        }).astype(np.int64)
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)  # bounded: ≤ 2×41 partial rows
+        .map_batches(sweep, batch_format="pandas", batch_size=None)
+        .sort("threshold_cents")
+    )

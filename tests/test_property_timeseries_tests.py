@@ -33,6 +33,7 @@ QUERIES = [
     "new_vs_returning_daily",
     "kaplan_meier_risk_table",
     "purchase_streaks",
+    "roc_points_value",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]

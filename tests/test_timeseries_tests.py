@@ -47,6 +47,7 @@ PINNED = [
     "data_mix_quota_sample",
     "abc_classification",
     "dag_depth_levels",
+    "roc_points_value",
 ]
 
 
