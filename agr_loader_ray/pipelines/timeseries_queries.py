@@ -2321,3 +2321,67 @@ def roc_points_value(sf_dir: str):
         .map_batches(sweep, batch_format="pandas", batch_size=None)
         .sort("threshold_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort_ltv_matrix — growth analytics: revenue by signup cohort ×
+# weeks-since-signup (the LTV triangle).  Each user's cohort (first
+# active week) resolves inside the user-keyed kernel; the matrix rollup
+# is a calendar²-bounded exchange of exact integer cents + distinct-
+# user counts.
+# ---------------------------------------------------------------------------
+@query(
+    "cohort_ltv_matrix",
+    f"""
+    WITH uw AS (
+      SELECT user_id, (epoch_us(ts) // {_WEEK_US}) AS week,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    c AS (SELECT user_id, min(week) AS cohort FROM uw GROUP BY user_id)
+    SELECT CAST(c.cohort AS BIGINT) AS cohort_week,
+           CAST(uw.week - c.cohort AS BIGINT) AS age_weeks,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(uw.cents) AS BIGINT) AS cents
+    FROM uw JOIN c USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def cohort_ltv_matrix(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    nparts = _join_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        week = pc.divide(pc.cast(t["ts"], pa.int64()),
+                         pa.scalar(_WEEK_US, pa.int64()))
+        part = pa.table({
+            "user_id": t["user_id"],
+            "week": week,
+            "cents": _cents(t["value"]),
+        }).group_by(["user_id", "week"]).aggregate([("cents", "sum")])
+        return int_key_part_col(
+            part.rename_columns(["user_id", "week", "cents"]),
+            "user_id", nparts)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["user_id", "week"], as_index=False)["cents"].sum()
+        cohort = g.groupby("user_id")["week"].transform("min")
+        out = pd.DataFrame({
+            "cohort_week": cohort.to_numpy(),
+            "age_weeks": g["week"].to_numpy() - cohort.to_numpy(),
+            "n_users": np.ones(len(g), np.int64),
+            "cents": g["cents"].to_numpy(),
+        })
+        return out.groupby(["cohort_week", "age_weeks"],
+                           as_index=False).sum()
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+        .groupby(["cohort_week", "age_weeks"])
+        .aggregate(Sum("n_users", alias_name="n_users"),
+                   Sum("cents", alias_name="cents"))
+        .sort(["cohort_week", "age_weeks"])
+    )

@@ -34,6 +34,7 @@ QUERIES = [
     "kaplan_meier_risk_table",
     "purchase_streaks",
     "roc_points_value",
+    "cohort_ltv_matrix",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]

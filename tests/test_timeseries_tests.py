@@ -48,6 +48,7 @@ PINNED = [
     "abc_classification",
     "dag_depth_levels",
     "roc_points_value",
+    "cohort_ltv_matrix",
 ]
 
 
