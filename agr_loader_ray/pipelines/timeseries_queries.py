@@ -2385,3 +2385,89 @@ def cohort_ltv_matrix(sf_dir: str):
                    Sum("cents", alias_name="cents"))
         .sort(["cohort_week", "age_weeks"])
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel_steps_table — the classic funnel drop-off table: how many
+# users reach each ordered stage signup → view → click → purchase
+# (stages may be separated by arbitrary other events).  Stage
+# containment is an ordered-subsequence regex over the per-user
+# signature (RE2 both sides); all four stages evaluate on one pass of
+# the assembled sequences.
+# ---------------------------------------------------------------------------
+_FUNNEL_STEPS = [("signup", "s"), ("view", "s.*v"),
+                 ("click", "s.*v.*c"), ("purchase", "s.*v.*c.*p")]
+
+
+@query(
+    "funnel_steps_table",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(CASE event_type
+                          WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                          WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                          ELSE 'e' END, '' ORDER BY ts, event_id) AS sig
+      FROM events GROUP BY user_id)
+    SELECT step, CAST(n_users AS BIGINT) AS n_users FROM (
+      SELECT 1 AS ord, 'signup' AS step,
+             count(*) FILTER (regexp_matches(sig, 's')) AS n_users FROM seq
+      UNION ALL
+      SELECT 2, 'view',
+             count(*) FILTER (regexp_matches(sig, 's.*v')) FROM seq
+      UNION ALL
+      SELECT 3, 'click',
+             count(*) FILTER (regexp_matches(sig, 's.*v.*c')) FROM seq
+      UNION ALL
+      SELECT 4, 'purchase',
+             count(*) FILTER (regexp_matches(sig, 's.*v.*c.*p')) FROM seq
+    ) ORDER BY ord
+    """,
+)
+def funnel_steps_table(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    nparts = _join_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+        })
+        return int_key_part_col(out, "user_id", nparts)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        codes = g["event_type"].map(_CEP_CODE).to_numpy()
+        n = len(g)
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(first)
+        sigs = pa.array(["".join(codes[s:e]) for s, e in
+                         zip(starts, np.r_[starts[1:], n])], pa.string())
+        rows = []
+        for step, pat in _FUNNEL_STEPS:
+            hit = pc.sum(pc.match_substring_regex(sigs, pat)).as_py() or 0
+            rows.append((step, int(hit)))
+        return pd.DataFrame(rows, columns=["step", "n_users"]) \
+            .astype({"n_users": np.int64})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby("step", as_index=False)["n_users"].sum()
+        order = {s: i for i, (s, _) in enumerate(_FUNNEL_STEPS)}
+        g["ord"] = g["step"].map(order)
+        return g.sort_values("ord").drop(columns="ord").reset_index(drop=True)
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+        .repartition(1)  # bounded: 4 rows per partition
+        .map_batches(finish, batch_format="pandas", batch_size=None)
+    )

@@ -35,6 +35,7 @@ QUERIES = [
     "purchase_streaks",
     "roc_points_value",
     "cohort_ltv_matrix",
+    "funnel_steps_table",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]

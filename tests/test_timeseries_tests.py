@@ -49,6 +49,7 @@ PINNED = [
     "dag_depth_levels",
     "roc_points_value",
     "cohort_ltv_matrix",
+    "funnel_steps_table",
 ]
 
 
