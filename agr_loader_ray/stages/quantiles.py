@@ -92,12 +92,16 @@ def exact_group_quantiles(ds, group_col: str, key_col: str,
                               quantile_rank(spec, n), 0]
 
     def hist_round(ranges: dict):
-        """ranges: (group, qi) -> (lo, hi, width) → bucket-count rows."""
-        ref = ray.put(ranges)
+        """ranges: (group, qi) -> (lo, hi, width) → bucket-count rows.
+
+        Runs as TASK closures, not an actor pool: the ranges dict is
+        groups×quantiles tuples (statistics-sized), and a fresh pool
+        per refinement round pays seconds of actor startup — the same
+        per-round-pool fix as the closure/k-means stages."""
 
         class Hist:
-            def __init__(self, ref):
-                self.ranges = ray.get(ref)
+            def __init__(self, ranges):
+                self.ranges = ranges
 
             def __call__(self, t: pa.Table) -> pa.Table:
                 gs_, qs_, bs_, cs_ = [], [], [], []
@@ -127,14 +131,9 @@ def exact_group_quantiles(ds, group_col: str, key_col: str,
                     "cnt": pa.array(np.concatenate(cs_).astype(np.int64), pa.int64()),
                 })
 
-        if pool is None:
-            from ..functions.pools import pool as _default_pool
-            kwargs = {"concurrency": _default_pool()}
-        else:
-            kwargs = {"concurrency": pool}
         return (
-            ds.map_batches(Hist, fn_constructor_args=(ref,),
-                           batch_format="pyarrow", zero_copy_batch=True, **kwargs)
+            ds.map_batches(Hist(ranges),
+                           batch_format="pyarrow", zero_copy_batch=True)
             .groupby([group_col, "qi", "bucket"])
             .aggregate(Sum("cnt", alias_name="cnt"))
         ).take_all()  # ≤ |groups|·|quantiles|·_BUCKETS tiny rows
