@@ -29,8 +29,6 @@ import os
 import time
 from typing import Callable
 
-from .manifest import _atomic_write_json
-
 LEASE_FILE = "_WRITER_LEASE.json"
 
 
@@ -57,11 +55,14 @@ class WriterLease:
     """
 
     def __init__(self, lake_root: str, owner: str, ttl_s: float = 60.0,
-                 clock: Callable[[], float] = time.time):
+                 clock: Callable[[], float] = time.time, commit_io=None):
+        from .commit_io import DEFAULT_COMMIT_IO
+
         self.lake_root = lake_root
         self.owner = owner
         self.ttl_s = float(ttl_s)
         self.clock = clock
+        self.commit_io = commit_io or DEFAULT_COMMIT_IO
         self.token: int | None = None
 
     @property
@@ -69,8 +70,10 @@ class WriterLease:
         return os.path.join(self.lake_root, LEASE_FILE)
 
     def _write(self, token: int) -> None:
+        # through the commit-I/O seam like every other lake publish
+        # (single-shot PUT / conditional-put on object stores)
         os.makedirs(self.lake_root, exist_ok=True)
-        _atomic_write_json(self.path, {
+        self.commit_io.publish_json(self.path, {
             "owner": self.owner,
             "token": token,
             "expires_at": self.clock() + self.ttl_s,
@@ -122,7 +125,7 @@ class WriterLease:
         except LeaseLostError:
             self.token = None
             return
-        _atomic_write_json(self.path, {
+        self.commit_io.publish_json(self.path, {
             "owner": self.owner, "token": self.token, "expires_at": 0.0})
         self.token = None
 
