@@ -2181,23 +2181,19 @@ def heavy_hitter_users(sf_dir: str):
     cand = merged[(merged["user_id"] >= 0)
                   & ((merged["lower"] + total_delta) * 100 * n_users
                      > 115 * n_total)]["user_id"]
-    cand_ref = ray.put(np.sort(cand.to_numpy().astype(np.int64)))
+    cand_arr = np.sort(cand.to_numpy().astype(np.int64))
 
-    class Recount:
-        def __init__(self, ref):
-            self.cand = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            uid = t["user_id"].to_numpy(zero_copy_only=False)
-            hit = uid[np.isin(uid, self.cand)]
-            users, cnt = np.unique(hit, return_counts=True)
-            return pa.table({"user_id": pa.array(users, pa.int64()),
-                             "n_events": pa.array(cnt.astype(np.int64), pa.int64())})
+    def recount(t: pa.Table) -> pa.Table:
+        # task closure: the candidate array is sketch-bounded (≤ _MG_K
+        # ids) — an actor pool would pay startup to avoid shipping ~3 KB
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        hit = uid[np.isin(uid, cand_arr)]
+        users, cnt = np.unique(hit, return_counts=True)
+        return pa.table({"user_id": pa.array(users, pa.int64()),
+                         "n_events": pa.array(cnt.astype(np.int64), pa.int64())})
 
     exact = (
-        ds.map_batches(Recount, fn_constructor_args=(cand_ref,),
-                       batch_format="pyarrow", zero_copy_batch=True,
-                       concurrency=_pool())
+        ds.map_batches(recount, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("user_id")
         .aggregate(Sum("n_events", alias_name="n_events"))
     )
