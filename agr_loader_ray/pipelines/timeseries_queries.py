@@ -2471,3 +2471,111 @@ def funnel_steps_table(sf_dir: str):
         .repartition(1)  # bounded: 4 rows per partition
         .map_batches(finish, batch_format="pandas", batch_size=None)
     )
+
+
+# ---------------------------------------------------------------------------
+# corr_matrix_lineitem — full Pearson correlation MATRIX over the four
+# lineitem numerics (quantity, price, discount, tax) from ONE pass of
+# shared exact integer moment sums (4 first moments, 4 second moments,
+# 6 cross moments, one n — 15 partials total); each of the 6 pairwise
+# correlations is one closed-form IEEE evaluation mirrored op-for-op.
+# ---------------------------------------------------------------------------
+_CM_VARS = [
+    ("qty", "CAST(l_quantity AS BIGINT)"),
+    ("price", "CAST(round(l_extendedprice * 100) AS BIGINT)"),
+    ("disc", "CAST(round(l_discount * 100) AS BIGINT)"),
+    ("tax", "CAST(round(l_tax * 100) AS BIGINT)"),
+]
+
+
+def _corr_matrix_sql() -> str:
+    names = [n for n, _ in _CM_VARS]
+    sel = ",\n             ".join(f"{e} AS {n}" for n, e in _CM_VARS)
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for n, _ in _CM_VARS:
+        sums.append(f"CAST(sum({n}) AS BIGINT) AS s_{n}")
+        # second/cross moments stay HUGEINT: Σ price² exceeds int64
+        # well below bench scale
+        sums.append(f"sum(CAST({n} AS HUGEINT) * {n}) AS q_{n}")
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+    for a, b in pairs:
+        sums.append(f"sum(CAST({a} AS HUGEINT) * {b}) AS x_{a}_{b}")
+    rows = []
+    for a, b in pairs:
+        rows.append(f"""
+      SELECT '{a}' AS var_a, '{b}' AS var_b,
+             (CAST(n AS DOUBLE) * x_{a}_{b}
+              - CAST(s_{a} AS DOUBLE) * s_{b})
+             / sqrt(CAST(CAST(n AS HUGEINT) * q_{a}
+                         - CAST(s_{a} AS HUGEINT) * s_{a} AS DOUBLE)
+                    * CAST(CAST(n AS HUGEINT) * q_{b}
+                           - CAST(s_{b} AS HUGEINT) * s_{b} AS DOUBLE))
+               AS corr
+      FROM m""")
+    return f"""
+    WITH v AS (
+      SELECT {sel}
+      FROM lineitem),
+    m AS (SELECT {', '.join(sums)} FROM v)
+    SELECT * FROM ({' UNION ALL '.join(rows)}) ORDER BY var_a, var_b
+    """
+
+
+@query("corr_matrix_lineitem", _corr_matrix_sql())
+def corr_matrix_lineitem(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_quantity", "l_extendedprice",
+                             "l_discount", "l_tax"])
+    names = [n for n, _ in _CM_VARS]
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+
+    def _exact_dot(a: np.ndarray, b: np.ndarray) -> int:
+        # chunked exact Σ a·b: per-chunk int64 is safe (65536 × 10¹⁴
+        # < 2⁶³), chunk totals accumulate as Python ints (unbounded)
+        tot = 0
+        for i in range(0, len(a), 65536):
+            tot += int((a[i:i + 65536] * b[i:i + 65536]).sum())
+        return tot
+
+    def partials(t: pa.Table) -> pa.Table:
+        cols = {
+            "qty": pc.cast(t["l_quantity"], pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "price": _cents(t["l_extendedprice"])
+            .to_numpy(zero_copy_only=False),
+            "disc": _cents(t["l_discount"]).to_numpy(zero_copy_only=False),
+            "tax": _cents(t["l_tax"]).to_numpy(zero_copy_only=False),
+        }
+        out = {"n": pa.array([t.num_rows], pa.int64())}
+        for n in names:
+            out[f"s_{n}"] = pa.array([int(cols[n].sum())], pa.int64())
+            q = _exact_dot(cols[n], cols[n])
+            # limb split: a per-block second moment can exceed int64,
+            # and the cross-block Sum certainly can
+            out[f"q_{n}_hi"] = pa.array([q >> 32], pa.int64())
+            out[f"q_{n}_lo"] = pa.array([q & 0xFFFFFFFF], pa.int64())
+        for a, b in pairs:
+            x = _exact_dot(cols[a], cols[b])
+            out[f"x_{a}_{b}_hi"] = pa.array([x >> 32], pa.int64())
+            out[f"x_{a}_{b}_lo"] = pa.array([x & 0xFFFFFFFF], pa.int64())
+        return pa.table(out)
+
+    agg = ds.map_batches(partials, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas().sum()
+
+    def limb(name: str) -> int:
+        return int(agg[f"{name}_hi"]) * (1 << 32) + int(agg[f"{name}_lo"])
+
+    n_int = int(agg["n"])
+    n = float(n_int)
+    rows = []
+    for a, b in pairs:
+        num = n * float(limb(f"x_{a}_{b}")) \
+            - float(agg[f"s_{a}"]) * float(agg[f"s_{b}"])
+        va = float(n_int * limb(f"q_{a}") - int(agg[f"s_{a}"]) ** 2)
+        vb = float(n_int * limb(f"q_{b}") - int(agg[f"s_{b}"]) ** 2)
+        rows.append((a, b, num / np.sqrt(va * vb)))
+    return pd.DataFrame(rows, columns=["var_a", "var_b", "corr"]) \
+        .sort_values(["var_a", "var_b"]).reset_index(drop=True)

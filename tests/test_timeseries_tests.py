@@ -50,6 +50,7 @@ PINNED = [
     "roc_points_value",
     "cohort_ltv_matrix",
     "funnel_steps_table",
+    "corr_matrix_lineitem",
 ]
 
 
