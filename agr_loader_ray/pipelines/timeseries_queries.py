@@ -2579,3 +2579,80 @@ def corr_matrix_lineitem(sf_dir: str):
         rows.append((a, b, num / np.sqrt(va * vb)))
     return pd.DataFrame(rows, columns=["var_a", "var_b", "corr"]) \
         .sort_values(["var_a", "var_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# inter_event_gap_quantiles — latency-distribution analytics: exact
+# p50/p90 of the gap (µs) between a user's consecutive events, per
+# event type of the LATER event.  Gaps derive in the user-keyed kernel
+# (one shift with boundary masking); the quantiles run through the
+# generalized histogram-refine order statistics (arbitrary int64
+# domain, no task ever holds a full group) — composing the two scale
+# primitives.  quantile_disc rank convention both sides.
+# ---------------------------------------------------------------------------
+@query(
+    "inter_event_gap_quantiles",
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(lag(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           quantile_disc(gap_us, 0.5) AS p50_us,
+           quantile_disc(gap_us, 0.9) AS p90_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def inter_event_gap_quantiles(sf_dir: str):
+    import ray.data as _rd
+
+    from ..functions.tables import read_table
+    from ..stages.quantiles import exact_group_quantiles
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    nparts = _join_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+        })
+        return int_key_part_col(out, "user_id", nparts)
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        n = len(g)
+        pair = np.zeros(n, bool)
+        if n > 1:
+            pair[1:] = uid[1:] == uid[:-1]
+        gap = np.empty(n, np.int64)
+        gap[1:] = ts[1:] - ts[:-1]
+        return pd.DataFrame({
+            "event_type": g["event_type"].to_numpy()[pair],
+            "gap_us": gap[pair],
+        })
+
+    gap_ds = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(gaps, batch_format="pandas")
+        .map_batches(lambda t: t.select(["event_type", "gap_us"]),
+                     batch_format="pyarrow")
+        .materialize()  # two consumers: refine rounds re-scan it
+    )
+    res = exact_group_quantiles(gap_ds, "event_type", "gap_us",
+                                quantiles=((1, 2), (9, 10)))
+    ns = res.pop("_n")
+    rows = [(et, int(ns[et]), int(q[0]), int(q[1]))
+            for et, q in sorted(res.items())]
+    return pd.DataFrame(rows, columns=["event_type", "n_gaps",
+                                       "p50_us", "p90_us"]) \
+        .astype({"n_gaps": np.int64, "p50_us": np.int64, "p90_us": np.int64})

@@ -51,6 +51,7 @@ PINNED = [
     "cohort_ltv_matrix",
     "funnel_steps_table",
     "corr_matrix_lineitem",
+    "inter_event_gap_quantiles",
 ]
 
 
