@@ -2656,3 +2656,63 @@ def inter_event_gap_quantiles(sf_dir: str):
     return pd.DataFrame(rows, columns=["event_type", "n_gaps",
                                        "p50_us", "p90_us"]) \
         .astype({"n_gaps": np.int64, "p50_us": np.int64, "p90_us": np.int64})
+
+
+# ---------------------------------------------------------------------------
+# hhi_supplier_concentration — market-concentration analytics: the
+# Herfindahl–Hirschman index of supplier quantity share per part,
+# carried as the exact integer pair (Σq_s², (Σq)²) with ONE mirrored
+# division — plus the supplier count.  (part, supplier) partials bound
+# the exchange by the catalog, the per-part kernel is a groupby-sum.
+# ---------------------------------------------------------------------------
+@query(
+    "hhi_supplier_concentration",
+    """
+    WITH sq AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2)
+    SELECT l_partkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(q * q) AS BIGINT) AS sq2,
+           CAST(sum(q) AS BIGINT) AS qt,
+           CAST(sum(q * q) AS DOUBLE)
+             / (CAST(sum(q) AS DOUBLE) * CAST(sum(q) AS DOUBLE)) AS hhi
+    FROM sq GROUP BY l_partkey ORDER BY l_partkey
+    """,
+)
+def hhi_supplier_concentration(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_quantity"])
+    nparts = _join_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        part = pa.table({
+            "l_partkey": t["l_partkey"],
+            "l_suppkey": t["l_suppkey"],
+            "q": pc.cast(t["l_quantity"], pa.int64()),
+        }).group_by(["l_partkey", "l_suppkey"]).aggregate([("q", "sum")])
+        return int_key_part_col(
+            part.rename_columns(["l_partkey", "l_suppkey", "q"]),
+            "l_partkey", nparts)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["l_partkey", "l_suppkey"], as_index=False)["q"].sum()
+        q = g["q"].to_numpy()
+        g = g.assign(q2=q * q, one=np.int64(1))
+        out = g.groupby("l_partkey", as_index=False).agg(
+            n_suppliers=("one", "sum"), sq2=("q2", "sum"), qt=("q", "sum"))
+        qt = out["qt"].to_numpy().astype(np.float64)
+        out["hhi"] = out["sq2"].to_numpy().astype(np.float64) / (qt * qt)
+        for c in ("n_suppliers", "sq2", "qt"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+        .sort("l_partkey")
+    )

@@ -52,6 +52,7 @@ PINNED = [
     "funnel_steps_table",
     "corr_matrix_lineitem",
     "inter_event_gap_quantiles",
+    "hhi_supplier_concentration",
 ]
 
 
