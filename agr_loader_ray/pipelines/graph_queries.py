@@ -1,0 +1,451 @@
+"""Graph-analytics and classical-ML operator families, Ray-Data-first.
+
+Each query streams its derivation over the full fact table with
+``map_batches`` (zero-copy Arrow), keeps every unbounded step
+distributed, and pairs with an exact DuckDB oracle whose floats are a
+single division of exactly-representable int64s (hash-stable).
+
+Graph base: a deterministic sparse co-occurrence graph derived from
+``lineitem`` — node ids are ``key mod 997`` and candidate edges are
+thinned by a pair-hash, so the EDGE table is bounded (≤ C(997,2)·2/11 ≈
+90k rows at any scale factor) while the derivation itself scans the
+whole fact stream.  The bounded edge set is what makes the broadcast
+membership/degree lookups below principled, not a small-data shortcut;
+the wedge/pair generation work (the part that grows with density) stays
+sharded across groups.
+
+Reference provenance: the reference's graph-shaped loads — ontology
+closure (src/etl/closure_etl.py:28-81) and molecular-interaction pair
+expansion (src/etl/molecular_interaction_etl.py:430-676) — generalized
+to the triangle / common-neighbor / collocation / single-split /
+naive-Bayes primitives a graph-and-feature pipeline needs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data.aggregate import Count, Sum
+
+from ..functions.tables import read_table
+from .queries import query
+
+K_NODES = 997          # prime node-space modulus
+PAIR_SALT = 37         # pair-hash thinning: keep (a*37 + b) % 11 < 2
+PAIR_MOD = 11
+PAIR_KEEP = 2
+
+# Shared SQL prefix: the derived, thinned, distinct (a < b) edge set.
+_EDGE_CTE = """
+    p AS (SELECT l_partkey % 997 AS x, l_suppkey % 997 AS y FROM lineitem),
+    e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+          FROM p
+          WHERE x <> y AND (least(x, y) * 37 + greatest(x, y)) % 11 < 2)
+"""
+
+
+def _edges(sf_dir: str):
+    """Distinct oriented (a < b) edge Dataset, packed key ``pk = a*K + b``.
+
+    The fact scan is the unbounded side: per-batch np.unique
+    pre-aggregates before the (edge-bounded) groupby exchange.
+    """
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        x = t["l_partkey"].to_numpy(zero_copy_only=False) % K_NODES
+        y = t["l_suppkey"].to_numpy(zero_copy_only=False) % K_NODES
+        a = np.minimum(x, y)
+        b = np.maximum(x, y)
+        keep = (x != y) & ((a * PAIR_SALT + b) % PAIR_MOD < PAIR_KEEP)
+        pk = np.unique(a[keep].astype(np.int64) * K_NODES + b[keep])
+        return pa.table({"pk": pa.array(pk)})
+
+    dedup = (
+        li.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pk")
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "pk": t["pk"],
+            "a": pa.array(pk // K_NODES),
+            "b": pa.array(pk % K_NODES),
+        })
+
+    return dedup.map_batches(decode, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts — global triangle count by the forward (oriented-wedge)
+# algorithm: for each node a, candidate wedges are pairs (b, c) of its
+# HIGHER neighbors (b < c), closed iff (b, c) is itself an edge.  Wedge
+# generation (the density-growing work) is sharded per source node via
+# groupby+map_groups; the closing-membership probe is an O(log E)
+# searchsorted against the broadcast (bounded-by-construction) edge-key
+# array, so no second exchange is paid.  Emits one row of exact counts.
+# ---------------------------------------------------------------------------
+@query(
+    "triangle_counts",
+    """
+    WITH """ + _EDGE_CTE + """,
+    deg AS (SELECT a, count(*) AS d FROM e GROUP BY a),
+    tri AS (SELECT count(*) AS n
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.a AND e1.b < e2.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+    SELECT CAST((SELECT count(*) FROM e) AS BIGINT)                  AS n_edges,
+           CAST(coalesce((SELECT sum(d * (d - 1) / 2) FROM deg), 0) AS BIGINT)
+                                                                     AS n_wedges,
+           CAST((SELECT n FROM tri) AS BIGINT)                       AS n_triangles
+    """,
+)
+def triangle_counts(sf_dir: str):
+    edges = _edges(sf_dir).materialize()  # bounded small side, reused 2x
+    n_edges = edges.count()
+
+    edge_pk = np.sort(
+        edges.to_pandas()["pk"].to_numpy().astype(np.int64))
+    pk_ref = ray.put(edge_pk)
+
+    def per_node(g: pd.DataFrame) -> pd.DataFrame:
+        nb = np.sort(g["b"].to_numpy().astype(np.int64))
+        d = len(nb)
+        if d < 2:
+            return pd.DataFrame({"w": [0], "t": [0]})
+        iu, ju = np.triu_indices(d, k=1)
+        cand = nb[iu] * K_NODES + nb[ju]
+        keys = ray.get(pk_ref)
+        pos = np.searchsorted(keys, cand)
+        pos[pos >= len(keys)] = len(keys) - 1
+        n_tri = int(np.count_nonzero(keys[pos] == cand))
+        return pd.DataFrame({"w": [len(cand)], "t": [n_tri]})
+
+    partials = edges.groupby("a").map_groups(per_node, batch_format="pandas")
+    sums = partials.aggregate(Sum("w", alias_name="w"),
+                              Sum("t", alias_name="t"))
+    return pa.table({
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_wedges": pa.array([int(sums["w"] or 0)], pa.int64()),
+        "n_triangles": pa.array([int(sums["t"] or 0)], pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# neighbor_jaccard_pairs — link-prediction scores: for node pairs sharing
+# ≥3 neighbors, Jaccard similarity of their adjacency sets.  Common-
+# neighbor pairs are generated per center node (sharded map_groups over
+# the full adjacency), counted with ONE groupby exchange on the packed
+# pair key, then degrees attach via a broadcast dict (node space is 997).
+# ``jac`` is a single division of exact int64s on both sides.
+# ---------------------------------------------------------------------------
+@query(
+    "neighbor_jaccard_pairs",
+    """
+    WITH """ + _EDGE_CTE + """,
+    adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY u),
+    com AS (SELECT a1.v AS u, a2.v AS v, CAST(count(*) AS BIGINT) AS n_common
+            FROM adj a1 JOIN adj a2 ON a2.u = a1.u AND a1.v < a2.v
+            GROUP BY a1.v, a2.v
+            HAVING count(*) >= 3)
+    SELECT c.u, c.v, c.n_common, d1.d AS deg_u, d2.d AS deg_v,
+           CAST(c.n_common AS DOUBLE)
+             / CAST(d1.d + d2.d - c.n_common AS DOUBLE) AS jac
+    FROM com c JOIN deg d1 ON d1.u = c.u JOIN deg d2 ON d2.u = c.v
+    """,
+)
+def neighbor_jaccard_pairs(sf_dir: str, min_common: int = 3):
+    edges = _edges(sf_dir).materialize()
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({"u": pa.array(np.concatenate([a, b])),
+                         "v": pa.array(np.concatenate([b, a]))})
+
+    adj = edges.map_batches(both_dirs, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    deg_df = (adj.groupby("u").aggregate(Count(alias_name="d"))).to_pandas()
+    deg = np.zeros(K_NODES, np.int64)
+    deg[deg_df["u"].to_numpy()] = deg_df["d"].to_numpy()
+    deg_ref = ray.put(deg)
+
+    def pairs_per_center(g: pd.DataFrame) -> pa.Table:
+        # Emit ARROW (not pandas) blocks: Ray's groupby aggregate over
+        # pandas blocks is ~30x slower (measured 170 s vs 6 s on 400k
+        # rows) — the downstream pk2 exchange must see Arrow.
+        nb = np.sort(g["v"].to_numpy().astype(np.int64))
+        if len(nb) < 2:
+            return pa.table({"pk2": pa.array([], pa.int64()),
+                             "n_common": pa.array([], pa.int64())})
+        iu, ju = np.triu_indices(len(nb), k=1)
+        return pa.table({"pk2": pa.array(nb[iu] * K_NODES + nb[ju]),
+                         "n_common": pa.array(np.ones(len(iu), np.int64))})
+
+    com = (
+        adj.groupby("u").map_groups(pairs_per_center, batch_format="pandas")
+        .groupby("pk2")
+        .aggregate(Sum("n_common", alias_name="n_common"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n_common = t["n_common"].to_numpy(zero_copy_only=False)
+        keep = n_common >= min_common
+        pk2 = t["pk2"].to_numpy(zero_copy_only=False)[keep]
+        n_common = n_common[keep]
+        u, v = pk2 // K_NODES, pk2 % K_NODES
+        d = ray.get(deg_ref)
+        du, dv = d[u], d[v]
+        return pa.table({
+            "u": pa.array(u), "v": pa.array(v),
+            "n_common": pa.array(n_common),
+            "deg_u": pa.array(du), "deg_v": pa.array(dv),
+            "jac": pa.array(n_common.astype(np.float64)
+                            / (du + dv - n_common).astype(np.float64)),
+        })
+
+    return com.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# pmi_bigrams_top — collocation mining: pointwise-mutual-information-
+# ranked adjacent word pairs over the corpus.  Tokenization + bigram
+# formation is fully vectorized per batch (Arrow split_pattern + offset
+# masks, no per-row Python); per-batch partial counts shrink the one
+# groupby exchange to the distinct-bigram table.  Marginals c_x / c_y and
+# N derive from that bounded table (two tiny groupbys, broadcast back),
+# so the corpus is scanned exactly once.  score = (c_xy·N)/(c_x·c_y) as a
+# single int64→double division, hash-identical to SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "pmi_bigrams_top",
+    """
+    WITH tok AS (SELECT string_split(text, ' ') AS l FROM documents),
+    big AS (SELECT l[CAST(i AS INTEGER)] AS w1, l[CAST(i AS INTEGER) + 1] AS w2
+            FROM tok, unnest(generate_series(1, len(l) - 1)) AS t(i)),
+    c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+          FROM big GROUP BY w1, w2),
+    cx AS (SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c_x FROM c GROUP BY w1),
+    cy AS (SELECT w2, CAST(sum(c_xy) AS BIGINT) AS c_y FROM c GROUP BY w2),
+    n AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_total FROM c)
+    SELECT w1, w2, c_xy, c_x, c_y, n_total,
+           CAST(c_xy * n_total AS DOUBLE)
+             / CAST(c_x * c_y AS DOUBLE) AS score
+    FROM c JOIN cx USING (w1) JOIN cy USING (w2) CROSS JOIN n
+    WHERE c_xy >= 5
+    ORDER BY score DESC, w1, w2 LIMIT 50
+    """,
+)
+def pmi_bigrams_top(sf_dir: str, min_count: int = 5, topk: int = 50):
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def bigram_partials(t: pa.Table) -> pa.Table:
+        la = pc.split_pattern(t["text"], " ")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        flat = la.values
+        offs = la.offsets.to_numpy(zero_copy_only=False)
+        n = len(flat)
+        if n < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c_xy": pa.array([], pa.int64())})
+        # positions i where (i, i+1) stay inside one document:
+        # a doc boundary at offset o kills the pair starting at o-1
+        ok = np.ones(n - 1, bool)
+        bounds = offs[1:-1].astype(np.int64) - 1
+        ok[bounds[(bounds >= 0) & (bounds < n - 1)]] = False
+        idx = np.nonzero(ok)[0]
+        pairs = pa.table({"w1": flat.take(pa.array(idx)),
+                          "w2": flat.take(pa.array(idx + 1)),
+                          "c_xy": pa.array(np.ones(len(idx), np.int64))})
+        part = pairs.group_by(["w1", "w2"]).aggregate([("c_xy", "sum")])
+        return part.rename_columns(["w1", "w2", "c_xy"])
+
+    c = (
+        ds.map_batches(bigram_partials, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c_xy", alias_name="c_xy"))
+        .materialize()  # distinct-bigram table: reused for marginals
+    )
+
+    cx_df = (c.groupby("w1").aggregate(Sum("c_xy", alias_name="c_x"))
+             ).to_pandas()
+    cy_df = (c.groupby("w2").aggregate(Sum("c_xy", alias_name="c_y"))
+             ).to_pandas()
+    n_total = int(cx_df["c_x"].sum())
+    cx_ref = ray.put(dict(zip(cx_df["w1"], cx_df["c_x"].astype(int))))
+    cy_ref = ray.put(dict(zip(cy_df["w2"], cy_df["c_y"].astype(int))))
+
+    def score(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t["c_xy"], min_count)
+        t = t.filter(keep)
+        cx, cy = ray.get(cx_ref), ray.get(cy_ref)
+        c_x = np.array([cx[w] for w in t["w1"].to_pylist()], np.int64)
+        c_y = np.array([cy[w] for w in t["w2"].to_pylist()], np.int64)
+        c_xy = t["c_xy"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "w1": t["w1"], "w2": t["w2"], "c_xy": t["c_xy"],
+            "c_x": pa.array(c_x), "c_y": pa.array(c_y),
+            "n_total": pa.array(np.full(len(c_x), n_total, np.int64)),
+            "score": pa.array((c_xy * n_total).astype(np.float64)
+                              / (c_x * c_y).astype(np.float64)),
+        })
+
+    out = c.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort(["score", "w1", "w2"],
+                    descending=[True, False, False]).limit(topk)
+
+
+# ---------------------------------------------------------------------------
+# stump_best_split — one-feature decision-stump training with an exact
+# integer criterion: find the threshold on events.value (floor-cents
+# image) minimizing misclassification count for label event_type='error',
+# over both orientations.  Distributed part: per-batch (vc, n_pos, n_neg)
+# partials → one groupby exchange to the distinct-value histogram
+# (bounded by the value domain, data-size-independent) → bounded driver
+# pull for the cumulative argmin, exactly the histogram-refine pattern of
+# median_value_per_type (pipelines/queries.py).  All-integer criterion:
+# no float accumulation anywhere.
+# ---------------------------------------------------------------------------
+@query(
+    "stump_best_split",
+    """
+    WITH lab AS (SELECT CAST(floor(value * 100) AS BIGINT) AS vc,
+                        CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS pos
+                 FROM events),
+    h AS (SELECT vc, CAST(sum(pos) AS BIGINT) AS np,
+                 CAST(count(*) - sum(pos) AS BIGINT) AS nn
+          FROM lab GROUP BY vc),
+    c AS (SELECT vc,
+                 sum(np) OVER (ORDER BY vc) AS cpos,
+                 sum(nn) OVER (ORDER BY vc) AS cneg,
+                 (SELECT sum(np) FROM h) AS tpos,
+                 (SELECT sum(nn) FROM h) AS tneg
+          FROM h),
+    e AS (SELECT vc, 'pos_le' AS orient, cneg + (tpos - cpos) AS err FROM c
+          UNION ALL
+          SELECT vc, 'neg_le' AS orient, cpos + (tneg - cneg) AS err FROM c)
+    SELECT CAST(vc AS BIGINT) AS thr_c, orient, CAST(err AS BIGINT) AS n_err
+    FROM e ORDER BY err, thr_c, orient LIMIT 1
+    """,
+)
+def stump_best_split(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        vc = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        pos = pc.equal(t["event_type"], "error").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tt = pa.table({"vc": pa.array(vc), "n_pos": pa.array(pos),
+                       "n_neg": pa.array(1 - pos)})
+        return (tt.group_by("vc")
+                .aggregate([("n_pos", "sum"), ("n_neg", "sum")])
+                .rename_columns(["vc", "n_pos", "n_neg"]))
+
+    hist = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("vc")
+        .aggregate(Sum("n_pos", alias_name="n_pos"),
+                   Sum("n_neg", alias_name="n_neg"))
+    ).to_pandas().sort_values("vc").reset_index(drop=True)
+
+    vc = hist["vc"].to_numpy()
+    cpos = hist["n_pos"].to_numpy().cumsum()
+    cneg = hist["n_neg"].to_numpy().cumsum()
+    tpos, tneg = int(cpos[-1]), int(cneg[-1])
+
+    err_pos_le = cneg + (tpos - cpos)   # predict positive below threshold
+    err_neg_le = cpos + (tneg - cneg)   # predict negative below threshold
+    # total order: (err, vc, orient) with 'neg_le' < 'pos_le' on ties
+    cands = [(int(err_neg_le[i]), int(vc[i]), "neg_le") for i in range(len(vc))]
+    cands += [(int(err_pos_le[i]), int(vc[i]), "pos_le") for i in range(len(vc))]
+    best = min(cands)
+    return pa.table({"thr_c": pa.array([best[1]], pa.int64()),
+                     "orient": pa.array([best[2]], pa.string()),
+                     "n_err": pa.array([best[0]], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# nb_class_token_probs — the training step of a multinomial naive-Bayes
+# language classifier: per (lang, token) counts with Laplace smoothing,
+# reported for each class's top-10 tokens.  One corpus scan → per-batch
+# partial counts → one (lang, token) groupby; class totals and the global
+# vocabulary size derive from the bounded count table.  ``p_smooth`` =
+# (cnt+1)/(tot+vocab) — single exact-int division, identical in SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "nb_class_token_probs",
+    """
+    WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    c AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt
+          FROM tok GROUP BY lang, w),
+    t AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY lang),
+    v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab FROM c),
+    r AS (SELECT c.lang, c.w, c.cnt, t.tot, v.vocab,
+                 row_number() OVER (PARTITION BY c.lang
+                                    ORDER BY c.cnt DESC, c.w) AS rn
+          FROM c JOIN t USING (lang) CROSS JOIN v)
+    SELECT lang, w, cnt, tot, vocab,
+           CAST(cnt + 1 AS DOUBLE) / CAST(tot + vocab AS DOUBLE) AS p_smooth
+    FROM r WHERE rn <= 10
+    """,
+)
+def nb_class_token_probs(sf_dir: str, topk: int = 10):
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        la = pc.split_pattern(t["text"], " ")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        flat = la.values
+        counts = pc.list_value_length(la).to_numpy(zero_copy_only=False)
+        lang = pa.array(np.repeat(
+            t["lang"].to_numpy(zero_copy_only=False), counts))
+        tt = pa.table({"lang": lang, "w": flat,
+                       "cnt": pa.array(np.ones(len(flat), np.int64))})
+        return (tt.group_by(["lang", "w"]).aggregate([("cnt", "sum")])
+                .rename_columns(["lang", "w", "cnt"]))
+
+    c = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "w"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()  # (lang, token) table — vocab-bounded, reused 3x
+    )
+
+    tot_df = c.groupby("lang").aggregate(Sum("cnt", alias_name="tot")
+                                         ).to_pandas()
+    totals = dict(zip(tot_df["lang"], tot_df["tot"].astype(int)))
+    vocab = int(c.groupby("w").aggregate(Count(alias_name="_n")).count())
+    tot_ref = ray.put(totals)
+
+    def per_class(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cnt", "w"], ascending=[False, True],
+                          kind="mergesort").head(topk)
+        tot = int(ray.get(tot_ref)[g["lang"].iloc[0]])
+        cnt = g["cnt"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "lang": g["lang"].to_numpy(),
+            "w": g["w"].to_numpy(),
+            "cnt": cnt,
+            "tot": np.full(len(g), tot, np.int64),
+            "vocab": np.full(len(g), vocab, np.int64),
+            "p_smooth": (cnt + 1).astype(np.float64)
+                        / np.float64(tot + vocab),
+        })
+
+    return c.groupby("lang").map_groups(per_class, batch_format="pandas")

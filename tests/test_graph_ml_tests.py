@@ -1,0 +1,91 @@
+"""Typed-hash gate pins (the driver's exact compare) for the graph/ML
+operator batch (triangle counting, neighbor-Jaccard link prediction, PMI
+collocations, decision stump, naive-Bayes token probs), at sf0.001 so
+the suite stays fast — plus structural invariants on the graph ops."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+
+PINNED = [
+    "triangle_counts",
+    "neighbor_jaccard_pairs",
+    "pmi_bigrams_top",
+    "stump_best_split",
+    "nb_class_token_probs",
+]
+
+
+def _typed_hash(df: pd.DataFrame):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return (tuple(str(df[c].dtype) for c in df.columns),
+            int(pd.util.hash_pandas_object(df, index=False).sum()))
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", PINNED)
+def test_graph_ml_query_typed_hash(name, oracle_con, ray_session):
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    res = qs[name](SF)
+    got = res.to_pandas() if hasattr(res, "to_pandas") else res
+    want = oracle_con.sql(oracles[name]).arrow().to_pandas()
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    g, w = _typed_hash(got), _typed_hash(want)
+    assert g[0] == w[0], f"{name}: dtypes {g[0]} != {w[0]}"
+    assert g[1] == w[1], f"{name}: value hash mismatch"
+
+
+def test_triangle_counts_brute_force(ray_session):
+    """Forward-algorithm count equals a brute-force numpy triangle count
+    over the same derived edge set."""
+    from agr_loader_ray.pipelines.graph_queries import (
+        K_NODES, _edges, triangle_counts)
+
+    got = triangle_counts(SF).to_pandas().iloc[0]
+    e = _edges(SF).to_pandas()
+    a, b = e["a"].to_numpy(), e["b"].to_numpy()
+    adjm = np.zeros((K_NODES, K_NODES), bool)
+    adjm[a, b] = True
+    adjm |= adjm.T
+    # trace(A^3) / 6 counts each triangle once per orientation+rotation
+    n_tri = int(np.trace(adjm.astype(np.int64)
+                         @ adjm.astype(np.int64)
+                         @ adjm.astype(np.int64)) // 6)
+    assert int(got["n_triangles"]) == n_tri
+    assert int(got["n_edges"]) == len(e)
+
+
+def test_neighbor_jaccard_matches_set_math(ray_session):
+    """Spot-check jac on every returned pair against python set math."""
+    from agr_loader_ray.pipelines.graph_queries import (
+        _edges, neighbor_jaccard_pairs)
+
+    got = neighbor_jaccard_pairs(SF).to_pandas()
+    e = _edges(SF).to_pandas()
+    nbrs: dict[int, set] = {}
+    for a, b in zip(e["a"], e["b"]):
+        nbrs.setdefault(int(a), set()).add(int(b))
+        nbrs.setdefault(int(b), set()).add(int(a))
+    assert len(got) > 0
+    for row in got.itertuples():
+        nu, nv = nbrs[int(row.u)], nbrs[int(row.v)]
+        common = len(nu & nv)
+        assert common == int(row.n_common)
+        assert int(row.deg_u) == len(nu) and int(row.deg_v) == len(nv)
+        assert row.jac == common / len(nu | nv)
