@@ -31,6 +31,7 @@ import pyarrow.compute as pc
 import ray
 from ray.data.aggregate import Count, Sum
 
+from ..functions.pools import join_parts as _join_parts
 from ..functions.tables import read_table
 from .queries import query
 
@@ -65,22 +66,24 @@ def _edges(sf_dir: str):
         pk = np.unique(a[keep].astype(np.int64) * K_NODES + b[keep])
         return pa.table({"pk": pa.array(pk)})
 
-    dedup = (
+    # Distinct via partition-kernel (hash-partition pk → per-partition
+    # np.unique), NOT groupby().aggregate(): Ray's per-key aggregate
+    # scales with the group count (~25-40 s on a few 100k groups).
+    from ..stages.partition import int_key_part_col
+    nparts = _join_parts()
+
+    def distinct_part(g: pd.DataFrame) -> pa.Table:
+        pk = np.unique(g["pk"].to_numpy().astype(np.int64))
+        return pa.table({"pk": pa.array(pk),
+                         "a": pa.array(pk // K_NODES),
+                         "b": pa.array(pk % K_NODES)})
+
+    return (
         li.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("pk")
-        .aggregate(Count(alias_name="_n"))
+        .map_batches(lambda t: int_key_part_col(t, "pk", nparts),
+                     batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart").map_groups(distinct_part, batch_format="pandas")
     )
-
-    def decode(t: pa.Table) -> pa.Table:
-        pk = t["pk"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "pk": t["pk"],
-            "a": pa.array(pk // K_NODES),
-            "b": pa.array(pk % K_NODES),
-        })
-
-    return dedup.map_batches(decode, batch_format="pyarrow",
-                             zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -179,30 +182,54 @@ def neighbor_jaccard_pairs(sf_dir: str, min_common: int = 3):
     deg[deg_df["u"].to_numpy()] = deg_df["d"].to_numpy()
     deg_ref = ray.put(deg)
 
-    def pairs_per_center(g: pd.DataFrame) -> pa.Table:
-        # Emit ARROW (not pandas) blocks: Ray's groupby aggregate over
-        # pandas blocks is ~30x slower (measured 170 s vs 6 s on 400k
-        # rows) — the downstream pk2 exchange must see Arrow.
-        nb = np.sort(g["v"].to_numpy().astype(np.int64))
-        if len(nb) < 2:
+    # Partition-kernel wedge generation (not per-center map_groups): one
+    # bounded exchange on gpart, centers co-located per partition, pairs
+    # pre-aggregated with np.unique BEFORE the global pk2 exchange.  Per-
+    # center map_groups emitted ~1000 tiny blocks and paid 41 s at sf0.1;
+    # this shape emits nparts pre-aggregated Arrow blocks (pandas-block
+    # groupby is also ~30x slower than Arrow — emit Arrow).
+    from ..stages.partition import int_key_part_col
+    nparts = _join_parts()
+
+    def wedge_partials(g: pd.DataFrame) -> pa.Table:
+        u = g["u"].to_numpy().astype(np.int64)
+        v = g["v"].to_numpy().astype(np.int64)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        chunks = []
+        for s, e in zip(starts, ends):   # ≤ K_NODES segments, numpy inside
+            d = e - s
+            if d < 2:
+                continue
+            nb = v[s:e]                  # sorted within the segment
+            iu, ju = np.triu_indices(d, k=1)
+            chunks.append(nb[iu] * K_NODES + nb[ju])
+        if not chunks:
             return pa.table({"pk2": pa.array([], pa.int64()),
                              "n_common": pa.array([], pa.int64())})
-        iu, ju = np.triu_indices(len(nb), k=1)
-        return pa.table({"pk2": pa.array(nb[iu] * K_NODES + nb[ju]),
-                         "n_common": pa.array(np.ones(len(iu), np.int64))})
+        uniq, cnt = np.unique(np.concatenate(chunks), return_counts=True)
+        return pa.table({"pk2": pa.array(uniq),
+                         "n_common": pa.array(cnt.astype(np.int64))})
 
-    com = (
-        adj.groupby("u").map_groups(pairs_per_center, batch_format="pandas")
-        .groupby("pk2")
-        .aggregate(Sum("n_common", alias_name="n_common"))
+    wedges = (
+        adj.map_batches(lambda t: int_key_part_col(t, "u", nparts),
+                        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart").map_groups(wedge_partials, batch_format="pandas")
     )
 
-    def finish(t: pa.Table) -> pa.Table:
-        n_common = t["n_common"].to_numpy(zero_copy_only=False)
+    # Second partition-kernel exchange on pk2: all partials for a pair
+    # land in one partition, so the kernel sums them (bincount), filters,
+    # attaches degrees and emits FINAL rows — no per-key Ray aggregate.
+    def finish_part(g: pd.DataFrame) -> pa.Table:
+        pk2 = g["pk2"].to_numpy().astype(np.int64)
+        w = g["n_common"].to_numpy().astype(np.int64)
+        uniq, inv = np.unique(pk2, return_inverse=True)
+        n_common = np.bincount(inv, weights=w).astype(np.int64)
         keep = n_common >= min_common
-        pk2 = t["pk2"].to_numpy(zero_copy_only=False)[keep]
-        n_common = n_common[keep]
-        u, v = pk2 // K_NODES, pk2 % K_NODES
+        uniq, n_common = uniq[keep], n_common[keep]
+        u, v = uniq // K_NODES, uniq % K_NODES
         d = ray.get(deg_ref)
         du, dv = d[u], d[v]
         return pa.table({
@@ -213,8 +240,12 @@ def neighbor_jaccard_pairs(sf_dir: str, min_common: int = 3):
                             / (du + dv - n_common).astype(np.float64)),
         })
 
-    return com.map_batches(finish, batch_format="pyarrow",
-                           zero_copy_batch=True)
+    return (
+        wedges.map_batches(
+            lambda t: int_key_part_col(t, "pk2", nparts, out="gpart2"),
+            batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart2").map_groups(finish_part, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------
