@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     import agr_loader_ray.pipelines.relational_queries  # noqa: F401 (registers)
     import agr_loader_ray.pipelines.timeseries_queries  # noqa: F401 (registers)
     import agr_loader_ray.pipelines.graph_queries  # noqa: F401 (registers)
+    import agr_loader_ray.pipelines.linkage_queries  # noqa: F401 (registers)
     from agr_loader_ray.pipelines.queries import QUERIES
 
     return dict(QUERIES)
@@ -60,6 +61,7 @@ def oracle_sql() -> dict[str, str]:
     import agr_loader_ray.pipelines.relational_queries  # noqa: F401 (registers)
     import agr_loader_ray.pipelines.timeseries_queries  # noqa: F401 (registers)
     import agr_loader_ray.pipelines.graph_queries  # noqa: F401 (registers)
+    import agr_loader_ray.pipelines.linkage_queries  # noqa: F401 (registers)
     from agr_loader_ray.pipelines.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)

@@ -1,0 +1,304 @@
+"""Record-linkage / similarity-join operator families, Ray-Data-first.
+
+- ``snm_candidate_pairs``: sorted-neighborhood blocking (the classic
+  record-linkage candidate generator) — a windowed self-join over a
+  GLOBAL total order, distributed as two-pass rank assignment + a
+  rank-block halo exchange so no stage ever holds the whole order.
+- ``mutual_topk_pairs``: k-NN-graph mutual-neighbor edges over the
+  embeddings table (the similarity-self-join primitive behind near-dup
+  graph construction).
+- ``seasonality_weekday_index``: per-(type, weekday) seasonal index —
+  ratio-of-averages from exact integer sums.
+
+Reference provenance: the reference's pairwise-resolution loads
+(molecular_interaction_etl.py:430-676) and ordered-export family
+(SURVEY O5) generalized to linkage primitives.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data.aggregate import Sum
+
+from ..functions.pools import join_parts as _join_parts
+from ..functions.tables import read_small, read_table
+from ..stages.partition import int_key_part_col
+from .queries import query
+
+
+# ---------------------------------------------------------------------------
+# snm_candidate_pairs — sorted-neighborhood method: order all documents
+# by (sortkey = first 12 chars, doc_id), slide a window of w=2, emit
+# candidate pairs that share a 4-char prefix.  Distribution: (1) two-pass
+# global row_number (order-preserving first-byte buckets → bounded
+# per-bucket counts → broadcast offsets → in-bucket sort), exactly the
+# global_rank_documents pattern; (2) windowed pairing via a rank-block
+# HALO exchange — each row is routed to its rank block, rows within w of
+# a block's start are ALSO sent to the previous block, and a pair is
+# emitted only by the block owning its smaller rank (no duplicates).
+# ---------------------------------------------------------------------------
+@query(
+    "snm_candidate_pairs",
+    """
+    WITH k AS (SELECT doc_id, substr(text, 1, 12) AS key FROM documents),
+    r AS (SELECT doc_id, key,
+                 row_number() OVER (ORDER BY key, doc_id) AS rn
+          FROM k)
+    SELECT r1.doc_id AS doc_a, r2.doc_id AS doc_b
+    FROM r r1 JOIN r r2 ON r2.rn > r1.rn AND r2.rn <= r1.rn + 2
+    WHERE substr(r1.key, 1, 4) = substr(r2.key, 1, 4)
+    """,
+)
+def snm_candidate_pairs(sf_dir: str, window: int = 2, block: int = 4096):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_buckets = 64
+
+    def keyed(t: pa.Table) -> pa.Table:
+        key = pc.utf8_slice_codeunits(t["text"], 0, 12)
+        # order-preserving bucket: first BYTE code via binary buffer
+        # math (vectorized — no per-row ord()); empty key → bucket 0
+        kb = key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key
+        bo = np.frombuffer(kb.buffers()[1], np.int32,
+                           count=len(kb) + 1, offset=4 * kb.offset)
+        vals = np.frombuffer(kb.buffers()[2], np.uint8)
+        lens = bo[1:] - bo[:-1]
+        b = np.zeros(len(kb), np.int64)
+        nz = lens > 0
+        b[nz] = vals[bo[:-1][nz]].astype(np.int64)
+        b = np.clip(b - 32, 0, n_buckets - 1).astype(np.int32)
+        return pa.table({"doc_id": t["doc_id"], "key": key,
+                         "bucket": pa.array(b, pa.int32())})
+
+    bucketed = ds.map_batches(keyed, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    counts = (bucketed.map_batches(
+        lambda t: t.select(["bucket"]).group_by("bucket")
+                   .aggregate([("bucket", "count")]),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket").aggregate(Sum("bucket_count", alias_name="n"))
+        .to_pandas().sort_values("bucket"))
+    offs = np.zeros(n_buckets + 1, dtype=np.int64)
+    np.add.at(offs, counts["bucket"].to_numpy() + 1,
+              counts["n"].to_numpy())
+    offsets = dict(zip(range(n_buckets), np.cumsum(offs)[:n_buckets]))
+
+    def rank_bucket(g: pd.DataFrame) -> pa.Table:
+        base = int(offsets[int(g["bucket"].iloc[0])])
+        g = g.sort_values(["key", "doc_id"], kind="mergesort")
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy()),
+            "key": pa.array(g["key"].to_numpy(), pa.string()),
+            "rn": pa.array(base + 1 + np.arange(len(g), dtype=np.int64)),
+        })
+
+    ranked = (bucketed.groupby("bucket")
+              .map_groups(rank_bucket, batch_format="pandas"))
+
+    # halo routing: row → block rn//B; rows with rn%B < window also →
+    # previous block so every in-window pair is co-located somewhere
+    def route(t: pa.Table) -> pa.Table:
+        rn = t["rn"].to_numpy(zero_copy_only=False)
+        blk = (rn // block).astype(np.int64)
+        halo = (rn % block) < window
+        parts = [pa.table({"doc_id": t["doc_id"], "key": t["key"],
+                           "rn": t["rn"],
+                           "blk": pa.array(blk)})]
+        if halo.any():
+            h = t.filter(pa.array(halo))
+            parts.append(pa.table({
+                "doc_id": h["doc_id"], "key": h["key"], "rn": h["rn"],
+                "blk": pa.array(blk[halo] - 1)}))
+        return pa.concat_tables(parts)
+
+    def window_pairs(g: pd.DataFrame) -> pa.Table:
+        blk = int(g["blk"].iloc[0])
+        g = g.sort_values("rn", kind="mergesort")
+        rn = g["rn"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        pre = g["key"].astype(str).str.slice(0, 4).to_numpy()
+        own_lo, own_hi = blk * block, (blk + 1) * block
+        outs_a, outs_b = [], []
+        for d in range(1, window + 1):
+            if len(rn) <= d:
+                break
+            a, b = np.arange(len(rn) - d), np.arange(d, len(rn))
+            # adjacency in the GLOBAL order: ranks exactly d apart,
+            # smaller rank owned by this block
+            m = ((rn[b] - rn[a]) == d) & (rn[a] >= own_lo) & (rn[a] < own_hi)
+            m &= pre[a] == pre[b]
+            outs_a.append(ids[a[m]])
+            outs_b.append(ids[b[m]])
+        if not outs_a:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        return pa.table({"doc_a": pa.array(np.concatenate(outs_a)),
+                         "doc_b": pa.array(np.concatenate(outs_b))})
+
+    return (ranked.map_batches(route, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("blk").map_groups(window_pairs, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# mutual_topk_pairs — mutual-k-NN edges of the cosine k-NN graph: (u, v)
+# is an edge iff v is in u's top-3 AND u is in v's top-3 (round-6 sims,
+# ties broken by neighbor id — the ann_cosine_topk convention).  The
+# normalized matrix is broadcast once (documented small-side path; the
+# IVF/LSH stages are the >memory scale path), each batch matmuls its rows
+# against it, per-row top-3 by lexsort, and mutuality resolves with ONE
+# partition-kernel exchange on the undirected pair key (count==2 ⇒
+# mutual).  sim is computed on the u<v orientation on both sides.
+# ---------------------------------------------------------------------------
+@query(
+    "mutual_topk_pairs",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    s AS (SELECT a.vec_id AS i, b.vec_id AS j,
+                 round(list_cosine_similarity(a.e, b.e), 6) AS sim
+          FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+    r AS (SELECT i, j, sim,
+                 row_number() OVER (PARTITION BY i
+                                    ORDER BY sim DESC, j) AS rk
+          FROM s)
+    SELECT r1.i AS u, r1.j AS v, r1.sim
+    FROM r r1 JOIN r r2 ON r2.i = r1.j AND r2.j = r1.i
+    WHERE r1.rk <= 3 AND r2.rk <= 3 AND r1.i < r1.j
+    """,
+)
+def mutual_topk_pairs(sf_dir: str, k: int = 3):
+    from ..stages.similarity import _batch_matrix, round_half_away
+
+    base = read_small(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ids_all = base["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    srt = np.argsort(ids_all)
+    ids_all = ids_all[srt]
+    mat = _batch_matrix(base, "embedding")[srt]
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    ref = ray.put((ids_all, mat / norms[:, None]))
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    nparts = _join_parts()
+    pack_mod = np.int64(int(ids_all.max()) + 2)
+
+    def topk_rows(t: pa.Table) -> pa.Table:
+        ids_a, mn = ray.get(ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = _batch_matrix(t, "embedding")
+        qn = np.linalg.norm(q, axis=1)
+        qn[qn == 0] = 1.0
+        sims = round_half_away((q @ mn.T) / qn[:, None], 6)
+        # self-similarity out of the running
+        self_col = np.searchsorted(ids_a, ids)
+        sims[np.arange(len(ids)), self_col] = -np.inf
+        # per-row top-k by (sim DESC, neighbor id ASC)
+        order = np.lexsort((np.broadcast_to(ids_a, sims.shape),
+                            -sims), axis=1)[:, :k]
+        src = np.repeat(ids, k)
+        dst = ids_a[order].ravel()
+        sim = np.take_along_axis(sims, order, axis=1).ravel()
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                         "sim": pa.array(sim)})
+
+    knn = ds.map_batches(topk_rows, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def pack(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        return pa.table({"pk": pa.array(lo * pack_mod + hi),
+                         "lo_is_src": pa.array((s < d).astype(np.int64)),
+                         "sim": t["sim"]})
+
+    def mutual_part(g: pd.DataFrame) -> pa.Table:
+        pk = g["pk"].to_numpy().astype(np.int64)
+        uniq, inv, cnt = np.unique(pk, return_inverse=True,
+                                   return_counts=True)
+        mutual = cnt == 2
+        keep = mutual[inv] & (g["lo_is_src"].to_numpy() == 1)
+        pk_m = pk[keep]
+        sim_m = g["sim"].to_numpy()[keep]
+        return pa.table({
+            "u": pa.array(pk_m // pack_mod),
+            "v": pa.array(pk_m % pack_mod),
+            "sim": pa.array(sim_m),
+        })
+
+    return (knn.map_batches(pack, batch_format="pyarrow",
+                            zero_copy_batch=True)
+            .map_batches(lambda t: int_key_part_col(t, "pk", nparts),
+                         batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("gpart").map_groups(mutual_part, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# seasonality_weekday_index — per-(event_type, weekday) seasonal index:
+# (weekday mean value) / (type-overall mean value), from exact integer
+# cent sums.  One bounded groupby exchange (|types|·7 rows); the index is
+# the identical 3-division chain on both sides.  DuckDB dayofweek: 0=Sun;
+# numpy mirror: (epoch_days + 4) % 7.
+# ---------------------------------------------------------------------------
+@query(
+    "seasonality_weekday_index",
+    """
+    WITH base AS (SELECT event_type,
+                         CAST(dayofweek(ts) AS BIGINT) AS wd,
+                         CAST(round(value * 100) AS BIGINT) AS vc
+                  FROM events),
+    w AS (SELECT event_type, wd, CAST(sum(vc) AS BIGINT) AS sum_c,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM base GROUP BY event_type, wd),
+    t AS (SELECT event_type, CAST(sum(sum_c) AS BIGINT) AS tot_c,
+                 CAST(sum(n) AS BIGINT) AS tot_n
+          FROM w GROUP BY event_type)
+    SELECT w.event_type, w.wd, w.sum_c, w.n,
+           (CAST(w.sum_c AS DOUBLE) / CAST(w.n AS DOUBLE))
+             / (CAST(t.tot_c AS DOUBLE) / CAST(t.tot_n AS DOUBLE)) AS idx
+    FROM w JOIN t USING (event_type)
+    """,
+)
+def seasonality_weekday_index(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        days = ts.astype("datetime64[D]").astype(np.int64)
+        wd = (days + 4) % 7
+        vc = np.round(t["value"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        tt = pa.table({"event_type": t["event_type"], "wd": pa.array(wd),
+                       "sum_c": pa.array(vc),
+                       "n": pa.array(np.ones(len(wd), np.int64))})
+        return (tt.group_by(["event_type", "wd"])
+                .aggregate([("sum_c", "sum"), ("n", "sum")])
+                .rename_columns(["event_type", "wd", "sum_c", "n"]))
+
+    w = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "wd"])
+        .aggregate(Sum("sum_c", alias_name="sum_c"),
+                   Sum("n", alias_name="n"))
+    ).to_pandas()  # |types|·7 rows — bounded
+
+    tot = w.groupby("event_type", as_index=False).agg(
+        tot_c=("sum_c", "sum"), tot_n=("n", "sum"))
+    m = w.merge(tot, on="event_type")
+    idx = ((m["sum_c"].to_numpy().astype(np.float64)
+            / m["n"].to_numpy().astype(np.float64))
+           / (m["tot_c"].to_numpy().astype(np.float64)
+              / m["tot_n"].to_numpy().astype(np.float64)))
+    return pa.table({
+        "event_type": pa.array(m["event_type"], pa.string()),
+        "wd": pa.array(m["wd"].to_numpy(), pa.int64()),
+        "sum_c": pa.array(m["sum_c"].to_numpy(), pa.int64()),
+        "n": pa.array(m["n"].to_numpy(), pa.int64()),
+        "idx": pa.array(idx),
+    })

@@ -1,0 +1,69 @@
+"""Typed-hash gate pins for the linkage batch (sorted-neighborhood
+blocking, mutual-kNN pairs, weekday seasonality) at sf0.001, plus a
+brute-force cross-check of the SNM window semantics."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+
+PINNED = [
+    "snm_candidate_pairs",
+    "mutual_topk_pairs",
+    "seasonality_weekday_index",
+]
+
+
+def _typed_hash(df: pd.DataFrame):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return (tuple(str(df[c].dtype) for c in df.columns),
+            int(pd.util.hash_pandas_object(df, index=False).sum()))
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", PINNED)
+def test_linkage_query_typed_hash(name, oracle_con, ray_session):
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    res = qs[name](SF)
+    got = res.to_pandas() if hasattr(res, "to_pandas") else res
+    want = oracle_con.sql(oracles[name]).arrow().to_pandas()
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    g, w = _typed_hash(got), _typed_hash(want)
+    assert g[0] == w[0], f"{name}: dtypes {g[0]} != {w[0]}"
+    assert g[1] == w[1], f"{name}: value hash mismatch"
+
+
+def test_snm_window_brute_force(ray_session):
+    """Distributed halo-exchange pairing equals a single-process sort +
+    sliding window, including pairs that straddle rank-block borders."""
+    import pyarrow.parquet as pq
+
+    from agr_loader_ray.pipelines.linkage_queries import snm_candidate_pairs
+
+    # tiny block size forces MANY halo crossings
+    got = snm_candidate_pairs(SF, window=2, block=16).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    docs["key"] = docs["text"].str.slice(0, 12)
+    docs = docs.sort_values(["key", "doc_id"], kind="mergesort").reset_index(drop=True)
+    want = set()
+    for d in (1, 2):
+        for i in range(len(docs) - d):
+            if docs["key"].iloc[i][:4] == docs["key"].iloc[i + d][:4]:
+                want.add((int(docs["doc_id"].iloc[i]),
+                          int(docs["doc_id"].iloc[i + d])))
+    assert set(zip(got["doc_a"], got["doc_b"])) == want
