@@ -302,3 +302,105 @@ def seasonality_weekday_index(sf_dir: str):
         "n": pa.array(m["n"].to_numpy(), pa.int64()),
         "idx": pa.array(idx),
     })
+
+
+# ---------------------------------------------------------------------------
+# golden_record_attrs — survivorship merge (the step after entity
+# resolution): one golden row per user combining "most recent value"
+# policies per attribute — last event_type overall, last purchase cents
+# (NULL when the user never purchased), and the distinct-type count.
+# One gpart exchange; the kernel lexsorts each partition once by
+# (user, ts, event_id) and takes boundary rows — no per-user Python.
+# Recency ties break on event_id, mirrored exactly in the oracle's
+# window ORDER BY.
+# ---------------------------------------------------------------------------
+@query(
+    "golden_record_attrs",
+    """
+    WITH e AS (SELECT user_id, event_id, ts, event_type,
+                      CAST(round(value * 100) AS BIGINT) AS vc
+               FROM events),
+    r AS (SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM e),
+    p AS (SELECT user_id, vc,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM e WHERE event_type = 'purchase'),
+    d AS (SELECT user_id,
+                 CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+          FROM e GROUP BY user_id)
+    SELECT r.user_id, r.event_type AS last_type,
+           p.vc AS last_purchase_c, d.n_types
+    FROM r
+    LEFT JOIN p ON p.user_id = r.user_id AND p.rn = 1
+    JOIN d ON d.user_id = r.user_id
+    WHERE r.rn = 1
+    """,
+)
+def golden_record_attrs(sf_dir: str):
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "event_type",
+                             "value"])
+    nparts = _join_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        vc = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        out = pa.table({"user_id": t["user_id"], "event_id": t["event_id"],
+                        "ts_us": pc.cast(t["ts"], pa.int64()),
+                        "event_type": t["event_type"], "vc": vc})
+        return int_key_part_col(out, "user_id", nparts)
+
+    def golden_part(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        ts = g["ts_us"].to_numpy().astype(np.int64)
+        et = g["event_type"].to_numpy()
+        vc = g["vc"].to_numpy().astype(np.int64)
+        order = np.lexsort((eid, ts, uid))  # per user ASC: last row wins
+        uid, eid, ts, et, vc = (uid[order], eid[order], ts[order],
+                                et[order], vc[order])
+        n = len(uid)
+        last = np.empty(n, bool)
+        last[-1] = True
+        last[:-1] = uid[1:] != uid[:-1]
+        lasts = np.flatnonzero(last)
+        users = uid[lasts]
+        last_type = et[lasts]
+        # distinct types per user: unique (user, type) pairs per segment
+        pair_new = np.empty(n, bool)
+        pair_new[0] = True
+        pair_new[1:] = (uid[1:] != uid[:-1])
+        # count distinct via sorting types within user segments
+        order2 = np.lexsort((et, uid))
+        u2, t2 = uid[order2], et[order2]
+        new2 = np.empty(n, bool)
+        new2[0] = True
+        new2[1:] = (u2[1:] != u2[:-1]) | (t2[1:] != t2[:-1])
+        n_types = np.bincount(
+            np.searchsorted(users, u2[new2]), minlength=len(users))
+        # last purchase cents: scan only purchase rows (still vectorized)
+        is_p = et == "purchase"
+        pu, pv = uid[is_p], vc[is_p]
+        plast = np.empty(len(pu), bool)
+        if len(pu):
+            plast[-1] = True
+            plast[:-1] = pu[1:] != pu[:-1]
+        p_users, p_vals = pu[plast], pv[plast]
+        pos = np.searchsorted(users, p_users)
+        purchase = np.full(len(users), 0, np.int64)
+        has_p = np.zeros(len(users), bool)
+        purchase[pos] = p_vals
+        has_p[pos] = True
+        return pa.table({
+            "user_id": pa.array(users),
+            "last_type": pa.array(last_type, pa.string()),
+            "last_purchase_c": pa.array(
+                np.ma.masked_array(purchase, mask=~has_p)),
+            "n_types": pa.array(n_types.astype(np.int64)),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("gpart").map_groups(golden_part, batch_format="pandas"))

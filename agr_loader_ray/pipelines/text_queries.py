@@ -549,6 +549,59 @@ def cdc_engine_replay(sf_dir: str):
     return export_sorted(_replay_lake(sf_dir))
 
 
+@query("cdc_txn_replay")
+def cdc_txn_replay(sf_dir: str):
+    """Multi-table ATOMIC replay end-to-end: two per-table WALs are
+    merged into one combined binlog (``table`` column), demuxed back by
+    the streaming binlog-demux stage, replayed under the 2PC intent
+    coordinator (``pipelines/txn.py``), and read back through the
+    consistent-snapshot fence.  Returns both tables' fenced state with a
+    ``table`` column.  Rows-only gate (lake input, not a view); crash
+    atomicity, roll-forward recovery and snapshot isolation are asserted
+    in tests/test_txn_tests.py."""
+    import os
+    import tempfile
+
+    from ..pipelines.engine import CdcEngine
+    from ..pipelines.txn import TxnReplay, combine_wals, demux_wal
+    from ..wal.generator import WalSpec, generate_wal
+
+    n = 8_000 if "0.01" in sf_dir else 2_000
+    root = os.path.join(tempfile.gettempdir(), f"agr_q_txn_{n}")
+    specs = {
+        "a": WalSpec(n_events=n, n_convs=max(50, n // 40), n_epochs=3,
+                     seed=7, update_frac=0.2, delete_frac=0.05),
+        "b": WalSpec(n_events=n // 2, n_convs=max(40, n // 50), n_epochs=3,
+                     seed=11, update_frac=0.1, delete_frac=0.1),
+    }
+    wals = {t: os.path.join(root, f"wal_{t}") for t in specs}
+    for t, sp in specs.items():
+        generate_wal(wals[t], sp)
+    combined = os.path.join(root, "binlog")
+    demuxed = {t: os.path.join(root, f"demux_{t}") for t in specs}
+    if not os.path.exists(combined):
+        combine_wals(wals, combined)
+    demux_wal(combined, demuxed)
+    engines = {t: CdcEngine(os.path.join(root, f"lake_{t}"), n_partitions=8)
+               for t in specs}
+    txn = TxnReplay(os.path.join(root, "txn"), engines, demuxed)
+    txn.replay()
+
+    import pyarrow as _pa
+
+    outs = []
+    for t in sorted(specs):
+        df = txn.read(t).to_pandas()
+        tbl = _pa.Table.from_pandas(df, preserve_index=False)
+        tbl = tbl.append_column(
+            "table", _pa.array([t] * tbl.num_rows, _pa.string()))
+        outs.append(tbl)
+    out = _pa.concat_tables(outs, promote_options="permissive")
+    return (out.to_pandas()
+            .sort_values(["table", "conv_id", "turn_idx"], kind="mergesort")
+            .reset_index(drop=True))
+
+
 @query("cdc_engine_change_feed")
 def cdc_engine_change_feed(sf_dir: str):
     """Lake-side change-data-feed of every committed epoch (rows-only

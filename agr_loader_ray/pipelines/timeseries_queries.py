@@ -2716,3 +2716,100 @@ def hhi_supplier_concentration(sf_dir: str):
         .map_groups(kernel, batch_format="pandas")
         .sort("l_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# covered_time_per_user — interval-union length (the classic islands
+# merge): each event spans [ts, ts + value seconds); per user, the
+# number of merged islands and total covered microseconds.  One gpart
+# exchange; the kernel is fully vectorized — per-user segments get
+# disjoint offset bands so ONE np.maximum.accumulate computes every
+# user's running max (band-monotone ⇒ the scan "resets" at user
+# boundaries without a loop), islands close with reduceat.  All-integer
+# endpoints (epoch µs + exact cent-seconds), so the oracle's window
+# formulation hashes identically.
+# ---------------------------------------------------------------------------
+@query(
+    "covered_time_per_user",
+    """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s_us,
+             epoch_us(ts) + CAST(round(value * 100) AS BIGINT) * 10000 AS e_us
+      FROM events),
+    w AS (
+      SELECT user_id, s_us, e_us,
+             max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS prev_max
+      FROM iv),
+    g AS (
+      SELECT user_id, s_us, e_us,
+             CASE WHEN prev_max IS NULL OR s_us > prev_max
+                  THEN 1 ELSE 0 END AS brk
+      FROM w),
+    i AS (
+      SELECT user_id, s_us, e_us,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM g),
+    isl AS (
+      SELECT user_id, island, max(e_us) - min(s_us) AS len
+      FROM i GROUP BY user_id, island)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(len) AS BIGINT) AS covered_us
+    FROM isl GROUP BY user_id
+    """,
+)
+def covered_time_per_user(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    nparts = _join_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["ts"], pa.int64())
+        vc = _cents(t["value"])
+        e = pc.add(s, pc.multiply(vc, pa.scalar(10000, pa.int64())))
+        out = pa.table({"user_id": t["user_id"], "s_us": s, "e_us": e})
+        return int_key_part_col(out, "user_id", nparts)
+
+    def union_part(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        s = g["s_us"].to_numpy().astype(np.int64)
+        e = g["e_us"].to_numpy().astype(np.int64)
+        order = np.lexsort((e, s, uid))
+        uid, s, e = uid[order], s[order], e[order]
+        n = len(uid)
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(first)
+        # disjoint offset bands per user → one global running max scan
+        base = int(s.min())
+        span = int(max(e.max() - base, 1)) + 1
+        seg = np.cumsum(first) - 1  # dense user rank within partition
+        shifted_e = (e - base) + seg * span
+        runmax = np.maximum.accumulate(shifted_e)
+        prev_max = np.empty(n, np.int64)
+        prev_max[0] = -1
+        prev_max[1:] = runmax[:-1]
+        brk = first | (((s - base) + seg * span) > prev_max)
+        isl_start = np.flatnonzero(brk)
+        # per-island extent: s at island start (sorted ⇒ min), max e inside
+        isl_len = (np.maximum.reduceat(e, isl_start)
+                   - s[isl_start])
+        isl_uid = uid[isl_start]
+        # islands are user-contiguous: reduceat over user boundaries
+        u_start = np.flatnonzero(
+            np.r_[True, isl_uid[1:] != isl_uid[:-1]])
+        covered = np.add.reduceat(isl_len, u_start)
+        counts = np.r_[u_start[1:], len(isl_uid)] - u_start
+        return pd.DataFrame({
+            "user_id": isl_uid[u_start],
+            "n_islands": counts.astype(np.int64),
+            "covered_us": covered.astype(np.int64),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("gpart").map_groups(union_part, batch_format="pandas"))

@@ -16,6 +16,8 @@ PINNED = [
     "snm_candidate_pairs",
     "mutual_topk_pairs",
     "seasonality_weekday_index",
+    "covered_time_per_user",
+    "golden_record_attrs",
 ]
 
 
