@@ -79,6 +79,49 @@ QUARANTINE_PART = -1
 _VALID_OPS = pa.array(["I", "U", "D"])
 
 
+def _morton_spread_2d(x: np.ndarray) -> np.ndarray:
+    """Spread the low 32 bits of ``x`` to even bit positions (uint64)."""
+    x = x.astype(np.uint64)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return x
+
+
+def _zorder_cluster(tbl: pa.Table, bits: int = 21) -> pa.Table:
+    """Reorder rows by the Morton (Z-order) interleave of
+    (conv_id dense rank, ts) — multi-dimensional clustering so row-group
+    min/max stats stay useful for BOTH key-range and time-range pruning.
+    Pure layout: the table's rows are unchanged, only their order."""
+    if tbl.num_rows == 0:
+        return tbl
+
+    def scale(v: np.ndarray) -> np.ndarray:
+        # map [0, vmax] into [0, 2^bits): divide down when the domain is
+        # wide (no overflowing multiply), stretch up when it is narrow
+        top = np.int64((1 << bits) - 1)
+        vmax = max(int(v.max()), 1)
+        if vmax > top:
+            return v // np.int64(vmax // top + 1)
+        return v * np.int64(top // vmax)
+
+    # EQUI-DEPTH (rank) mapping for both dimensions, not min-max linear:
+    # a handful of far outliers (late events) would otherwise compress
+    # the bulk into one bucket and kill pruning.  Rank order preserves
+    # value order, so row-group min/max stats stay sound and tight.
+    conv = tbl["conv_id"].to_numpy(zero_copy_only=False)
+    _, rank = np.unique(conv, return_inverse=True)
+    ts = pc.cast(tbl["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+    _, ts_rank = np.unique(ts, return_inverse=True)
+    a = scale(rank.astype(np.int64))
+    b = scale(ts_rank.astype(np.int64))
+    z = _morton_spread_2d(a) | (_morton_spread_2d(b) << np.uint64(1))
+    order = np.argsort(z, kind="stable")
+    return tbl.take(pa.array(order))
+
+
 def _invalid_event_mask(batch: pa.Table) -> pa.Array:
     """True where an event can NEVER be applied (poison): null key
     components, null LWW ordering fields, or an unknown op.  Vectorized;
@@ -667,7 +710,8 @@ class CdcEngine:
     # -- maintenance --------------------------------------------------------
     def compact(self, drop_tombstones_before_offset: int | None = None,
                 row_group_size: int | None = 32_768,
-                max_rows_per_file: int | None = None) -> dict:
+                max_rows_per_file: int | None = None,
+                cluster: str = "key") -> dict:
         """Compact every partition with outstanding deltas (maintenance
         pass, e.g. before heavy reads).  Rewrites the CURRENT epoch's
         manifest in place (atomic) with exact live counts/checksums.
@@ -676,6 +720,15 @@ class CdcEngine:
         this WAL offset (the late-data watermark — a tombstone must
         outlive the maximum expected event lateness, else an older-ts
         event could resurrect the key; policy documented in README).
+
+        ``cluster``: base-file row layout.  ``"key"`` (default) sorts by
+        (conv_id, turn_idx) — tightest conv_id row-group stats, best for
+        ``range_scan``.  ``"zorder"`` orders by the Morton interleave of
+        (conv_id dense rank, ts) so BOTH key-range and time-range scans
+        get useful row-group pruning (``time_range_scan``) — the classic
+        multi-dimensional clustering trade.  Either way the base holds
+        exactly one folded row per key, so layout never affects
+        correctness, only skipping.
         """
         self._check_writer()
         last = self.manifest.last_committed_epoch()
@@ -687,14 +740,20 @@ class CdcEngine:
         todo = {
             p: info for p, info in parts.items()
             if info.get("deltas") or drop_tombstones_before_offset is not None
+            # a zorder request is an explicit RECLUSTER: rewrite every
+            # partition even if delta-free (layout maintenance op)
+            or cluster == "zorder"
         }
         if not todo:
             return {"compacted": 0}
+        if cluster not in ("key", "zorder"):
+            raise ValueError(f"cluster must be 'key' or 'zorder', got {cluster!r}")
         gc_off = drop_tombstones_before_offset
         # bounded row groups keep per-row-group conv_id min/max stats
         # tight on the key-sorted base → range_scan's data skipping
         rg_size = row_group_size
         max_rows = max_rows_per_file
+        use_zorder = cluster == "zorder"
 
         reg_ref = ray.put(registry.to_dict())
         lake_root = self.manifest.lake_root
@@ -714,7 +773,10 @@ class CdcEngine:
                     pc.less(merged[OFFSET_COL], pa.scalar(gc_off, pa.int64())),
                 )
                 merged = merged.filter(pc.invert(stale))
-            merged = merged.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+            if use_zorder:
+                merged = _zorder_cluster(merged)
+            else:
+                merged = merged.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
             if max_rows and merged.num_rows > max_rows:
                 # split the sorted snapshot into size-bounded base parts
                 # (disjoint key ranges): a 100 TB partition never has to

@@ -17,6 +17,7 @@ shuffle (SURVEY §7.4) — never part of the apply hot path.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -419,4 +420,136 @@ def range_scan(lake_root: str, lo: str, hi: str, epoch: int | None = None,
             stats["files"] += 1
             stats["row_groups_considered"] += len(keep) + pruned
             stats["row_groups_pruned"] += pruned
+    return ds, stats
+
+
+def _rg_ts_intersecting(path: str, lo_us: int, hi_us: int) -> tuple[list[int], int]:
+    """Row groups whose ts [min, max] stats intersect [lo_us, hi_us]
+    (footer-only).  Groups without stats are kept (never unsound)."""
+    import pandas as pd
+
+    pf = pq.ParquetFile(path)
+    try:
+        ci = pf.schema_arrow.names.index("ts")
+    except ValueError:
+        return list(range(pf.num_row_groups)), 0
+    keep, pruned = [], 0
+    for g in range(pf.num_row_groups):
+        st = pf.metadata.row_group(g).column(ci).statistics
+        if st is not None and st.has_min_max:
+            mn = pd.Timestamp(st.min).value // 1000
+            mx = pd.Timestamp(st.max).value // 1000
+            if mx < lo_us or mn > hi_us:
+                pruned += 1
+                continue
+        keep.append(g)
+    return keep, pruned
+
+
+def _to_us(x) -> int:
+    import pandas as pd
+
+    if isinstance(x, (int,)):
+        return x
+    return int(pd.Timestamp(x).value // 1000)
+
+
+def time_range_scan(lake_root: str, lo, hi, epoch: int | None = None,
+                    with_stats: bool = False):
+    """Scan live rows with ``lo <= ts <= hi`` with TIME-based row-group
+    skipping (the second pruning dimension — pair with
+    ``CdcEngine.compact(cluster="zorder")`` so key- and time-range scans
+    both skip).
+
+    Soundness under merge-on-read: ts pruning on a partition with
+    outstanding deltas is UNSOUND (a pruned base row with a later ts
+    could be the LWW winner over an in-range delta row, so skipping it
+    would emit a superseded version).  Partitions whose manifest shows
+    no deltas therefore prune (their folded base holds exactly one row
+    per key); partitions with deltas fall back to a full fold —
+    compaction is what buys the skipping.  ``lo``/``hi``: epoch-µs ints
+    or anything ``pd.Timestamp`` accepts.
+    """
+    from .engine import _info_files
+
+    lo_us, hi_us = _to_us(lo), _to_us(hi)
+    if lo_us > hi_us:
+        raise ValueError(f"empty range: lo={lo!r} > hi={hi!r}")
+    manifest = LakeManifest(lake_root)
+    e = manifest.last_committed_epoch() if epoch is None else epoch
+    if e is None:
+        raise FileNotFoundError(f"no committed epoch in {lake_root}")
+    manifest.assert_readable(e)
+    m = manifest.read_epoch(e)
+    registry_dict = m["schema_registry"]
+    payload_cols = [n for n, _ in registry_dict["fields"]]
+    alias_names = [a for als in registry_dict.get("aliases", {}).values() for a in als]
+    file_cols = payload_cols + alias_names + [OFFSET_COL, DELETED_COL]
+
+    items = []
+    for info in m["partitions"].values():
+        files = [manifest.abspath(f) for f in _info_files(info)]
+        if files:
+            items.append({"files": files,
+                          "prunable": not info.get("deltas")})
+    if not items:
+        ds = ray.data.from_arrow(pa.Table.from_pylist(
+            [], schema=SchemaRegistry.from_dict(registry_dict).schema))
+        return (ds, {"row_groups_considered": 0, "row_groups_pruned": 0,
+                     "partitions_full_read": 0}) if with_stats else ds
+
+    lo_ts = pa.scalar(np.datetime64(lo_us, "us"), pa.timestamp("us"))
+    hi_ts = pa.scalar(np.datetime64(hi_us, "us"), pa.timestamp("us"))
+
+    def scan_fold(batch: pa.Table) -> pa.Table:
+        registry = SchemaRegistry.from_dict(registry_dict)
+        outs = []
+        for files, prunable in zip(batch["files"].to_pylist(),
+                                   batch["prunable"].to_pylist()):
+            tables = []
+            for f in files:
+                if prunable:
+                    keep, _ = _rg_ts_intersecting(f, lo_us, hi_us)
+                    if not keep:
+                        continue
+                else:
+                    keep = None  # full read: deltas may shadow any row
+                pf = pq.ParquetFile(f)
+                avail = set(pf.schema_arrow.names)
+                cols = [c for c in file_cols if c in avail]
+                t = (pf.read_row_groups(keep, columns=cols)
+                     if keep is not None else pf.read(columns=cols))
+                tables.append(registry.conform(t, _EXTRA))
+            if not tables:
+                continue
+            t = tables[0] if len(tables) == 1 else lww_last_per_key(
+                pa.concat_tables(tables), ["conv_id", "turn_idx"],
+                ["ts", OFFSET_COL])
+            outs.append(t)
+        if not outs:
+            return registry.conform(pa.Table.from_pylist([]), _EXTRA) \
+                .select(payload_cols)
+        t = pa.concat_tables(outs)
+        t = t.filter(pc.and_(pc.greater_equal(t["ts"], lo_ts),
+                             pc.less_equal(t["ts"], hi_ts)))
+        t = t.filter(pc.equal(t[DELETED_COL], False))
+        return t.select(payload_cols)
+
+    ds = ray.data.from_items(items).map_batches(
+        scan_fold, batch_format="pyarrow", batch_size=1)
+    if not with_stats:
+        return ds
+    stats = {"row_groups_considered": 0, "row_groups_pruned": 0,
+             "partitions_full_read": 0, "files": 0}
+    for it in items:
+        if not it["prunable"]:
+            stats["partitions_full_read"] += 1
+        for f in it["files"]:
+            stats["files"] += 1
+            if it["prunable"]:
+                keep, pruned = _rg_ts_intersecting(f, lo_us, hi_us)
+                stats["row_groups_considered"] += len(keep) + pruned
+                stats["row_groups_pruned"] += pruned
+            else:
+                stats["row_groups_considered"] += pq.ParquetFile(f).num_row_groups
     return ds, stats
