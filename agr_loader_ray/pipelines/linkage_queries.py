@@ -404,3 +404,165 @@ def golden_record_attrs(sf_dir: str):
     return (ds.map_batches(prep, batch_format="pyarrow",
                            zero_copy_batch=True)
             .groupby("gpart").map_groups(golden_part, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# ppjoin_pairs — prefix-filtered set-similarity join (the PPJoin family):
+# exact 5-shingle Jaccard ≥ 0.8 document pairs WITHOUT the all-pairs
+# product.  Prefix-filter theory: order each doc's shingles by global
+# rarity (df ASC, h ASC); two docs with Jaccard ≥ θ MUST share a shingle
+# inside their first (n − ⌈θ·n⌉ + 1) rarest — so candidates come only
+# from prefix-shingle collisions (recall 1 by construction, asserted
+# against brute force in tests).  Stages: per-doc distinct shingle
+# hashes (the sketch family's code-point polynomial, so the SQL oracle
+# mirrors it exactly) → df exchange → hybrid df attach (broadcast ≤2M
+# distinct shingles, hash join above) → per-doc prefix kernel →
+# collision pairing → distinct pairs → exact-Jaccard verify
+# (stages/dedup.verify_pairs_jaccard).
+# ---------------------------------------------------------------------------
+def _ppjoin_sql(threshold: float = 0.8, k: int = 5) -> str:
+    from .sketch_sql import _shingle_ctes
+
+    return f"""
+    WITH {_shingle_ctes(k)},
+    shd AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM shh),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+           FROM shd GROUP BY doc_id),
+    fr AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM shd GROUP BY h),
+    o AS (SELECT s.doc_id, s.h,
+                 row_number() OVER (PARTITION BY s.doc_id
+                                    ORDER BY f.df, s.h) AS rk,
+                 z.n
+          FROM shd s JOIN fr f USING (h) JOIN sz z USING (doc_id)),
+    pref AS (SELECT doc_id, h FROM o
+             WHERE rk <= n - CAST(ceil({threshold} * n) AS BIGINT) + 1),
+    cand AS (SELECT DISTINCT p1.doc_id AS id_a, p2.doc_id AS id_b
+             FROM pref p1 JOIN pref p2
+               ON p2.h = p1.h AND p1.doc_id < p2.doc_id),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS c
+              FROM cand c
+              JOIN shd a ON a.doc_id = c.id_a
+              JOIN shd b ON b.doc_id = c.id_b AND b.h = a.h
+              GROUP BY c.id_a, c.id_b)
+    SELECT i.id_a, i.id_b,
+           CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.id_a
+    JOIN sz sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= {threshold}
+    """
+
+
+@query("ppjoin_pairs", _ppjoin_sql(0.8, 5))
+def ppjoin_pairs(sf_dir: str, threshold: float = 0.8, k: int = 5,
+                 broadcast_limit: int = 2_000_000):
+    from ..stages.dedup import (_dedup_pairs, _hash_part_col,
+                                _shingle_hashes, verify_pairs_jaccard)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    nparts = _join_parts()
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        ids_out, hs_out, ns = [], [], []
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        for i, txt in enumerate(t["text"].to_pylist()):
+            if txt is None or len(txt) < k:
+                continue  # the oracle's docs CTE filters length >= k
+            hs = np.unique(_shingle_hashes(txt, k))
+            ids_out.append(np.full(len(hs), ids[i], np.int64))
+            hs_out.append(hs)
+            ns.append(np.full(len(hs), len(hs), np.int64))
+        if not ids_out:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.uint64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"doc_id": pa.array(np.concatenate(ids_out)),
+                         "h": pa.array(np.concatenate(hs_out), pa.uint64()),
+                         "n": pa.array(np.concatenate(ns))})
+
+    sh = docs.map_batches(shingle_rows, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+
+    def df_part(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(uniq, pa.uint64()),
+                         "df": pa.array(cnt.astype(np.int64))})
+
+    df_ds = (sh.map_batches(
+        lambda t: _hash_part_col(t.select(["h"]), "h", nparts),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part").map_groups(df_part, batch_format="pyarrow")
+    ).materialize()
+
+    if df_ds.count() <= broadcast_limit:
+        df_tbl = pa.concat_tables(
+            df_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        keys = df_tbl["h"].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys)
+        ref = ray.put((keys[order],
+                       df_tbl["df"].to_numpy(zero_copy_only=False)[order]))
+
+        def attach_df(t: pa.Table) -> pa.Table:
+            ks, dfs = ray.get(ref)
+            h = t["h"].to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "df", pa.array(dfs[np.searchsorted(ks, h)]))
+
+        attached = sh.map_batches(attach_df, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    else:  # scale path: distributed attach, no driver state
+        attached = sh.join(df_ds, join_type="inner",
+                           num_partitions=nparts, on=("h",))
+
+    def prefix_part(g: pd.DataFrame) -> pa.Table:
+        did = g["doc_id"].to_numpy().astype(np.int64)
+        h = g["h"].to_numpy().astype(np.uint64)
+        df = g["df"].to_numpy().astype(np.int64)
+        n = g["n"].to_numpy().astype(np.int64)
+        order = np.lexsort((h, df, did))
+        did, h, n = did[order], h[order], n[order]
+        first = np.empty(len(did), bool)
+        first[0] = True
+        first[1:] = did[1:] != did[:-1]
+        starts = np.flatnonzero(first)
+        rank = np.arange(len(did)) - np.repeat(
+            starts, np.r_[starts[1:], len(did)] - starts)
+        L = n - np.ceil(threshold * n).astype(np.int64) + 1
+        keep = rank < L
+        return pa.table({"doc_id": pa.array(did[keep]),
+                         "h": pa.array(h[keep], pa.uint64())})
+
+    pref = (attached.map_batches(
+        lambda t: int_key_part_col(t, "doc_id", nparts),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart").map_groups(prefix_part, batch_format="pandas"))
+
+    def collide_part(g: pd.DataFrame) -> pa.Table:
+        h = g["h"].to_numpy().astype(np.uint64)
+        did = g["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((did, h))
+        h, did = h[order], did[order]
+        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        ends = np.r_[starts[1:], len(h)]
+        outs_a, outs_b = [], []
+        for s, e in zip(starts, ends):  # only COLLIDING prefix shingles
+            d = e - s
+            if d < 2:
+                continue
+            iu, ju = np.triu_indices(d, k=1)
+            outs_a.append(did[s:e][iu])
+            outs_b.append(did[s:e][ju])
+        if not outs_a:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        return pa.table({"id_a": pa.array(np.concatenate(outs_a)),
+                         "id_b": pa.array(np.concatenate(outs_b))})
+
+    cand = (pref.map_batches(
+        lambda t: _hash_part_col(t, "h", nparts),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part").map_groups(collide_part, batch_format="pandas"))
+
+    pairs = _dedup_pairs(cand)
+    return verify_pairs_jaccard(pairs, docs, threshold=threshold, k=k)

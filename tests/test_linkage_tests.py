@@ -18,6 +18,7 @@ PINNED = [
     "seasonality_weekday_index",
     "covered_time_per_user",
     "golden_record_attrs",
+    "ppjoin_pairs",
 ]
 
 
@@ -69,3 +70,31 @@ def test_snm_window_brute_force(ray_session):
                 want.add((int(docs["doc_id"].iloc[i]),
                           int(docs["doc_id"].iloc[i + d])))
     assert set(zip(got["doc_a"], got["doc_b"])) == want
+
+
+def test_ppjoin_equals_brute_force(ray_session):
+    """Prefix filtering loses NOTHING: the PPJoin pair set equals the
+    brute-force all-pairs exact-Jaccard set at the same threshold."""
+    import pyarrow.parquet as pq
+
+    from agr_loader_ray.pipelines.linkage_queries import ppjoin_pairs
+    from agr_loader_ray.stages.dedup import jaccard_ngram
+
+    got = ppjoin_pairs(SF, threshold=0.6, k=5).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    docs = docs[docs["text"].str.len() >= 5]
+    rows = list(zip(docs["doc_id"], docs["text"]))
+    want = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            lo, hi = (a, b) if a[0] < b[0] else (b, a)
+            jac = jaccard_ngram(lo[1], hi[1], k=5)
+            if jac >= 0.6:
+                want[(int(lo[0]), int(hi[0]))] = jac
+    got_map = {(int(r.id_a), int(r.id_b)): r.jaccard
+               for r in got.itertuples()}
+    assert got_map.keys() == want.keys()
+    for p, jac in want.items():
+        assert got_map[p] == jac
