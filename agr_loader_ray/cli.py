@@ -87,6 +87,14 @@ def main(argv: list[str] | None = None) -> int:
                                         "operation lineage from the manifests")
     hp.add_argument("--lake", required=True)
 
+    wp = sub.add_parser("savepoint", help="pin an epoch's snapshot against "
+                                          "vacuum (omit --epoch for latest)")
+    wp.add_argument("--lake", required=True)
+    wp.add_argument("--epoch", type=int, default=None)
+    wp.add_argument("--name", default=None)
+    wp.add_argument("--release", action="store_true",
+                    help="un-pin instead (requires --epoch)")
+
     qp = sub.add_parser("repartition", help="rewrite lake ownership to a "
                                             "new partition count")
     qp.add_argument("--lake", required=True)
@@ -135,6 +143,14 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.engine import lake_history
 
         out = {"history": lake_history(args.lake)}
+    elif args.cmd == "savepoint":
+        eng = CdcEngine(args.lake)
+        if args.release:
+            if args.epoch is None:
+                p.error("--release requires --epoch")
+            out = eng.release_savepoint(args.epoch)
+        else:
+            out = eng.savepoint(epoch=args.epoch, name=args.name)
     elif args.cmd == "repartition":
         out = CdcEngine(args.lake).repartition(args.new_partitions)
     else:

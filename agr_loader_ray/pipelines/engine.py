@@ -989,8 +989,12 @@ class CdcEngine:
             watermark = prior
             kept = [e for e in epochs if e >= watermark]
 
+        # savepointed epochs are vacuum-exempt: their file sets stay
+        # live no matter how far the watermark advances past them
+        pinned = [e for e in sorted(self.manifest.read_savepoints())
+                  if e in epochs and e not in kept]
         live: set[str] = set()
-        for e in kept:
+        for e in kept + pinned:
             m = self.manifest.read_epoch(e)
             for info in m["partitions"].values():
                 live.update(_info_files(info))
@@ -1037,7 +1041,8 @@ class CdcEngine:
                         shutil.rmtree(os.path.join(staged_root, name),
                                       ignore_errors=True)
         return {"removed_files": removed, "removed_bytes": removed_bytes,
-                "min_readable_epoch": watermark, "retained_epochs": kept}
+                "min_readable_epoch": watermark, "retained_epochs": kept,
+                "savepoints_pinned": pinned}
 
     def purge(self, predicate, drop_matching_tombstones: bool = True) -> dict:
         """Physical row erase (the GDPR/right-to-be-forgotten move —
@@ -1124,6 +1129,42 @@ class CdcEngine:
             self.manifest.epoch_manifest_path(last), manifest)
         return {"purged_rows": purged, "partitions": len(results)}
 
+    def savepoint(self, epoch: int | None = None, name: str | None = None) -> dict:
+        """Pin a committed epoch's snapshot against vacuum (the
+        Hudi SAVEPOINT / Iceberg tagged-snapshot move): the epoch stays
+        time-travel-readable and RESTORE-able no matter how far the
+        retention watermark advances past it.  Metadata-only — one
+        atomic rewrite of ``_SAVEPOINTS.json``; idempotent re-pin
+        refreshes the name."""
+        self._check_writer()
+        last = self.manifest.last_committed_epoch()
+        if last is None:
+            raise FileNotFoundError("no committed epoch to savepoint")
+        e = last if epoch is None else int(epoch)
+        if e not in self.manifest.committed_epochs():
+            raise ValueError(f"epoch {e} is not committed")
+        # can't pin what vacuum already deleted
+        self.manifest.assert_readable(e)
+        sp = self.manifest.read_savepoints()
+        sp[e] = {"name": name or f"savepoint-{e}", "created_at_epoch": last}
+        self._check_writer()
+        self.manifest.write_savepoints(sp)
+        return {"epoch": e, **sp[e]}
+
+    def release_savepoint(self, epoch: int) -> dict:
+        """Un-pin a savepoint.  If the epoch is below the retention
+        watermark its files become garbage at the NEXT vacuum (publish
+        order matches vacuum's: the savepoints file is rewritten
+        atomically before any delete can observe the release)."""
+        self._check_writer()
+        sp = self.manifest.read_savepoints()
+        e = int(epoch)
+        if e not in sp:
+            raise KeyError(f"no savepoint at epoch {e}")
+        info = sp.pop(e)
+        self.manifest.write_savepoints(sp)
+        return {"epoch": e, "released": info}
+
     def restore(self, epoch: int) -> dict:
         """Roll the CURRENT table state back to committed ``epoch``
         (Delta-style RESTORE — the undo for a bad replay or a poisoned
@@ -1199,8 +1240,9 @@ class CdcEngine:
         os.makedirs(os.path.join(target_root, "_manifests"), exist_ok=True)
         live: set[str] = set()
         wm = self.manifest.min_readable_epoch()
+        sps = self.manifest.read_savepoints()
         for e in epochs:
-            if wm is not None and e < wm:
+            if wm is not None and e < wm and e not in sps:
                 continue  # vacuumed below the watermark: not cloneable
             m = self.manifest.read_epoch(e)
             for info in m["partitions"].values():
@@ -1210,10 +1252,12 @@ class CdcEngine:
                          os.path.join(target_root, "_manifests",
                                       os.path.basename(
                                           self.manifest.epoch_manifest_path(e))))
+        tgt = LakeManifest(target_root, self.commit_io)
         v = self.manifest.read_vacuum()
         if v is not None:
-            tgt = LakeManifest(target_root, self.commit_io)
             tgt.write_vacuum(v)
+        if sps:
+            tgt.write_savepoints(sps)
 
         linked = copied = 0
         for rel in sorted(live):
@@ -1254,9 +1298,15 @@ class CdcEngine:
                                     f"{self.manifest.lake_root}")
         tgt_last = tgt.last_committed_epoch()
         wm = self.manifest.min_readable_epoch()
+        sps = self.manifest.read_savepoints()
         todo = [e for e in src_epochs
-                if (tgt_last is None or e >= tgt_last)
-                and (wm is None or e >= wm)]
+                if ((tgt_last is None or e >= tgt_last)
+                    and (wm is None or e >= wm))
+                # savepointed history always re-ships missing pieces: a
+                # replica may have vacuumed an epoch's files locally
+                # BEFORE the source pinned it (the file loop below
+                # skips anything already present, so this is cheap)
+                or e in sps]
 
         linked = copied = shipped = 0
         for e in todo:
@@ -1287,6 +1337,12 @@ class CdcEngine:
             if tv is None or int(v["min_readable_epoch"]) > \
                     int(tv["min_readable_epoch"]):
                 tgt.write_vacuum(v)
+        if sps:
+            # additive union: the replica keeps its own pins, source
+            # releases don't propagate (each side runs its own vacuum)
+            merged_sp = {**sps, **tgt.read_savepoints()}
+            if merged_sp != tgt.read_savepoints():
+                tgt.write_savepoints(merged_sp)
         return {"target": target_root, "epochs_shipped": shipped,
                 "files_linked": linked, "files_copied": copied}
 
@@ -1327,11 +1383,14 @@ def lake_history(lake_root: str) -> list[dict]:
     version, counts, quarantine, vacuum watermark.  Metadata-only."""
     manifest = LakeManifest(lake_root)
     wm = manifest.min_readable_epoch()
+    sps = manifest.read_savepoints()
     out = []
     for e in manifest.committed_epochs():
         m = manifest.read_epoch(e)
         parts = list(m["partitions"].values())
         ops = ["replay"]
+        if e in sps:
+            ops.append(f"savepoint({sps[e]['name']})")
         if m.get("restored_from") is not None:
             ops.append(f"restore(from={m['restored_from']})")
         if m.get("purge_seq"):
@@ -1347,7 +1406,7 @@ def lake_history(lake_root: str) -> list[dict]:
             "rows": sum(p["rows"] for p in parts),
             "data_files": sum(len(_info_files(p)) for p in parts),
             "quarantined": m.get("quarantine", {}).get("rows", 0),
-            "readable": wm is None or e >= wm,
+            "readable": wm is None or e >= wm or e in sps,
         })
     return out
 

@@ -480,3 +480,69 @@ def nb_class_token_probs(sf_dir: str, topk: int = 10):
         })
 
     return c.groupby("lang").map_groups(per_class, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# kcore_nodes — k-core decomposition (iterative peel): nodes surviving
+# repeated removal of everything with in-subgraph degree < k, at the
+# data-derived k = (3·⌊2E/N⌋)//4.  The peel is anti-monotone, so it
+# can't be a recursive CTE; the oracle unrolls a fixed number of
+# peel rounds (one degree-count CTE per round) and the Ray side RAISES
+# if the fixpoint isn't reached inside that unroll — loud, never wrong.
+# Distribution contract: the fact-stream edge derivation stays a
+# distributed scan (_edges); the peel itself runs driver-side on the
+# bounded-by-construction (≤ C(997,2)·2/11) edge set — the same
+# small-edges/big-stream contract as dag_depth_levels / closure BFS.
+# ---------------------------------------------------------------------------
+def _kcore_sql(rounds: int = 10) -> str:
+    parts = ["WITH " + _EDGE_CTE + """,
+    und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+    kk AS (SELECT (3 * ((2 * (SELECT count(*) FROM e))
+                        // (SELECT count(DISTINCT u) FROM und))) // 4 AS k),
+    s0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM und)"""]
+    # MATERIALIZED is load-bearing: every s{i} is referenced twice per
+    # round, so default CTE inlining would expand 2^rounds copies
+    for i in range(rounds):
+        parts.append(f""",
+    d{i} AS MATERIALIZED (SELECT und.u AS node, count(*) AS c
+             FROM und
+             JOIN s{i} su ON su.node = und.u
+             JOIN s{i} sv ON sv.node = und.v
+             GROUP BY und.u),
+    s{i + 1} AS MATERIALIZED (SELECT node FROM d{i}, kk WHERE c >= kk.k)""")
+    parts.append(f"""
+    SELECT CAST(s.node AS BIGINT) AS node, CAST(d.c AS BIGINT) AS core_degree
+    FROM s{rounds} s JOIN d{rounds - 1} d USING (node)
+    ORDER BY node""")
+    return "".join(parts)
+
+
+@query("kcore_nodes", _kcore_sql(10))
+def kcore_nodes(sf_dir: str, max_rounds: int = 10):
+    edges = _edges(sf_dir).to_pandas()  # bounded by construction
+    a = edges["a"].to_numpy().astype(np.int64)
+    b = edges["b"].to_numpy().astype(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    k = (3 * ((2 * len(a)) // len(nodes))) // 4 if len(nodes) else 0
+    alive = np.zeros(K_NODES, bool)
+    alive[nodes] = True
+    for _ in range(max_rounds):
+        m = alive[a] & alive[b]
+        deg = (np.bincount(a[m], minlength=K_NODES)
+               + np.bincount(b[m], minlength=K_NODES))
+        new = alive & (deg >= k)
+        if np.array_equal(new, alive):
+            break  # fixpoint inside the oracle's unroll depth
+        alive = new
+    else:
+        raise RuntimeError(
+            f"k-core peel not converged in {max_rounds} rounds; raise the "
+            "unrolled oracle bound (_kcore_sql) to match")
+    m = alive[a] & alive[b]
+    deg = (np.bincount(a[m], minlength=K_NODES)
+           + np.bincount(b[m], minlength=K_NODES))
+    keep = np.flatnonzero(alive)
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(keep.astype(np.int64)),
+        "core_degree": pa.array(deg[keep].astype(np.int64)),
+    }))

@@ -172,12 +172,30 @@ class LakeManifest:
         Readers MUST call this before resolving an epoch manifest to
         file paths: the vacuum protocol publishes the watermark BEFORE
         deleting, so a reader that checks first can never race a
-        concurrent vacuum into reading a half-deleted snapshot."""
+        concurrent vacuum into reading a half-deleted snapshot.
+        Savepointed epochs stay readable below the watermark — vacuum
+        pins their file sets."""
         w = self.min_readable_epoch()
-        if w is not None and epoch < w:
+        if w is not None and epoch < w and epoch not in self.read_savepoints():
             raise ValueError(
                 f"epoch {epoch} was vacuumed (min readable epoch: {w}); "
                 "time-travel below the retention watermark is gone")
 
     def write_vacuum(self, obj: dict) -> None:
         self.commit_io.publish_json(self.vacuum_marker_path(), obj)
+
+    # ---- savepoints (vacuum-exempt pinned snapshots) ------------------------
+    def savepoints_path(self) -> str:
+        return os.path.join(self.manifest_dir, "_SAVEPOINTS.json")
+
+    def read_savepoints(self) -> dict[int, dict]:
+        """epoch → {name, created_at_epoch} for every pinned snapshot."""
+        p = self.savepoints_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as fh:
+            return {int(k): v for k, v in json.load(fh).items()}
+
+    def write_savepoints(self, sp: dict[int, dict]) -> None:
+        self.commit_io.publish_json(
+            self.savepoints_path(), {str(k): sp[k] for k in sorted(sp)})

@@ -20,6 +20,7 @@ PINNED = [
     "pmi_bigrams_top",
     "stump_best_split",
     "nb_class_token_probs",
+    "kcore_nodes",
 ]
 
 
@@ -89,3 +90,33 @@ def test_neighbor_jaccard_matches_set_math(ray_session):
         assert common == int(row.n_common)
         assert int(row.deg_u) == len(nu) and int(row.deg_v) == len(nv)
         assert row.jac == common / len(nu | nv)
+
+
+def test_kcore_equals_setwise_peel(ray_session):
+    """The vectorized bincount peel equals an independent set-based
+    peel, and every surviving node's in-core degree is >= k."""
+    from collections import Counter
+
+    from agr_loader_ray.pipelines.graph_queries import _edges, kcore_nodes
+
+    got = kcore_nodes(SF).to_pandas().sort_values("node").reset_index(drop=True)
+    e = _edges(SF).to_pandas()
+    a = e["a"].to_numpy().astype(int)
+    b = e["b"].to_numpy().astype(int)
+    nodes = set(a) | set(b)
+    k = (3 * ((2 * len(a)) // len(nodes))) // 4
+    alive = set(nodes)
+    while True:
+        cnt = Counter()
+        for u, v in zip(a, b):
+            if u in alive and v in alive:
+                cnt[u] += 1
+                cnt[v] += 1
+        new = {n for n in alive if cnt[n] >= k}
+        if new == alive:
+            break
+        alive = new
+    assert set(got["node"]) == alive
+    want_deg = {n: cnt[n] for n in alive}
+    assert dict(zip(got["node"], got["core_degree"])) == want_deg
+    assert (got["core_degree"] >= k).all()
