@@ -495,6 +495,12 @@ def ppjoin_pairs(sf_dir: str, threshold: float = 0.8, k: int = 5,
         .groupby("part").map_groups(df_part, batch_format="pyarrow")
     ).materialize()
 
+    if df_ds.count() == 0:  # no doc long enough to shingle
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }))
     if df_ds.count() <= broadcast_limit:
         df_tbl = pa.concat_tables(
             df_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))

@@ -358,6 +358,15 @@ def verify_pairs_jaccard(
     from ..functions.pools import join_parts, pool
 
     pairs = pairs.materialize()
+    if pairs.count() == 0:
+        # a corpus can legitimately produce zero candidates (e.g. every
+        # doc shorter than the shingle width) — emit the typed empty
+        # result instead of feeding concat_tables zero batches
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }))
     use_broadcast = pairs.count() <= VERIFY_BROADCAST_PAIR_LIMIT
     if use_broadcast:
         pair_tbl = pa.concat_tables(

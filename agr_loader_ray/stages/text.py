@@ -124,9 +124,12 @@ def fingerprint_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
             row_idx = np.repeat(np.arange(len(lens)), lens)
             local = np.arange(len(all_bytes), dtype=np.int64) - starts[row_idx]
             weighted = all_bytes * pows[lens[row_idx] - 1 - local]
-            safe_starts = np.minimum(starts, len(weighted) - 1)
-            out = np.add.reduceat(weighted, safe_starts)
-            out[lens == 0] = 0
+            # reduceat only at NON-EMPTY docs' starts: clamping an
+            # empty trailing doc's start to len-1 would split the
+            # previous doc's last element into the empty segment
+            nz = lens > 0
+            out = np.zeros(len(lens), dtype=np.uint64)
+            out[nz] = np.add.reduceat(weighted, starts[nz])
         else:
             out = np.zeros(len(lens), dtype=np.uint64)
     res = {name: t[name] for name in t.column_names}

@@ -1,0 +1,91 @@
+"""Random-corpus typed-hash gate for the text set-similarity family.
+
+Hypothesis builds small adversarial document tables — exact duplicates,
+single-edit near-duplicates, docs shorter than the shingle width,
+non-ASCII code points, shared boilerplate prefixes — and drives them
+through BOTH the Ray pipeline and its DuckDB oracle with the driver's
+typed-hash compare.  These are exactly the inputs where prefix
+filtering, shingle hashing, and length cutoffs have off-by-one edges
+the fixed fixtures can't reach."""
+
+import os
+
+import duckdb
+import hypothesis.strategies as st
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+
+import __ray_entry__ as entry
+
+QUERIES = [
+    "ppjoin_pairs",
+    "dedup_exact_text",
+    "shared_shingle_docs",
+    "doc_fingerprints",
+    "bpe_token_counts",
+    "text_quality_scores",
+]
+
+_WORDS = ["the", "quick", "brown", "fox", "jumps", "over", "lazy",
+          "dog", "data", "lake", "épée", "übung", "stream", "shuffle"]
+
+
+@st.composite
+def documents_frame(draw):
+    rng = np.random.default_rng(draw(st.integers(0, 2**31 - 1)))
+    n = draw(st.integers(min_value=4, max_value=40))
+    texts = []
+    for i in range(n):
+        kind = rng.integers(0, 5)
+        if kind == 0 and texts:
+            texts.append(texts[rng.integers(0, len(texts))])  # exact dup
+        elif kind == 1 and texts:
+            base = texts[rng.integers(0, len(texts))]
+            j = int(rng.integers(0, max(len(base), 1)))
+            texts.append(base[:j] + "x" + base[j + 1:])       # near-dup
+        elif kind == 2:
+            texts.append("ab"[: int(rng.integers(0, 3))])     # < shingle k
+        else:
+            k = int(rng.integers(1, 12))
+            texts.append(" ".join(
+                _WORDS[w] for w in rng.integers(0, len(_WORDS), size=k)))
+    langs = np.array(["en", "de"], object)[rng.integers(0, 2, size=n)]
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": np.array(texts, object),
+        "lang": langs,
+        "source": np.array(["web"] * n, object),
+        "n_chars": np.array([len(t) for t in texts], np.int64),
+    })
+
+
+def _typed_hash(df: pd.DataFrame):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return (tuple(str(df[c].dtype) for c in df.columns),
+            int(pd.util.hash_pandas_object(df, index=False).sum()))
+
+
+@pytest.mark.parametrize("name", QUERIES)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(frame=documents_frame())
+def test_random_documents_match_oracle(name, frame, tmp_path_factory, ray_session):
+    sf = str(tmp_path_factory.mktemp("sf"))
+    frame.to_parquet(os.path.join(sf, "documents.parquet"), index=False)
+    got = entry.queries()[name](sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.sql(entry.oracle_sql()[name]).arrow().to_pandas()
+    con.close()
+    assert len(got) == len(want)
+    if len(got) == 0:
+        return  # emptiness agreement IS the property (schema drops on empty)
+    g, w = _typed_hash(got), _typed_hash(want)
+    assert g[0] == w[0], (dict(got.dtypes.astype(str)),
+                          dict(want.dtypes.astype(str)))
+    assert g[1] == w[1]
