@@ -419,6 +419,14 @@ def golden_record_attrs(sf_dir: str):
 # distinct shingles, hash join above) → per-doc prefix kernel →
 # collision pairing → distinct pairs → exact-Jaccard verify
 # (stages/dedup.verify_pairs_jaccard).
+# Scale note: collision buckets are keyed on PREFIX shingles, which the
+# rarity ordering makes the globally rarest ones, so bucket width is
+# df-bounded on natural corpora; a degenerate corpus of m identical
+# docs still pairs m² — but that is the size of the TRUE output itself
+# (every pair is a duplicate), i.e. candidate cost stays output-bound.
+# For boilerplate-heavy corpora where even the output is too big, the
+# banded MinHash family (stages/dedup.py) with its hot-bucket cap is
+# the lossy-but-bounded alternative.
 # ---------------------------------------------------------------------------
 def _ppjoin_sql(threshold: float = 0.8, k: int = 5) -> str:
     from .sketch_sql import _shingle_ctes

@@ -1782,12 +1782,16 @@ def gini_per_priority(sf_dir: str):
         sx = int((v * c).sum())
         srx = int((v * (c * cb + c * (c + 1) // 2)).sum())
         num = 2 * srx - (n + 1) * sx
+        # mirror the oracle's CAST-then-divide exactly: n·sx exceeds
+        # 2^53 at bench scale, so rounding the OPERANDS to double first
+        # (as SQL does) differs from exact-int division in the last ulp
+        gini = np.float64(num) / np.float64(n * sx)
         return pd.DataFrame({
             "prio": [prio],
             "n": np.array([n], np.int64),
             "sx": np.array([sx], np.int64),
             "gini_num": np.array([num], np.int64),
-            "gini": np.array([num / (n * sx)], np.float64),
+            "gini": np.array([gini], np.float64),
         })
 
     return (
