@@ -546,3 +546,90 @@ def kcore_nodes(sf_dir: str, max_rounds: int = 10):
         "node": pa.array(keep.astype(np.int64)),
         "core_degree": pa.array(deg[keep].astype(np.int64)),
     }))
+
+
+# ---------------------------------------------------------------------------
+# bom_cost_rollup — recursive aggregate over a multi-parent DAG: for every
+# ancestor, the number of DISTINCT reachable descendants and the exact-cents
+# sum of their retail prices (a bill-of-materials subtree costing; a
+# descendant reachable through several paths counts ONCE, which is why the
+# closure must dedup before the aggregate — a naive recursive sum
+# double-counts diamonds).  Composes the semi-naive path-doubling closure
+# (stages/closure.py) with a broadcast cents lookup (part dimension is
+# bounded; at open-world scale this becomes a hash join) and one grouped
+# exact-integer aggregate.  Reference query class: closure_etl.py's
+# ancestor rollups (SURVEY A7) extended with a measure.
+# ---------------------------------------------------------------------------
+@query(
+    "bom_cost_rollup",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT p_partkey AS child, p_partkey // 2 AS parent
+      FROM part WHERE p_partkey >= 2
+      UNION ALL
+      SELECT p_partkey, p_partkey // 3
+      FROM part WHERE p_partkey >= 3 AND p_partkey % 3 = 0
+    ),
+    anc AS (
+      SELECT child AS node, parent AS ancestor FROM edges
+      UNION
+      SELECT a.node, e.parent FROM anc a JOIN edges e ON a.ancestor = e.child
+    )
+    SELECT ancestor,
+           CAST(count(*) AS BIGINT) AS n_desc,
+           CAST(sum(cents) AS BIGINT) AS subtree_cents
+    FROM anc
+    JOIN (SELECT p_partkey,
+                 CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+          FROM part) p ON anc.node = p.p_partkey
+    GROUP BY ancestor ORDER BY ancestor
+    """,
+)
+def bom_cost_rollup(sf_dir: str):
+    from ..stages.closure import closure_path_doubling
+    from ..functions.tables import read_small
+
+    def make_edges(t: pa.Table) -> pa.Table:
+        k = t["p_partkey"].to_numpy(zero_copy_only=False)
+        half = k[k >= 2]
+        third = k[(k >= 3) & (k % 3 == 0)]
+        return pa.table({
+            "child": pa.array(np.concatenate([half, third]), pa.int64()),
+            "parent": pa.array(np.concatenate([half // 2, third // 3]), pa.int64()),
+        })
+
+    edges = read_table(sf_dir, "part", columns=["p_partkey"]).map_batches(
+        make_edges, batch_format="pyarrow", zero_copy_batch=True)
+    closure = closure_path_doubling(edges, packable=True)
+
+    price = read_small(sf_dir, "part", columns=["p_partkey", "p_retailprice"])
+    keys = price["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pr = price["p_retailprice"].to_numpy(zero_copy_only=False)
+    cents = np.trunc(pr * 100 + np.sign(pr) * 0.5).astype(np.int64)
+    order = np.argsort(keys)
+    cents_ref = ray.put((keys[order], cents[order]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        k, c = ray.get(cents_ref)
+        node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = pa.table({
+            "ancestor": t["ancestor"],
+            "n_desc": pa.array(np.ones(len(node), np.int64)),
+            "subtree_cents": pa.array(c[np.searchsorted(k, node)]),
+        })
+        return out.group_by("ancestor").aggregate(
+            [("n_desc", "sum"), ("subtree_cents", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "ancestor": t["ancestor"],
+            "n_desc": pc.cast(t["sum(n_desc_sum)"], pa.int64()),
+            "subtree_cents": pc.cast(t["sum(subtree_cents_sum)"], pa.int64()),
+        })
+
+    return (
+        closure.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ancestor").sum(["n_desc_sum", "subtree_cents_sum"])
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("ancestor")
+    )

@@ -694,3 +694,130 @@ def weighted_sample_orders(sf_dir: str):
                            zero_copy_batch=True)
             .sort(["priority", "o_orderkey"])
             .limit(_WS_K))
+
+
+# ---------------------------------------------------------------------------
+# substring_containment_pairs — char-exact containment dedup: every pair
+# where one document's FULL text occurs verbatim inside another's (the
+# "drop documents wholly contained in a longer one" training-data rule;
+# exact duplicates count once via id order).  Scale shape: containers
+# emit the DISTINCT 64-bit polynomial hashes of every 16-char window
+# (vectorized sliding_window_view; windows never cross doc boundaries);
+# contained docs emit their first-16-char hash.  If text A occurs inside
+# B, A's first 16 chars are one of B's windows — the hash join is a
+# complete candidate generator (collisions only ADD candidates), and an
+# exact char-compare verify prunes them.  Docs shorter than 16 chars
+# (none in this corpus, handled for completeness) are broadcast and
+# brute-verified against every container batch.
+# ---------------------------------------------------------------------------
+_CONTAIN_W = 16
+_POLY = np.uint64(1099511628211)  # FNV-ish odd multiplier
+
+
+def _window_pow() -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return np.cumprod(np.full(_CONTAIN_W, _POLY, np.uint64))[::-1].copy()
+
+
+def _flat_bytes(texts: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint8 buffer, per-row offsets) for a string column."""
+    arr = pc.cast(texts, pa.large_binary()).combine_chunks()
+    offs = np.frombuffer(arr.buffers()[1], np.int64,
+                         count=len(arr) + 1) + arr.offset
+    buf = np.frombuffer(arr.buffers()[2], np.uint8, count=int(offs[-1]))
+    return buf, offs
+
+
+def _window_hashes_batch(t: pa.Table) -> pa.Table:
+    """(container_id, h) for DISTINCT 16-char window hashes per doc."""
+    buf, offs = _flat_bytes(t["text"])
+    if len(buf) < _CONTAIN_W:
+        return pa.table({"container_id": pa.array([], pa.int64()),
+                         "h": pa.array([], pa.uint64())})
+    win = np.lib.stride_tricks.sliding_window_view(buf, _CONTAIN_W)
+    with np.errstate(over="ignore"):
+        h = win.astype(np.uint64) @ _window_pow()
+    starts = np.arange(len(h), dtype=np.int64)
+    row = np.searchsorted(offs, starts, side="right") - 1
+    ok = starts + _CONTAIN_W <= offs[row + 1]  # window inside one doc
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    out = pd.DataFrame({"container_id": ids[row[ok]], "h": h[ok]})
+    out = out.drop_duplicates()
+    return pa.table({"container_id": pa.array(out["container_id"].to_numpy()),
+                     "h": pa.array(out["h"].to_numpy(np.uint64))})
+
+
+def _first_hash_batch(t: pa.Table) -> pa.Table:
+    buf, offs = _flat_bytes(t["text"])
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offs)
+    ok = lens >= _CONTAIN_W
+    idx = offs[:-1][ok][:, None] + np.arange(_CONTAIN_W)
+    with np.errstate(over="ignore"):
+        h = buf[idx].astype(np.uint64) @ _window_pow() if ok.any() \
+            else np.empty(0, np.uint64)
+    return pa.table({"contained_id": pa.array(ids[ok]),
+                     "h": pa.array(h, pa.uint64())})
+
+
+@query(
+    "substring_containment_pairs",
+    """
+    SELECT a.doc_id AS contained_id, b.doc_id AS container_id
+    FROM documents a JOIN documents b
+      ON a.doc_id <> b.doc_id
+     AND strpos(b.text, a.text) > 0
+     AND (length(a.text) < length(b.text)
+          OR (a.text = b.text AND a.doc_id < b.doc_id))
+    ORDER BY 1, 2
+    """,
+)
+def substring_containment_pairs(sf_dir: str):
+    from ..functions.pools import join_parts as _jp
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    windows = docs.map_batches(_window_hashes_batch, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    firsts = docs.map_batches(_first_hash_batch, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    cand = (firsts.join(windows, join_type="inner", num_partitions=_jp(),
+                        on=("h",))
+            .map_batches(lambda t: t.select(["contained_id", "container_id"])
+                         .group_by(["contained_id", "container_id"]).aggregate([]),
+                         batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["contained_id", "container_id"]).count()
+            .drop_columns(["count()"]))
+    cand = cand.map_batches(
+        lambda t: t.filter(pc.not_equal(t["contained_id"], t["container_id"])),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    # verify: join both texts back (candidate set is tiny), exact compare
+    texts_a = docs.map_batches(
+        lambda t: t.rename_columns(["contained_id", "text_a"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    texts_b = docs.map_batches(
+        lambda t: t.rename_columns(["container_id", "text_b"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cand = (cand.join(texts_a, join_type="inner", num_partitions=_jp(),
+                      on=("contained_id",))
+            .join(texts_b, join_type="inner", num_partitions=_jp(),
+                  on=("container_id",)))
+
+    def verify(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ta, tb = df["text_a"].to_numpy(object), df["text_b"].to_numpy(object)
+        la = np.fromiter((len(x) for x in ta), np.int64, len(ta))
+        lb = np.fromiter((len(x) for x in tb), np.int64, len(tb))
+        inside = np.fromiter((a in b for a, b in zip(ta, tb)), bool, len(ta))
+        keep = inside & ((la < lb)
+                         | ((ta == tb)
+                            & (df["contained_id"].to_numpy()
+                               < df["container_id"].to_numpy())))
+        out = df.loc[keep, ["contained_id", "container_id"]]
+        return pa.table({
+            "contained_id": pa.array(out["contained_id"].to_numpy(np.int64)),
+            "container_id": pa.array(out["container_id"].to_numpy(np.int64)),
+        })
+
+    return (cand.map_batches(verify, batch_format="pyarrow")
+            .sort(["contained_id", "container_id"]))
