@@ -396,3 +396,139 @@ def iso_week_revenue(sf_dir: str):
         .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
         .sort(["iso_year", "iso_week"])
     )
+
+
+# ---------------------------------------------------------------------------
+# rfm_segment_counts — RFM customer segmentation (the classic marketing /
+# training-label featurization): per customer Recency (days from last
+# order to the corpus anchor), Frequency (orders), Monetary (exact
+# cents), each cut into tertiles at the EXACT quantile_disc elements,
+# segment code = R·100 + F·10 + M, output segment sizes + revenue.
+# Shape: one customer-keyed exchange builds the bounded per-customer
+# table (materialized once, three consumers); tertile thresholds come
+# from ONE value-histogram pass (distinct counts bounded by the customer
+# dimension — beyond driver memory the histogram-refine machinery in
+# stages/quantiles.py computes the same ranks without the pull);
+# segment scoring is a broadcast-threshold streaming pass.
+# DuckDB quantile_disc rank = ceil(q·n) − 1 (stages/quantiles.py).
+# ---------------------------------------------------------------------------
+@query(
+    "rfm_segment_counts",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST((SELECT epoch_us(max(o_orderdate)) // 86400000000
+                   FROM orders)
+                  - epoch_us(max(o_orderdate)) // 86400000000 AS BIGINT)
+               AS r_days,
+             CAST(count(*) AS BIGINT) AS f,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS m
+      FROM orders GROUP BY o_custkey),
+    q AS (SELECT quantile_disc(r_days, 1.0/3) AS r1,
+                 quantile_disc(r_days, 2.0/3) AS r2,
+                 quantile_disc(f, 1.0/3) AS f1,
+                 quantile_disc(f, 2.0/3) AS f2,
+                 quantile_disc(m, 1.0/3) AS m1,
+                 quantile_disc(m, 2.0/3) AS m2
+          FROM cust)
+    SELECT CAST((CASE WHEN r_days <= r1 THEN 3
+                      WHEN r_days <= r2 THEN 2 ELSE 1 END) * 100
+              + (CASE WHEN f <= f1 THEN 1
+                      WHEN f <= f2 THEN 2 ELSE 3 END) * 10
+              + (CASE WHEN m <= m1 THEN 1
+                      WHEN m <= m2 THEN 2 ELSE 3 END) AS BIGINT) AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(m) AS BIGINT) AS total_cents
+    FROM cust, q GROUP BY 1 ORDER BY 1
+    """,
+)
+def rfm_segment_counts(sf_dir: str):
+    from ..stages.quantiles import quantile_disc_rank
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        part = pa.table({
+            "o_custkey": t["o_custkey"],
+            "f": pa.array(np.ones(t.num_rows, np.int64)),
+            "m": _cents(t["o_totalprice"]),
+            "last_day": pc.divide(pc.cast(t["o_orderdate"], pa.int64()),
+                                  _DAY_US),
+        })
+        return part.group_by("o_custkey").aggregate(
+            [("f", "sum"), ("m", "sum"), ("last_day", "max")])
+
+    from ray.data.aggregate import Max, Sum
+    per_cust = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(Sum("f_sum", alias_name="f"),
+                   Sum("m_sum", alias_name="m"),
+                   Max("last_day_max", alias_name="last_day"))
+        .materialize()  # bounded by the customer dimension; 3 consumers
+    )
+    anchor = int(per_cust.max("last_day"))
+
+    def rfm_cols(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_days": pc.subtract(anchor, t["last_day"]),
+            "f": t["f"], "m": t["m"],
+        })
+
+    rfm = per_cust.map_batches(rfm_cols, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    # ONE histogram pass → exact quantile_disc elements for all 3 dims
+    def hist_partial(t: pa.Table) -> pa.Table:
+        frames = [pd.DataFrame({"col": c, "v": t[c].to_numpy(zero_copy_only=False)})
+                  for c in ("r_days", "f", "m")]
+        g = (pd.concat(frames).groupby(["col", "v"], as_index=False, sort=False)
+             .size().rename(columns={"size": "c"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (rfm.map_batches(hist_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+            .groupby(["col", "v"]).sum("c").to_pandas())
+
+    thr: dict[str, tuple[int, int]] = {}
+    for col, g in hist.groupby("col"):
+        g = g.sort_values("v")
+        v = g["v"].to_numpy(np.int64)
+        cum = np.cumsum(g["sum(c)"].to_numpy(np.int64))
+        n = int(cum[-1])
+        pick = lambda num, den: int(v[np.searchsorted(
+            cum, quantile_disc_rank(num, den, n) + 1)])
+        thr[col] = (pick(1, 3), pick(2, 3))
+
+    (r1, r2), (f1, f2), (m1, m2) = thr["r_days"], thr["f"], thr["m"]
+
+    def segment(t: pa.Table) -> pa.Table:
+        r = t["r_days"].to_numpy(zero_copy_only=False)
+        f = t["f"].to_numpy(zero_copy_only=False)
+        m = t["m"].to_numpy(zero_copy_only=False)
+        rs = np.where(r <= r1, 3, np.where(r <= r2, 2, 1))
+        fs = np.where(f <= f1, 1, np.where(f <= f2, 2, 3))
+        ms = np.where(m <= m1, 1, np.where(m <= m2, 2, 3))
+        part = pa.table({
+            "segment": pa.array((rs * 100 + fs * 10 + ms).astype(np.int64)),
+            "n_customers": pa.array(np.ones(len(r), np.int64)),
+            "total_cents": pa.array(m.astype(np.int64)),
+        })
+        return part.group_by("segment").aggregate(
+            [("n_customers", "sum"), ("total_cents", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "segment": t["segment"],
+            "n_customers": pc.cast(t["sum(n_customers_sum)"], pa.int64()),
+            "total_cents": pc.cast(t["sum(total_cents_sum)"], pa.int64()),
+        })
+
+    return (
+        rfm.map_batches(segment, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("segment").sum(["n_customers_sum", "total_cents_sum"])
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("segment")
+    )

@@ -33,7 +33,8 @@ def oracle_con():
 @pytest.mark.parametrize("name", ["spearman_corr_per_flag",
                                   "mann_kendall_theil_sen",
                                   "degree_assortativity",
-                                  "iso_week_revenue"])
+                                  "iso_week_revenue",
+                                  "rfm_segment_counts"])
 def test_trend_query_typed_hash(name, oracle_con):
     qs, oracles = entry.queries(), entry.oracle_sql()
     res = qs[name](SF)
