@@ -513,10 +513,11 @@ def first_last_value_span(sf_dir: str):
 # offset arithmetic (same pattern as fingerprint_batch) — no loop over
 # rows OR positions, so arbitrarily long documents cost O(total bytes).
 # Shingles exchange once on a window-derived integer hash partition
-# (equality is still decided on the full 32-byte window inside the
-# kernel); per-doc flags fold on a second integer-key exchange.
-# ASCII-gated like the bigram oracle: SQL substr counts characters,
-# the byte windows count UTF-8 code units.
+# (equality is still decided on the full window inside the kernel);
+# per-doc flags fold on a second integer-key exchange.
+# Windows slide over UTF-32 code units (4 bytes per char), so window
+# equality ≡ SQL substr character-window equality for ANY Unicode text
+# — not just ASCII (non-ASCII parity caught by the hypothesis harness).
 # ---------------------------------------------------------------------------
 @query(
     "shared_shingle_docs",
@@ -537,35 +538,36 @@ def shared_shingle_docs(sf_dir: str, k: int = 32):
     nparts = _pool()[1] * 2
 
     def shingles(t: pa.Table) -> pa.Table:
+        kb = k * 4  # window width in UTF-32 bytes
         texts = t["text"].combine_chunks().to_pylist()
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bufs = [s.encode() if s is not None else b"" for s in texts]
-        lens = np.array([len(b) for b in bufs], dtype=np.int64)
+        bufs = [s.encode("utf-32-le") if s is not None else b"" for s in texts]
+        lens = np.array([len(b) // 4 for b in bufs], dtype=np.int64)  # chars
         nwin = np.maximum(lens - (k - 1), 0)
         total = int(nwin.sum())
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                          "s": pa.array([], pa.binary(k)),
+                          "s": pa.array([], pa.binary(kb)),
                           "gpart": pa.array([], pa.int32())})
         if total == 0:
             return empty
-        all_b = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        all_c = np.frombuffer(b"".join(bufs), dtype=np.uint32)
         starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
         wstarts = np.concatenate(([0], np.cumsum(nwin)[:-1]))
         row_idx = np.repeat(np.arange(len(lens)), nwin)
         local = np.arange(total, dtype=np.int64) - wstarts[row_idx]
         gpos = starts[row_idx] + local
         win = np.ascontiguousarray(
-            np.lib.stride_tricks.sliding_window_view(all_b, k)[gpos])
-        sview = win.view(f"S{k}").ravel()
+            np.lib.stride_tricks.sliding_window_view(all_c, k)[gpos])
+        sview = win.view(f"S{kb}").ravel()
         # partition hash from the first/last 8 bytes of each window —
         # equality is still decided on the full window in the kernel
         w64 = win.view(np.uint64)
         with np.errstate(over="ignore"):
             h = (w64[:, 0] * np.uint64(0x9E3779B97F4A7C15)
-                 ^ w64[:, (k // 8) - 1] * np.uint64(0xC2B2AE3D27D4EB4F))
+                 ^ w64[:, (kb // 8) - 1] * np.uint64(0xC2B2AE3D27D4EB4F))
         gpart = (h % np.uint64(nparts)).astype(np.int32)
         tbl = pa.table({"doc_id": pa.array(ids[row_idx]),
-                        "s": pa.array(sview, pa.binary(k)),
+                        "s": pa.array(sview, pa.binary(kb)),
                         "gpart": pa.array(gpart)})
         # per-doc distinct (a doc's shingles are all in its own row)
         return (tbl.group_by(["doc_id", "s", "gpart"])
