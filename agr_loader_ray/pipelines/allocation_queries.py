@@ -43,9 +43,17 @@ def _ln6(v: np.ndarray) -> np.ndarray:
 # the remainder pennies going to the largest fractional shares (ties by
 # linenumber) so per-order allocations sum EXACTLY to the order total.
 # The invoice/GL-allocation operator every billing pipeline needs; exact
-# integer arithmetic end to end.  Shape: column-pruned reads → ONE hash
-# join on orderkey → ONE orderkey-partition exchange whose kernel is all
-# numpy segment math (reduceat sums, lexsort ranks) emitting FINAL rows.
+# integer arithmetic end to end.  Shape: column-pruned reads → tagged
+# UNION of both sides → ONE orderkey-partition exchange whose kernel
+# merges order totals onto lineitems in-partition and does all the
+# segment math (reduceat sums, lexsort ranks), emitting FINAL rows.
+# Deliberately NOT Dataset.join: Ray 2.49's hash-join finalize builds a
+# schema-less empty table for any partition one side leaves empty and
+# Acero errors ("No match for key field") — with a selective %16 filter
+# an asymmetric-sparse partition is routine (caught by the hypothesis
+# harness).  The tagged-union exchange is also one shuffle cheaper and
+# its map side partitions with vectorized numpy instead of the join's
+# per-row Python hash loop (transform_pyarrow.hash_partition).
 # Orderkey%16 sample bounds the output; the kernels are rate-independent.
 # ---------------------------------------------------------------------------
 @query(
@@ -83,32 +91,55 @@ def prorate_totalprice_lineitems(sf_dir: str):
                     columns=["l_orderkey", "l_linenumber", "l_quantity"])
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
 
+    nparts = 64
+
     def li_prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(pc.bit_wise_and(t["l_orderkey"], 15), 0))
-        return pa.table({
+        out = pa.table({
             "l_orderkey": t["l_orderkey"],
             "ln_no": pc.cast(t["l_linenumber"], pa.int64()),
             "q": pc.cast(t["l_quantity"], pa.int64()),
+            "t": pa.array(np.zeros(t.num_rows, np.int64)),
+            "is_o": pa.array(np.zeros(t.num_rows, np.int8)),
         })
+        return int_key_part_col(out, "l_orderkey", nparts)
 
     def o_prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(pc.bit_wise_and(t["o_orderkey"], 15), 0))
-        return pa.table({"o_orderkey": t["o_orderkey"],
-                         "t": _cents(t["o_totalprice"])})
+        out = pa.table({
+            "l_orderkey": t["o_orderkey"],
+            "ln_no": pa.array(np.zeros(t.num_rows, np.int64)),
+            "q": pa.array(np.zeros(t.num_rows, np.int64)),
+            "t": _cents(t["o_totalprice"]),
+            "is_o": pa.array(np.ones(t.num_rows, np.int8)),
+        })
+        return int_key_part_col(out, "l_orderkey", nparts)
 
     j = (li.map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True)
-         .join(orders.map_batches(o_prep, batch_format="pyarrow",
-                                  zero_copy_batch=True),
-               join_type="inner", num_partitions=_join_parts(),
-               on=("l_orderkey",), right_on=("o_orderkey",)))
+         .union(orders.map_batches(o_prep, batch_format="pyarrow",
+                                   zero_copy_batch=True)))
 
     def alloc_kernel(g: pd.DataFrame) -> pd.DataFrame:
-        # co-located by orderkey; sort once so orders are contiguous
-        order = np.lexsort((g["ln_no"].to_numpy(), g["l_orderkey"].to_numpy()))
-        ok = g["l_orderkey"].to_numpy()[order]
-        ln_no = g["ln_no"].to_numpy()[order]
-        q = g["q"].to_numpy()[order]
-        t = g["t"].to_numpy()[order]
+        iso = g["is_o"].to_numpy() == 1
+        tot = pd.Series(g["t"].to_numpy()[iso],
+                        index=g["l_orderkey"].to_numpy()[iso])
+        li_ok = g["l_orderkey"].to_numpy()[~iso]
+        tv = tot.reindex(li_ok).to_numpy(np.float64)
+        keep = ~np.isnan(tv)  # drop orphan lineitems (no matching order)
+        if not keep.any():
+            return pd.DataFrame({"l_orderkey": np.array([], np.int64),
+                                 "l_linenumber": np.array([], np.int64),
+                                 "alloc_cents": np.array([], np.int64)})
+        ok0 = li_ok[keep]
+        ln0 = g["ln_no"].to_numpy()[~iso][keep]
+        q0 = g["q"].to_numpy()[~iso][keep]
+        t0 = tv[keep].astype(np.int64)  # cents ≤ ~5e8: exact in float64
+        # sort once so orders are contiguous
+        order = np.lexsort((ln0, ok0))
+        ok = ok0[order]
+        ln_no = ln0[order]
+        q = q0[order]
+        t = t0[order]
         starts = np.flatnonzero(np.concatenate(([True], ok[1:] != ok[:-1])))
         gid = np.cumsum(np.concatenate(([0], (ok[1:] != ok[:-1]).astype(np.int64))))
         s = np.add.reduceat(q, starts)[gid]
@@ -131,13 +162,10 @@ def prorate_totalprice_lineitems(sf_dir: str):
         return pd.DataFrame({"l_orderkey": ok, "l_linenumber": ln_no,
                              "alloc_cents": alloc})
 
-    return (j.map_batches(lambda t: int_key_part_col(t, "l_orderkey", 64),
-                          batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("gpart")
-            .map_groups(alloc_kernel, batch_format="pandas")
-            .map_batches(lambda t: t.select(
-                ["l_orderkey", "l_linenumber", "alloc_cents"]),
-                batch_format="pyarrow", zero_copy_batch=True))
+    # kernel emits exactly the final projection — no trailing select (an
+    # all-orphan partition emits a typed empty frame; a schema-less Ray
+    # empty block would break any downstream column reference)
+    return j.groupby("gpart").map_groups(alloc_kernel, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
