@@ -36,6 +36,8 @@ QUERIES = [
     "roc_points_value",
     "cohort_ltv_matrix",
     "funnel_steps_table",
+    "interp_resample_hourly",
+    "attribution_linear",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
