@@ -49,6 +49,27 @@ class LocalCommitIO:
             os.fsync(fh.fileno())
         os.replace(tmp, path)
 
+    def publish_json_if_absent(self, path: str, obj: Any) -> bool:
+        """Atomic create-exclusive publish — the OCC commit primitive.
+
+        Returns True iff THIS call made ``path`` visible; False if the
+        name already existed (another writer won the race).  POSIX
+        ``os.link`` fails with EEXIST atomically; the loser's temp file
+        is removed and the committed content is untouched."""
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.occ.{os.getpid()}.{id(obj)}"
+        with open(tmp, "w") as fh:
+            json.dump(obj, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
 
 DEFAULT_COMMIT_IO = LocalCommitIO()
 
@@ -70,6 +91,22 @@ class FakeObjectStoreClient:
         with open(tmp, "wb") as fh:
             fh.write(data)
         os.replace(tmp, path)  # the "PUT became visible" instant
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        """Conditional PUT (S3 ``If-None-Match: *`` / GCS precondition
+        generation=0 semantics): succeeds iff the key does not exist."""
+        path = os.path.join(self.root, key.lstrip("/"))
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.cput.{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
 
 
 class ObjectStoreCommitIO:
@@ -97,3 +134,6 @@ class ObjectStoreCommitIO:
 
     def publish_json(self, path: str, obj: Any) -> None:
         self.client.put(path, json.dumps(obj).encode("utf-8"))
+
+    def publish_json_if_absent(self, path: str, obj: Any) -> bool:
+        return self.client.put_if_absent(path, json.dumps(obj).encode("utf-8"))
