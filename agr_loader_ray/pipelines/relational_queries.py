@@ -879,7 +879,10 @@ def quartile_bin_counts(sf_dir: str):
     def cents(t: pa.Table) -> pa.Table:
         return pa.table({"event_type": t["event_type"], "c": _cents(t["value"])})
 
-    cds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    # pinned once: the quantile passes AND the final Bin pass all read
+    # these blocks instead of re-running read+cents per execution
+    cds = ds.map_batches(cents, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
     qs = exact_group_quantiles(cds, "event_type", "c",
                                quantiles=((1, 4), (1, 2), (3, 4)),
                                pool=_pool())
