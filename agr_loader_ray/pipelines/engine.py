@@ -198,9 +198,11 @@ class _PreFoldPartition:
     so per-epoch lake deltas stay byte-identical to sequential
     application."""
 
-    def __init__(self, n_partitions: int, keep_epoch: bool = False):
+    def __init__(self, n_partitions: int, keep_epoch: bool = False,
+                 constraints: list | None = None):
         self.n = n_partitions
         self.keep_epoch = keep_epoch
+        self.constraints = constraints or []
 
     def _to_lake_layout(self, batch: pa.Table) -> pa.Table:
         deleted = pc.fill_null(pc.equal(batch["op"], "D"), False)
@@ -219,6 +221,19 @@ class _PreFoldPartition:
         bad_mask = _invalid_event_mask(batch)
         bad = batch.filter(bad_mask)
         batch = batch.filter(pc.invert(bad_mask))
+        if self.constraints:
+            # declarative CHECK constraints (state/constraints.py): I/U
+            # rows violating any rule join the quarantine stream BEFORE
+            # the fold, so a violating later-ts update can never shadow
+            # a valid event in the LWW order
+            from ..state.constraints import constraint_violations
+
+            viol = constraint_violations(batch, self.constraints)
+            if viol is not None and pc.any(viol).as_py():
+                viol_rows = batch.filter(viol)
+                batch = batch.filter(pc.invert(viol))
+                bad = (pa.concat_tables([bad, viol_rows])
+                       if bad.num_rows else viol_rows)
         key = ["conv_id", "turn_idx"] + (["epoch"] if self.keep_epoch else [])
         if batch.num_rows:
             batch = lww_last_per_key(batch, key, ["ts", "offset"])
@@ -384,15 +399,30 @@ def _manifest_row_table(rows: list[dict]) -> pa.Table:
             pa.field("max_offset", pa.int64()),
             pa.field("u_on_missing", pa.int64()),
             pa.field("epoch", pa.int64()),
+            # per-reason quarantine counts, JSON-encoded (quarantine rows
+            # only; null elsewhere) — dicts can't ride an Arrow schema
+            pa.field("reasons", pa.string()),
         ]
     )
     return pa.Table.from_pylist(rows, schema=schema)
 
 
+def _quarantine_reasons(raw: pa.Table, constraints: list) -> list:
+    """Per-row reason labels for a parked quarantine block.  ``raw`` is
+    in lake layout (offset renamed); map it back for the shared
+    structural mask, then let declaration order attribute the rest."""
+    from ..state.constraints import violation_reasons
+
+    renamed = raw.rename_columns(
+        ["offset" if c == OFFSET_COL else c for c in raw.column_names])
+    return violation_reasons(renamed, constraints or [],
+                             invalid_mask=_invalid_event_mask(renamed))
+
+
 def _make_catchup_apply(lake_root: str, epochs: list[int],
                         registries_by_epoch: dict[int, dict],
                         prev_parts: dict[int, dict], compact_every: int,
-                        commit_io=None):
+                        commit_io=None, constraints: list | None = None):
     """Catch-up merge-apply: one shuffle for a whole epoch backlog.
 
     The group holds ALL events of partition ``part`` for ``epochs``
@@ -421,7 +451,17 @@ def _make_catchup_apply(lake_root: str, epochs: list[int],
                 staged = applier.manifest.read_staged(e, QUARANTINE_PART)
                 if staged is None:
                     rel = os.path.join("quarantine", f"epoch={e}.parquet")
-                    applier._write(rel, raw)
+                    # attribute each parked row to its reason (structural
+                    # invalid_event or the first violated constraint) —
+                    # written into the file for the operator, counted
+                    # into lineage for the manifest
+                    labels = _quarantine_reasons(raw, constraints)
+                    reasons: dict[str, int] = {}
+                    for lb in labels:
+                        if lb is not None:
+                            reasons[lb] = reasons.get(lb, 0) + 1
+                    applier._write(rel, raw.append_column(
+                        "_reason", pa.array(labels, pa.string())))
                     offs = pc.max(raw[OFFSET_COL]).as_py()
                     staged = {
                         "part": QUARANTINE_PART, "base": rel, "deltas": [],
@@ -429,6 +469,7 @@ def _make_catchup_apply(lake_root: str, epochs: list[int],
                         "checksum": NO_CHECKSUM, "delta_rows": raw.num_rows,
                         "max_offset": -1 if offs is None else int(offs),
                         "u_on_missing": 0, "epoch": e,
+                        "reasons": json.dumps(reasons, sort_keys=True),
                     }
                     applier.manifest.write_staged(e, QUARANTINE_PART, staged)
                 out_rows.append(staged)
@@ -478,6 +519,32 @@ class CdcEngine:
         from ..state.lease import check_no_foreign_lease
 
         check_no_foreign_lease(self.manifest.lake_root, self.lease)
+
+    # -- declarative row constraints (state/constraints.py) ------------------
+    def set_constraints(self, constraints: list[dict]) -> dict:
+        """Install (replace) the lake's CHECK-constraint rule set.
+
+        Validated now, enforced on every subsequent replay: I/U events
+        violating a rule are diverted to the quarantine sink with a
+        per-constraint reason and counted into the epoch manifest's
+        lineage (``quarantine.reasons``).  The rule set is versioned
+        monotonically and persisted at the lake root, and the governing
+        version is stamped into each epoch manifest it affected
+        (``constraints_version``).  Reference analogue: Cerberus input
+        validation before load (data_file_manager.py:120-137) + ad-hoc
+        skip-rules (SURVEY M4) — made declarative, versioned, bounded.
+        """
+        from ..state.constraints import publish_constraints
+
+        self._check_writer()
+        return publish_constraints(self.manifest.lake_root, constraints,
+                                   self.manifest.commit_io)
+
+    def constraints_state(self) -> dict:
+        """→ {"version": int, "constraints": [...]}; version 0 ≙ none."""
+        from ..state.constraints import load_constraints
+
+        return load_constraints(self.manifest.lake_root)
 
     # -- WAL introspection --------------------------------------------------
     @staticmethod
@@ -586,16 +653,19 @@ class CdcEngine:
             n_events += sum(pq.read_metadata(p).num_rows for p in efiles)
         total_bytes = sum(os.path.getsize(p) for p in files)
 
+        cons_state = self.constraints_state()
+        cons = cons_state["constraints"]
         ds = ray.data.read_parquet(
             files, override_num_blocks=min(len(files), _shuffle_blocks(total_bytes))
         )
         ds = ds.map_batches(
-            _PreFoldPartition(self.n_partitions, keep_epoch=True),
+            _PreFoldPartition(self.n_partitions, keep_epoch=True,
+                              constraints=cons),
             batch_format="pyarrow", zero_copy_batch=True,
         )
         apply_fn = _make_catchup_apply(
             self.manifest.lake_root, epochs, registries_by_epoch, prev_parts,
-            self.compact_every, self.commit_io,
+            self.compact_every, self.commit_io, constraints=cons,
         )
         rows = [
             r for r in
@@ -612,18 +682,27 @@ class CdcEngine:
             erows = [r for r in rows if r["epoch"] == e and r["part"] != QUARANTINE_PART]
             qrows = [r for r in rows if r["epoch"] == e and r["part"] == QUARANTINE_PART]
             for r in erows:
-                parts[r["part"]] = {k: v for k, v in r.items() if k != "part"}
+                # "reasons" is quarantine-row lineage only — keep the
+                # partition map free of the always-null column
+                parts[r["part"]] = {k: v for k, v in r.items()
+                                    if k not in ("part", "reasons")}
             max_off = max((r["max_offset"] for r in erows), default=None)
-            quarantine = (
-                {"rows": sum(r["rows"] for r in qrows),
-                 "files": [f for r in qrows for f in _base_files(r)]}
-                if qrows else None
-            )
+            quarantine = None
+            if qrows:
+                reasons: dict[str, int] = {}
+                for r in qrows:
+                    for name, n in json.loads(r.get("reasons") or "{}").items():
+                        reasons[name] = reasons.get(name, 0) + int(n)
+                quarantine = {"rows": sum(r["rows"] for r in qrows),
+                              "files": [f for r in qrows for f in _base_files(r)],
+                              "reasons": reasons}
             self._check_writer()
             self.manifest.commit_epoch(
                 e, registries_by_epoch[e], parts,
                 (None, max_off) if max_off is not None else None,
                 quarantine=quarantine, n_partitions=self.n_partitions,
+                extras=({"constraints_version": cons_state["version"]}
+                        if cons_state["version"] else None),
             )
             stats.append({"epoch": e, "skipped": False, "touched_partitions": len(erows),
                           "quarantined": quarantine["rows"] if quarantine else 0})
