@@ -100,6 +100,13 @@ def main(argv: list[str] | None = None) -> int:
     qp.add_argument("--lake", required=True)
     qp.add_argument("--new-partitions", type=int, required=True)
 
+    kp = sub.add_parser("constraints", help="show or replace the lake's "
+                                            "CHECK-constraint rule set")
+    kp.add_argument("--lake", required=True)
+    kp.add_argument("--set", dest="rules_json", default=None,
+                    help="JSON list of constraint specs (replaces the set); "
+                         "omit to print the current rules")
+
     args = p.parse_args(argv)
     _ensure_ray()
     from .pipelines.engine import CdcEngine, verify_lake
@@ -153,6 +160,10 @@ def main(argv: list[str] | None = None) -> int:
             out = eng.savepoint(epoch=args.epoch, name=args.name)
     elif args.cmd == "repartition":
         out = CdcEngine(args.lake).repartition(args.new_partitions)
+    elif args.cmd == "constraints":
+        eng = CdcEngine(args.lake)
+        out = (eng.set_constraints(json.loads(args.rules_json))
+               if args.rules_json else eng.constraints_state())
     else:
         out = verify_lake(args.lake)
     print(json.dumps(out))
