@@ -76,6 +76,34 @@ NO_CHECKSUM = ""
 #: land in a quarantine sink + manifest counter, never in the lake.
 QUARANTINE_PART = -1
 
+
+class TransientApplyError(RuntimeError):
+    """A merge-apply failure worth retrying (flaky I/O, injected chaos
+    fault).  The apply tasks run with ``retry_exceptions=[this]`` and a
+    BOUNDED ``max_retries`` — the provable version of the reference's
+    unbounded requeue-and-sleep loop
+    (``/root/reference/src/transactors/neo4j_transactor.py:108-118``,
+    SURVEY §4.1).  Retries are safe because every apply write is
+    idempotent: staged per-partition manifests short-circuit re-applied
+    work and data files publish under deterministic names."""
+
+
+def _consume_failpoint(path: "str | None") -> None:
+    """Chaos-test seam: raise a TransientApplyError once (marker file is
+    atomically consumed — ``os.remove`` succeeds in exactly one task) or
+    persistently (marker named ``*.always`` is never consumed)."""
+    if not path:
+        return
+    if path.endswith(".always"):
+        if os.path.exists(path):
+            raise TransientApplyError("injected persistent fault")
+        return
+    try:
+        os.remove(path)
+    except FileNotFoundError:
+        return
+    raise TransientApplyError("injected transient fault")
+
 _VALID_OPS = pa.array(["I", "U", "D"])
 
 
@@ -422,7 +450,8 @@ def _quarantine_reasons(raw: pa.Table, constraints: list) -> list:
 def _make_catchup_apply(lake_root: str, epochs: list[int],
                         registries_by_epoch: dict[int, dict],
                         prev_parts: dict[int, dict], compact_every: int,
-                        commit_io=None, constraints: list | None = None):
+                        commit_io=None, constraints: list | None = None,
+                        failpoint: "str | None" = None):
     """Catch-up merge-apply: one shuffle for a whole epoch backlog.
 
     The group holds ALL events of partition ``part`` for ``epochs``
@@ -436,6 +465,7 @@ def _make_catchup_apply(lake_root: str, epochs: list[int],
     applier = _PartitionApplier(lake_root, compact_every, commit_io)
 
     def merge_apply(group: pa.Table) -> pa.Table:
+        _consume_failpoint(failpoint)
         part = int(group[PART_COL][0].as_py())
         group = group.drop_columns([PART_COL])
         epoch_np = group["epoch"].to_numpy(zero_copy_only=False)
@@ -483,7 +513,14 @@ def _make_catchup_apply(lake_root: str, epochs: list[int],
             if raw.num_rows == 0:
                 continue  # partition untouched this epoch: carry forward
             registry = SchemaRegistry.from_dict(registries_by_epoch[e])
-            info, existing = applier.apply_one(part, e, raw, info, registry, existing)
+            try:
+                info, existing = applier.apply_one(part, e, raw, info,
+                                                   registry, existing)
+            except OSError as err:
+                # flaky-filesystem faults are worth the bounded retry;
+                # anything else fails fast (a real bug must surface)
+                raise TransientApplyError(
+                    f"I/O fault applying part {part} epoch {e}") from err
             out_rows.append(info)
         return _manifest_row_table(out_rows)
 
@@ -500,7 +537,14 @@ class CdcEngine:
 
     def __init__(self, lake_root: str, n_partitions: int = 32,
                  base_schema: pa.Schema = TRANSCRIPT_SCHEMA,
-                 compact_every: int = 4, commit_io=None, lease=None):
+                 compact_every: int = 4, commit_io=None, lease=None,
+                 apply_retries: int = 2, failpoint: "str | None" = None):
+        #: bounded per-task retry budget for TransientApplyError (flaky
+        #: I/O / chaos faults) — SURVEY §4.1's answer to the reference's
+        #: unbounded requeue; 0 disables.  ``failpoint`` is the
+        #: chaos-test marker path (see _consume_failpoint).
+        self.apply_retries = apply_retries
+        self.failpoint = failpoint
         self.commit_io = commit_io
         self.manifest = LakeManifest(lake_root, commit_io)
         self.n_partitions = n_partitions
@@ -666,10 +710,17 @@ class CdcEngine:
         apply_fn = _make_catchup_apply(
             self.manifest.lake_root, epochs, registries_by_epoch, prev_parts,
             self.compact_every, self.commit_io, constraints=cons,
+            failpoint=self.failpoint,
         )
+        # bounded retry of transient apply faults (idempotent staged
+        # writes make a re-run of the same group converge, not duplicate)
+        remote_args = ({"max_retries": self.apply_retries,
+                        "retry_exceptions": [TransientApplyError]}
+                       if self.apply_retries else {})
         rows = [
             r for r in
-            ds.groupby(PART_COL).map_groups(apply_fn, batch_format="pyarrow").take_all()
+            ds.groupby(PART_COL).map_groups(
+                apply_fn, batch_format="pyarrow", **remote_args).take_all()
             if r.get("base") or r.get("deltas")
         ]
 
