@@ -2817,3 +2817,99 @@ def covered_time_per_user(sf_dir: str):
     return (ds.map_batches(prep, batch_format="pyarrow",
                            zero_copy_batch=True)
             .groupby("gpart").map_groups(union_part, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# twap_value_per_user — EXACT time-weighted average price (TWAP): each
+# observation's cents are weighted by the µs it remains current (until
+# the user's next event), ÷ the user's observed span.  The standard
+# irregular-time-series integral (telemetry/finance) the plain mean
+# gets wrong under bursty sampling.  One user-keyed exchange; the
+# kernel lexsorts (user, ts, event_id), masks user boundaries, and
+# emits FINAL per-user rows (gpart invariant above).  Σ cents·dur_us
+# stays far inside int64 (max |cents| ≈ 1e5 × span ≈ 1e13 µs ≈ 1e18);
+# the single float per row is the mirrored IEEE division.  Same-ts
+# ties get zero duration, so tie order cannot change the sum.
+# ---------------------------------------------------------------------------
+@query(
+    "twap_value_per_user",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    w AS (
+      SELECT user_id, c, t,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS nt
+      FROM o)
+    SELECT user_id,
+           CAST(sum(c * (nt - t)) AS BIGINT)       AS wsum_c_us,
+           CAST(max(t) - min(t) AS BIGINT)         AS span_us,
+           CAST(count(*) AS BIGINT)                AS n,
+           CAST(CAST(sum(c * (nt - t)) AS BIGINT) AS DOUBLE)
+             / CAST(max(t) - min(t) AS DOUBLE)     AS twap_c
+    FROM w GROUP BY user_id
+    HAVING count(*) >= 2 AND max(t) > min(t)
+    """,
+)
+def twap_value_per_user(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "value"])
+    nparts = _join_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+            "c": _cents(t["value"]),
+        })
+        return int_key_part_col(out, "user_id", nparts)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        t = g["ts_us"].to_numpy()
+        c = g["c"].to_numpy()
+        n = len(g)
+        same = np.zeros(n, bool)  # row i+1 has the same user as row i
+        if n > 1:
+            same[1:] = uid[1:] == uid[:-1]
+        # duration each observation stays current: next ts − ts, valid
+        # only where the next row belongs to the same user
+        dur = np.zeros(n, np.int64)
+        if n > 1:
+            dur[:-1] = np.where(same[1:], t[1:] - t[:-1], 0)
+        res = pd.DataFrame({
+            "user_id": uid,
+            "wsum": c * dur,
+            "tmin": t, "tmax": t,
+            "n": np.ones(n, np.int64),
+        })
+        agg = res.groupby("user_id", as_index=False).agg(
+            wsum=("wsum", "sum"), tmin=("tmin", "min"),
+            tmax=("tmax", "max"), n=("n", "sum"))
+        return agg[(agg["n"] >= 2) & (agg["tmax"] > agg["tmin"])]
+
+    def finish(t: pa.Table) -> pa.Table:
+        wsum = t["wsum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        span = (t["tmax"].to_numpy(zero_copy_only=False)
+                - t["tmin"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"],
+            "wsum_c_us": pa.array(wsum, pa.int64()),
+            "span_us": pa.array(span, pa.int64()),
+            "n": pc.cast(t["n"], pa.int64()),
+            "twap_c": pa.array(wsum.astype(np.float64)
+                               / span.astype(np.float64), pa.float64()),
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("user_id")
+    )

@@ -38,6 +38,7 @@ QUERIES = [
     "funnel_steps_table",
     "interp_resample_hourly",
     "attribution_linear",
+    "twap_value_per_user",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]

@@ -53,6 +53,7 @@ PINNED = [
     "corr_matrix_lineitem",
     "inter_event_gap_quantiles",
     "hhi_supplier_concentration",
+    "twap_value_per_user",
 ]
 
 
