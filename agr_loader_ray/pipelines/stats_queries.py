@@ -1280,3 +1280,69 @@ def regr_price_on_qty(sf_dir: str):
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# frequency_moments_users — the AMS frequency-moment family over the
+# user_id stream, computed EXACTLY (the sketches' ground truth): F0 =
+# distinct users, F1 = stream length, F2 = Σc_u² (self-join size — what
+# a cost-based optimizer charges a self-equijoin on user_id), F∞ = max
+# per-user count, plus the exact skew ratio F2·F0/F1² the salting
+# heuristics key off.  Shape: per-batch partial counts → ONE user-keyed
+# exchange → per-partition Σc², count, max partials (statistics-sized)
+# → 1-row rollup.  c_u ≤ F1 ≈ 1e7 at bench scale → Σc² ≤ F1² = 1e14,
+# far inside int64.
+# ---------------------------------------------------------------------------
+@query(
+    "frequency_moments_users",
+    """
+    WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT)       AS f0,
+           CAST(sum(c) AS BIGINT)         AS f1,
+           CAST(sum(c * c) AS BIGINT)     AS f2,
+           CAST(max(c) AS BIGINT)         AS f_inf,
+           CAST(CAST(sum(c * c) AS BIGINT) * CAST(count(*) AS BIGINT)
+                AS DOUBLE)
+             / (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)) AS skew
+    FROM c
+    """,
+)
+def frequency_moments_users(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    from ..functions.pools import join_parts as _jp
+    nparts = _jp()
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid, cnt = np.unique(
+            t["user_id"].to_numpy(zero_copy_only=False), return_counts=True)
+        out = pa.table({"user_id": pa.array(uid, pa.int64()),
+                        "c": pa.array(cnt.astype(np.int64))})
+        return int_key_part_col(out, "user_id", nparts)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        # final per-user counts live wholly in this partition
+        c = g.groupby("user_id")["c"].sum().to_numpy()
+        return pd.DataFrame({"f0": [len(c)], "f1": [int(c.sum())],
+                             "f2": [int((c * c).sum())],
+                             "f_inf": [int(c.max()) if len(c) else 0]})
+
+    def finish(t: pa.Table) -> pa.Table:
+        f0 = int(pc.sum(t["f0"]).as_py() or 0)
+        f1 = int(pc.sum(t["f1"]).as_py() or 0)
+        f2 = int(pc.sum(t["f2"]).as_py() or 0)
+        fi = int(pc.max(t["f_inf"]).as_py() or 0)
+        return pa.table({
+            "f0": pa.array([f0], pa.int64()),
+            "f1": pa.array([f1], pa.int64()),
+            "f2": pa.array([f2], pa.int64()),
+            "f_inf": pa.array([fi], pa.int64()),
+            "skew": pa.array([float(f2 * f0) / (f1 * f1)], pa.float64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(per_part, batch_format="pandas")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -54,6 +54,7 @@ PINNED = [
     "inter_event_gap_quantiles",
     "hhi_supplier_concentration",
     "twap_value_per_user",
+    "frequency_moments_users",
 ]
 
 
