@@ -107,6 +107,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="JSON list of constraint specs (replaces the set); "
                          "omit to print the current rules")
 
+    dp = sub.add_parser("redrive", help="re-apply quarantined events that "
+                                        "pass the current constraint set")
+    dp.add_argument("--lake", required=True)
+
     args = p.parse_args(argv)
     _ensure_ray()
     from .pipelines.engine import CdcEngine, verify_lake
@@ -164,6 +168,8 @@ def main(argv: list[str] | None = None) -> int:
         eng = CdcEngine(args.lake)
         out = (eng.set_constraints(json.loads(args.rules_json))
                if args.rules_json else eng.constraints_state())
+    elif args.cmd == "redrive":
+        out = CdcEngine(args.lake).redrive_quarantine()
     else:
         out = verify_lake(args.lake)
     print(json.dumps(out))

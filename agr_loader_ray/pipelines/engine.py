@@ -590,6 +590,92 @@ class CdcEngine:
 
         return load_constraints(self.manifest.lake_root)
 
+    def redrive_quarantine(self) -> dict:
+        """Dead-letter redrive: re-apply parked quarantine events that
+        pass the CURRENT rule set (the DLQ-reprocess half of the
+        validate-then-load loop — fix the constraints, then redrive).
+
+        Eligible rows (structurally valid + passing every current
+        constraint + not previously redriven) are replayed as ONE new
+        epoch through the normal apply machinery, so LWW placement,
+        lineage and exactly-once bookkeeping are the standard late-data
+        path.  Still-violating rows stay parked in their original
+        files.  Redriven offsets are recorded in ``_REDRIVEN.json``
+        AFTER the epoch commit (at-least-once: a crash in between
+        re-redrives the same events, which is state-idempotent — same
+        (key, ts, offset) rows fold to the same winner).
+
+        The redrive epoch number is ``last_committed + 1``.  CAVEAT:
+        redrive a lake only after its source WAL is fully ingested — a
+        WAL that later grows an epoch with this number would be skipped
+        by exactly-once bookkeeping.
+        """
+        import tempfile
+
+        from ..state.constraints import constraint_violations
+
+        self._check_writer()
+        last = self.manifest.last_committed_epoch()
+        if last is None:
+            return {"redriven": 0, "epoch": None, "still_parked": 0}
+        qfiles: list[str] = []
+        for e in self.manifest.committed_epochs():
+            q = self.manifest.read_epoch(e).get("quarantine")
+            if q:
+                qfiles.extend(q.get("files", []))
+        if not qfiles:
+            return {"redriven": 0, "epoch": None, "still_parked": 0}
+
+        redriven_path = os.path.join(self.manifest.lake_root, "_REDRIVEN.json")
+        already: set[int] = set()
+        if os.path.exists(redriven_path):
+            with open(redriven_path) as fh:
+                already = set(json.load(fh)["offsets"])
+
+        tbls = []
+        for rel in sorted(set(qfiles)):
+            t = pq.read_table(self.manifest.abspath(rel))
+            t = t.drop_columns([c for c in ("_reason", DELETED_COL)
+                                if c in t.column_names])
+            t = t.rename_columns(
+                ["offset" if c == OFFSET_COL else c for c in t.column_names])
+            tbls.append(t)
+        parked = pa.concat_tables(tbls, promote_options="default")
+        ok = np.asarray(pc.invert(_invalid_event_mask(parked))
+                        .to_numpy(zero_copy_only=False), bool)
+        cons = self.constraints_state()["constraints"]
+        viol = constraint_violations(parked, cons)
+        if viol is not None:
+            ok &= ~np.asarray(viol.to_numpy(zero_copy_only=False), bool)
+        offs = parked["offset"].to_numpy(zero_copy_only=False)
+        done = np.isin(offs, np.fromiter(already, np.int64, len(already)))
+        eligible = parked.filter(pa.array(ok & ~done))
+        still = int((~ok & ~done).sum())
+        if eligible.num_rows == 0:
+            return {"redriven": 0, "epoch": None, "still_parked": still}
+
+        epoch = last + 1
+        # quarantine files carry no epoch column (dropped at park time) —
+        # the redrive epoch is this new one
+        eligible = eligible.append_column(
+            "epoch", pa.array(np.full(eligible.num_rows, epoch, np.int32)))
+        wal_tmp = tempfile.mkdtemp(prefix="agr_redrive_wal_")
+        edir = os.path.join(wal_tmp, f"epoch={epoch}")
+        os.makedirs(edir)
+        with open(os.path.join(wal_tmp, "_WAL_SEALED_MODE"), "w"):
+            pass
+        pq.write_table(eligible, os.path.join(edir, "segment-0000.parquet"))
+        with open(os.path.join(edir, "_SEALED"), "w"):
+            pass
+
+        r = self.apply_epochs(wal_tmp, [epoch])
+        new_offsets = sorted(already | set(
+            int(o) for o in eligible["offset"].to_pylist()))
+        self.manifest.commit_io.publish_json(
+            redriven_path, {"offsets": new_offsets})
+        return {"redriven": eligible.num_rows, "epoch": epoch,
+                "still_parked": still, "events": r["events"]}
+
     # -- WAL introspection --------------------------------------------------
     @staticmethod
     def wal_epochs(wal_root: str, trust_unsealed: bool = False) -> list[int]:

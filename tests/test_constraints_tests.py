@@ -206,3 +206,54 @@ def test_unconstrained_lake_unchanged(tmp_lake, tmp_wal):
     assert stats["events_applied"] == T1_SMOKE.n_events
     assert "quarantine" not in eng.manifest.read_epoch(0)
     assert "constraints_version" not in eng.manifest.read_epoch(0)
+
+
+def test_redrive_quarantine_after_relaxing_rules(tmp_lake, tmp_wal):
+    """DLQ reprocess: fix the rule set, redrive — previously-parked rows
+    apply through the normal late-data path, still-violating rows stay
+    parked, and a second redrive is a no-op."""
+    rows = [
+        _row(0, "I", "c-0", text="fine"),
+        _row(1, "I", "c-1", text="x" * 50),          # parked: text_short
+        _row(2, "I", "c-2", role="robot"),           # parked: role_known
+        # parked violator whose ts is OLDER than a later valid update:
+        # after redrive it must NOT win LWW
+        _row(3, "I", "c-0", text="y" * 40, ts=500),
+        _row(4, "U", None, ts=None),                 # structural: never redriven
+    ]
+    _write_wal(tmp_wal, rows)
+    eng = CdcEngine(tmp_lake, n_partitions=4)
+    eng.set_constraints(_RULES)
+    eng.replay(tmp_wal)
+    assert export_sorted(tmp_lake).to_pandas()["conv_id"].tolist() == ["c-0"]
+
+    # relax: drop the length rule, keep role_known
+    eng.set_constraints([_RULES[0]])
+    r = eng.redrive_quarantine()
+    assert r["redriven"] == 2          # offsets 1 and 3 now pass
+    assert r["still_parked"] == 2      # c-2 (role) + the structural row
+    got = export_sorted(tmp_lake).to_pandas()
+    assert sorted(got["conv_id"]) == ["c-0", "c-1"]
+    # LWW: the redriven older-ts row for c-0 did not beat ts=1000
+    assert got.loc[got["conv_id"] == "c-0", "text"].tolist() == ["fine"]
+    # redrive epoch committed with standard lineage
+    assert eng.manifest.read_epoch(r["epoch"])["epoch"] == r["epoch"]
+
+    # idempotent: nothing left to redrive
+    r2 = eng.redrive_quarantine()
+    assert r2["redriven"] == 0 and r2["still_parked"] == 2
+
+    # relax fully: the role violator redrives too; structural never does
+    eng.set_constraints([])
+    r3 = eng.redrive_quarantine()
+    assert r3["redriven"] == 1 and r3["still_parked"] == 1
+    got = export_sorted(tmp_lake).to_pandas()
+    assert sorted(got["conv_id"]) == ["c-0", "c-1", "c-2"]
+
+
+def test_redrive_noop_without_quarantine(tmp_lake, tmp_wal):
+    _write_wal(tmp_wal, [_row(0, "I", "c-0")])
+    eng = CdcEngine(tmp_lake, n_partitions=2)
+    eng.replay(tmp_wal)
+    assert eng.redrive_quarantine() == {"redriven": 0, "epoch": None,
+                                        "still_parked": 0}
