@@ -105,8 +105,7 @@ def build_events(spec: WalSpec) -> pa.Table:
         conv_idx = rng.integers(0, spec.n_convs, size=n)
     turn_idx = rng.integers(0, spec.max_turns, size=n).astype(np.int32)
 
-    p = rng.random(n)
-    op = np.where(p < spec.delete_frac, "D", np.where(p < spec.delete_frac + spec.update_frac, "U", "I"))
+    p = rng.random(n)  # op codes derived below (D / U / I cut points)
 
     # ts: monotone-ish in offset with jitter; late/duplicate fractions
     ts = _BASE_TS_US + np.arange(n, dtype=np.int64) * 1_000 + rng.integers(0, 500, size=n)
@@ -115,30 +114,52 @@ def build_events(spec: WalSpec) -> pa.Table:
     dup = rng.random(n) < spec.dup_ts_frac
     ts[dup] = (ts[dup] // 1_000_000) * 1_000_000  # coarse-rounded → collisions
 
-    role = _ROLES[rng.integers(0, len(_ROLES), size=n)]
-    tool = np.where(role == "tool", _TOOLS[rng.integers(0, len(_TOOLS), size=n)], "")
+    role_codes = rng.integers(0, len(_ROLES), size=n)
+    tool_codes = rng.integers(0, len(_TOOLS), size=n)
 
-    conv_str = np.char.add("conv-", np.char.zfill(conv_idx.astype("U8"), 8))
+    # String assembly runs through Arrow C++ kernels (gather on a tiny
+    # dictionary + cast + join), NOT np.char/object arrays — np.char's
+    # per-element unicode ufuncs made generation the bench bottleneck
+    # (~15 min for 16 M events; this path is ~20x faster), while the rng
+    # draw order and every formatted byte stay identical.
+    import pyarrow.compute as pc
+
+    def _gather(values: np.ndarray, codes: np.ndarray) -> pa.Array:
+        return pc.take(pa.array(values.tolist(), pa.string()),
+                       pa.array(codes.astype(np.int64)))
+
     offs = np.arange(n, dtype=np.int64)
-    text = np.char.add(
-        np.char.add(np.char.add("turn ", turn_idx.astype("U6")), " of "),
-        np.char.add(conv_str, np.char.add(" @", offs.astype("U12"))),
-    )
+    op_codes = np.where(p < spec.delete_frac, 0,
+                        np.where(p < spec.delete_frac + spec.update_frac, 1, 2))
+    op_pa = _gather(np.array(["D", "U", "I"]), op_codes)
+    role_pa = _gather(_ROLES, role_codes)
+    is_tool = pc.equal(role_pa, "tool")
+    tool_pa = pc.if_else(is_tool, _gather(_TOOLS, tool_codes),
+                         pa.scalar("", pa.string()))
+
+    def _int_str(a: np.ndarray) -> pa.Array:
+        return pc.cast(pa.array(a), pa.string())
+
+    conv_pa = pc.binary_join_element_wise(
+        "conv-", pc.utf8_lpad(_int_str(conv_idx.astype(np.int64)), 8, "0"), "")
+    text_pa = pc.binary_join_element_wise(
+        "turn ", _int_str(turn_idx.astype(np.int64)), " of ", conv_pa,
+        " @", _int_str(offs), "")
     if spec.text_len > 40:
         pad = "".join(rng.choice(list("abcdefgh ij klmnop qrstu vwxyz"), size=spec.text_len - 30))
-        text = np.char.add(text, " " + pad)
+        text_pa = pc.binary_join_element_wise(text_pa, " " + pad, "")
 
     tbl_cols: dict[str, pa.Array] = {
         "offset": pa.array(offs, pa.int64()),
         "epoch": pa.array(np.zeros(n, np.int32)),  # assigned below
-        "op": pa.array(op.astype(object), pa.string()),
-        "conv_id": pa.array(conv_str.astype(object), pa.string()),
+        "op": op_pa,
+        "conv_id": conv_pa,
         "turn_idx": pa.array(turn_idx, pa.int32()),
-        "role": pa.array(role.astype(object), pa.string()),
-        "text": pa.array(text.astype(object), pa.string()),
-        "tool": pa.array(tool.astype(object), pa.string()),
+        "role": role_pa,
+        "text": text_pa,
+        "tool": tool_pa,
         "ts": pa.array(ts, pa.timestamp("us")),
-        "schema_change": pa.array([""] * n, pa.string()),
+        "schema_change": _gather(np.array([""]), np.zeros(n, np.int8)),
     }
     tbl = pa.table(tbl_cols, schema=WAL_SCHEMA)
 
