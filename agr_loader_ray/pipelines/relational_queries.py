@@ -1800,3 +1800,107 @@ def association_rules(sf_dir: str):
         "lift": npair.astype(np.float64) * np.float64(n_orders)
         / (nante.astype(np.float64) * ncons.astype(np.float64)),
     })
+
+
+# ---------------------------------------------------------------------------
+# decile_lift_value — model-evaluation lift table: events ranked by
+# score (cents DESC, event_id tiebreak) are cut into 10 global-rank
+# deciles; each decile reports its exact positive ("purchase") count
+# and the cumulative lift (cum positive rate ÷ base rate).  The chart
+# every targeting model ships with, next to roc_points_value.  Shape =
+# the two-pass global row_number (global_rank_documents) AGGREGATED:
+# order-preserving equal-width score buckets → bounded count prefix →
+# per-bucket sort assigns global ranks locally → per-(decile) partial
+# (n, pos) — no task holds more than one bucket and only 10 rows leave
+# the final exchange.  Lift = (cum_pos·N)/(cum_n·P): exact int64
+# products, ONE mirrored IEEE division per decile.
+# ---------------------------------------------------------------------------
+@query(
+    "decile_lift_value",
+    """
+    WITH r AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS c, event_id,
+             CAST(event_type = 'purchase' AS BIGINT) AS pos,
+             row_number() OVER (
+               ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id
+             ) - 1 AS rk
+      FROM events),
+    n AS (SELECT count(*) AS n, CAST(sum(pos) AS BIGINT) AS p FROM r),
+    d AS (SELECT (rk * 10) // (SELECT n FROM n) + 1 AS decile,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(pos) AS BIGINT) AS n_pos
+          FROM r GROUP BY 1)
+    SELECT decile, n_rows, n_pos,
+           CAST(CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT)
+                * (SELECT n FROM n) AS DOUBLE)
+             / CAST(CAST(sum(n_rows) OVER (ORDER BY decile) AS BIGINT)
+                    * (SELECT p FROM n) AS DOUBLE) AS cum_lift
+    FROM d
+    """,
+)
+def decile_lift_value(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from ..functions.tables import table_path
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+    n_buckets = 32
+
+    meta = pq.read_table(table_path(sf_dir, "events"), columns=["value"])
+    cmeta = pc.cast(pc.round(pc.multiply(meta["value"], 100.0)), pa.int64())
+    lo = int(pc.min(cmeta).as_py())
+    hi = int(pc.max(cmeta).as_py()) + 1
+    width = max(1, (hi - lo + n_buckets - 1) // n_buckets)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        c = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        # bucket 0 holds the HIGHEST scores (rank order is c DESC)
+        b = (n_buckets - 1 - (c - lo) // width).astype(np.int32)
+        pos = pc.equal(t["event_type"], "purchase").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"event_id": t["event_id"],
+                         "c": pa.array(c, pa.int64()),
+                         "pos": pa.array(pos),
+                         "bucket": pa.array(b, pa.int32())})
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    counts = (bucketed.map_batches(
+        lambda t: t.select(["bucket"]).group_by("bucket").aggregate(
+            [("bucket", "count")]),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket").aggregate(Sum("bucket_count", alias_name="n"))
+        .to_pandas().sort_values("bucket"))
+    offs = np.zeros(n_buckets + 1, dtype=np.int64)
+    np.add.at(offs, counts["bucket"].to_numpy() + 1, counts["n"].to_numpy())
+    offsets = dict(zip(range(n_buckets), np.cumsum(offs)[:n_buckets]))
+    n_total = int(counts["n"].sum())
+
+    def decile_partial(g: pd.DataFrame) -> pd.DataFrame:
+        base = offsets[int(g["bucket"].iloc[0])]
+        order = np.lexsort((g["event_id"].to_numpy(), -g["c"].to_numpy()))
+        pos = g["pos"].to_numpy()[order]
+        rk = base + np.arange(len(g), dtype=np.int64)
+        dec = (rk * 10) // n_total + 1
+        out = pd.DataFrame({"decile": dec, "n_rows": 1, "n_pos": pos})
+        return out.groupby("decile", as_index=False).sum()
+
+    dtab = (bucketed.groupby("bucket")
+            .map_groups(decile_partial, batch_format="pandas")
+            .groupby("decile")
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Sum("n_pos", alias_name="n_pos"))
+            ).to_pandas().sort_values("decile").reset_index(drop=True)
+    p_total = int(dtab["n_pos"].sum())
+    cum_n = dtab["n_rows"].cumsum().to_numpy().astype(np.int64)
+    cum_p = dtab["n_pos"].cumsum().to_numpy().astype(np.int64)
+    return pa.table({
+        "decile": pa.array(dtab["decile"].to_numpy(np.int64)),
+        "n_rows": pa.array(dtab["n_rows"].to_numpy(np.int64)),
+        "n_pos": pa.array(dtab["n_pos"].to_numpy(np.int64)),
+        "cum_lift": pa.array((cum_p * n_total).astype(np.float64)
+                             / (cum_n * p_total).astype(np.float64),
+                             pa.float64()),
+    })

@@ -55,6 +55,7 @@ PINNED = [
     "hhi_supplier_concentration",
     "twap_value_per_user",
     "frequency_moments_users",
+    "decile_lift_value",
 ]
 
 
