@@ -2913,3 +2913,92 @@ def twap_value_per_user(sf_dir: str):
         .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
         .sort("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# running_balance_floor_per_user — wallet/inventory balance with a floor
+# at zero: deposits (purchase/signup cents) and withdrawals (other
+# events) apply in (ts, event_id) order, but the balance never goes
+# negative — the NONLINEAR reset recurrence b_i = max(b_{i-1} + x_i, 0).
+# Closed form makes it vectorizable AND window-expressible on both
+# sides:  b_i = s_i − min(0, min_{j≤i} s_j)  with s the plain cumsum
+# (a reflected random walk).  One user-keyed exchange; per-user
+# segments reset via offset-band cumsum/minimum.accumulate — no Python
+# recurrence loop; all arithmetic exact int64 cents.
+# ---------------------------------------------------------------------------
+@query(
+    "running_balance_floor_per_user",
+    """
+    WITH x AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE -CAST(round(value * 100) AS BIGINT) END AS amt
+      FROM events),
+    s1 AS (
+      SELECT user_id, event_id, ts, amt,
+             sum(amt) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM x),
+    s AS (
+      SELECT user_id, event_id, cum,
+             min(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS runmin
+      FROM s1)
+    SELECT user_id, event_id,
+           CAST(cum - least(CAST(0 AS BIGINT), runmin) AS BIGINT) AS balance_c
+    FROM s
+    """,
+)
+def running_balance_floor_per_user(sf_dir: str):
+    from ..functions.tables import read_table
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type", "value"])
+    nparts = _join_parts()
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        dep = pc.is_in(t["event_type"],
+                       value_set=pa.array(["purchase", "signup"])).to_numpy(
+            zero_copy_only=False)
+        out = pa.table({
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+            "amt": pa.array(np.where(dep, c, -c).astype(np.int64)),
+        })
+        return int_key_part_col(out, "user_id", nparts)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        amt = g["amt"].to_numpy()
+        n = len(g)
+        start = np.zeros(n, bool)
+        start[0] = True
+        if n > 1:
+            start[1:] = uid[1:] != uid[:-1]
+        # per-user cumsum via global cumsum minus each segment's carry-in
+        # (carry propagated by LATEST-start index, not value max)
+        cs = np.cumsum(amt)
+        carry = cs - amt  # value of cs just before each row
+        last_start = np.maximum.accumulate(
+            np.where(start, np.arange(n, dtype=np.int64), 0))
+        s = cs - carry[last_start]
+        # per-user running min of s, restarted at segment starts: shift
+        # each segment into a strictly DECREASING band so an earlier
+        # segment's minimum can never leak into a later one
+        seg_id = np.cumsum(start) - 1
+        k = (np.abs(s).max() + 1) * 2 if n else 1
+        band = -seg_id * k
+        runmin = np.minimum.accumulate(s + band) - band
+        bal = s - np.minimum(0, runmin)
+        return pd.DataFrame({"user_id": uid, "event_id": g["event_id"].to_numpy(),
+                             "balance_c": bal.astype(np.int64)})
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(kernel, batch_format="pandas")
+    )

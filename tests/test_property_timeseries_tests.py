@@ -39,6 +39,7 @@ QUERIES = [
     "interp_resample_hourly",
     "attribution_linear",
     "twap_value_per_user",
+    "running_balance_floor_per_user",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]

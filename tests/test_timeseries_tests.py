@@ -56,6 +56,7 @@ PINNED = [
     "twap_value_per_user",
     "frequency_moments_users",
     "decile_lift_value",
+    "running_balance_floor_per_user",
 ]
 
 
