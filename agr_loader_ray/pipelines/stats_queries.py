@@ -1346,3 +1346,166 @@ def frequency_moments_users(sf_dir: str):
         .repartition(1)
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# calibration_bins_value — reliability diagram for a score: fixed-width
+# score bins (cents over the metadata [lo, hi] range), per bin the mean
+# predicted score and the observed positive ("purchase") rate — the
+# companion diagnostic to decile_lift_value/roc_points_value.  One
+# bounded (bin) exchange from per-batch partials; the two floats per
+# row are mirrored IEEE divisions of exact int64 sums.
+# ---------------------------------------------------------------------------
+@query(
+    "calibration_bins_value",
+    """
+    WITH m AS (
+      SELECT min(CAST(round(value * 100) AS BIGINT)) AS lo,
+             max(CAST(round(value * 100) AS BIGINT)) + 1 AS hi
+      FROM events),
+    r AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS c,
+             CAST(event_type = 'purchase' AS BIGINT) AS pos
+      FROM events),
+    b AS (
+      SELECT least((c - m.lo) // ((m.hi - m.lo + 9) // 10), 9) AS bin,
+             c, pos
+      FROM r, m)
+    SELECT bin,
+           CAST(count(*) AS BIGINT)  AS n,
+           CAST(sum(pos) AS BIGINT)  AS n_pos,
+           CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / count(*)   AS mean_score_c,
+           CAST(CAST(sum(pos) AS BIGINT) AS DOUBLE) / count(*) AS pos_rate
+    FROM b GROUP BY bin
+    """,
+)
+def calibration_bins_value(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from ..functions.tables import table_path
+
+    meta = pq.read_table(table_path(sf_dir, "events"), columns=["value"])
+    cmeta = pc.cast(pc.round(pc.multiply(meta["value"], 100.0)), pa.int64())
+    lo = int(pc.min(cmeta).as_py())
+    hi = int(pc.max(cmeta).as_py()) + 1
+    width = (hi - lo + 9) // 10
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        pos = pc.equal(t["event_type"], "purchase").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        b = np.minimum((c - lo) // width, 9)
+        out = pa.table({"bin": pa.array(b, pa.int64()),
+                        "n": pa.array(np.ones(len(c), np.int64)),
+                        "n_pos": pa.array(pos),
+                        "sc": pa.array(c)})
+        return out.group_by("bin").aggregate(
+            [("n", "sum"), ("n_pos", "sum"), ("sc", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["sum(n_sum)"], pa.int64()).to_numpy(zero_copy_only=False)
+        npos = pc.cast(t["sum(n_pos_sum)"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        sc = pc.cast(t["sum(sc_sum)"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bin": pc.cast(t["bin"], pa.int64()),
+            "n": pa.array(n), "n_pos": pa.array(npos),
+            "mean_score_c": pa.array(sc.astype(np.float64) / n, pa.float64()),
+            "pos_rate": pa.array(npos.astype(np.float64) / n, pa.float64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin").sum(["n_sum", "n_pos_sum", "sc_sum"])
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# welch_t_purchase_vs_view — Welch's unequal-variance t statistic (and
+# Welch–Satterthwaite df) between purchase and view event values: the
+# parametric sibling of ab_test_stats_price's rank tests.  All
+# aggregation is exact (n, Σc, Σc²); the float evaluation chain is one
+# closed form per side, mirrored token-for-token in the oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "welch_t_purchase_vs_view",
+    """
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS q
+      FROM events WHERE event_type IN ('purchase', 'view')
+      GROUP BY event_type),
+    a AS (SELECT n, s, q FROM g WHERE event_type = 'purchase'),
+    b AS (SELECT n, s, q FROM g WHERE event_type = 'view')
+    SELECT a.n AS n_a, b.n AS n_b,
+           (CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+             / sqrt((CAST(a.n * a.q - a.s * a.s AS DOUBLE)
+                     / (CAST(a.n AS DOUBLE) * (a.n - 1))) / a.n
+                    + (CAST(b.n * b.q - b.s * b.s AS DOUBLE)
+                       / (CAST(b.n AS DOUBLE) * (b.n - 1))) / b.n) AS t_welch,
+           ((CAST(a.n * a.q - a.s * a.s AS DOUBLE)
+             / (CAST(a.n AS DOUBLE) * (a.n - 1))) / a.n
+            + (CAST(b.n * b.q - b.s * b.s AS DOUBLE)
+               / (CAST(b.n AS DOUBLE) * (b.n - 1))) / b.n)
+           * ((CAST(a.n * a.q - a.s * a.s AS DOUBLE)
+               / (CAST(a.n AS DOUBLE) * (a.n - 1))) / a.n
+              + (CAST(b.n * b.q - b.s * b.s AS DOUBLE)
+                 / (CAST(b.n AS DOUBLE) * (b.n - 1))) / b.n)
+           / (((CAST(a.n * a.q - a.s * a.s AS DOUBLE)
+                / (CAST(a.n AS DOUBLE) * (a.n - 1))) / a.n)
+              * ((CAST(a.n * a.q - a.s * a.s AS DOUBLE)
+                  / (CAST(a.n AS DOUBLE) * (a.n - 1))) / a.n) / (a.n - 1)
+              + ((CAST(b.n * b.q - b.s * b.s AS DOUBLE)
+                  / (CAST(b.n AS DOUBLE) * (b.n - 1))) / b.n)
+                * ((CAST(b.n * b.q - b.s * b.s AS DOUBLE)
+                    / (CAST(b.n AS DOUBLE) * (b.n - 1))) / b.n) / (b.n - 1))
+           AS df_welch
+    FROM a, b
+    """,
+)
+def welch_t_purchase_vs_view(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(["purchase", "view"]))
+        t = t.filter(keep)
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        out = pa.table({"event_type": t["event_type"],
+                        "n": pa.array(np.ones(len(c), np.int64)),
+                        "s": pa.array(c), "q": pa.array(c * c)})
+        return out.group_by("event_type").aggregate(
+            [("n", "sum"), ("s", "sum"), ("q", "sum")])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("event_type").sum(["n_sum", "s_sum", "q_sum"])).to_pandas()
+    agg = agg.set_index("event_type")
+
+    def stats(row):
+        n = int(row["sum(n_sum)"])
+        s = int(row["sum(s_sum)"])
+        q = int(row["sum(q_sum)"])
+        # mirrored: var/n with the exact int64 numerator, THEN / n
+        se2 = (float(n * q - s * s) / (float(n) * (n - 1))) / n
+        mean = float(s) / n
+        return n, mean, se2
+
+    na, ma, va = stats(agg.loc["purchase"])
+    nb, mb, vb = stats(agg.loc["view"])
+    import math
+
+    t_w = (ma - mb) / math.sqrt(va + vb)
+    df = (va + vb) * (va + vb) / (va * va / (na - 1) + vb * vb / (nb - 1))
+    return pa.table({
+        "n_a": pa.array([na], pa.int64()), "n_b": pa.array([nb], pa.int64()),
+        "t_welch": pa.array([t_w], pa.float64()),
+        "df_welch": pa.array([df], pa.float64()),
+    })

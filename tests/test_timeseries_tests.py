@@ -57,6 +57,8 @@ PINNED = [
     "frequency_moments_users",
     "decile_lift_value",
     "running_balance_floor_per_user",
+    "calibration_bins_value",
+    "welch_t_purchase_vs_view",
 ]
 
 
