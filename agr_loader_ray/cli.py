@@ -111,6 +111,11 @@ def main(argv: list[str] | None = None) -> int:
                                         "pass the current constraint set")
     dp.add_argument("--lake", required=True)
 
+    fp = sub.add_parser("diff", help="partition-level content diff vs a "
+                                     "replica (Merkle walk)")
+    fp.add_argument("--lake", required=True)
+    fp.add_argument("--other", required=True)
+
     args = p.parse_args(argv)
     _ensure_ray()
     from .pipelines.engine import CdcEngine, verify_lake
@@ -170,6 +175,10 @@ def main(argv: list[str] | None = None) -> int:
                if args.rules_json else eng.constraints_state())
     elif args.cmd == "redrive":
         out = CdcEngine(args.lake).redrive_quarantine()
+    elif args.cmd == "diff":
+        from .pipelines.engine import lake_diff
+
+        out = lake_diff(args.lake, args.other)
     else:
         out = verify_lake(args.lake)
     print(json.dumps(out))

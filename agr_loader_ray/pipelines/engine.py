@@ -1674,3 +1674,79 @@ def verify_lake(lake_root: str, epoch: int | None = None) -> dict:
         "unverifiable": unverifiable,
         "ok": not bad,
     }
+
+
+def lake_diff(lake_a: str, lake_b: str, epoch_a: int | None = None,
+              epoch_b: int | None = None) -> dict:
+    """Replication verification: partition-level content diff between
+    two lakes (primary vs replica / clone) — the Merkle-walk pattern.
+
+    Level 1 is manifest-only: two fully-compacted partitions with equal
+    committed (live_rows, checksum) lineage match WITHOUT touching data
+    bytes.  Only partitions the manifests cannot prove equal (deltas
+    outstanding, sentinel lineage, or differing manifest entries) are
+    re-folded and content-hashed, one Ray task per partition, each
+    hashing ONLY its own partition's files.  Returns the differing
+    partition ids — the exact set a repair `sync_to` must re-ship.
+    """
+    ma, mb = LakeManifest(lake_a), LakeManifest(lake_b)
+    ea = ma.last_committed_epoch() if epoch_a is None else epoch_a
+    eb = mb.last_committed_epoch() if epoch_b is None else epoch_b
+    if ea is None or eb is None:
+        raise FileNotFoundError("both lakes need a committed epoch to diff")
+    man_a, man_b = ma.read_epoch(ea), mb.read_epoch(eb)
+    na, nb = man_a.get("n_partitions"), man_b.get("n_partitions")
+    if na != nb:
+        # partition maps don't align — row-level diff would need a full
+        # re-key; report the structural mismatch instead
+        return {"equal": False, "partitioning_mismatch": (na, nb),
+                "differing_partitions": None}
+
+    pa_map = {int(p): i for p, i in man_a["partitions"].items()}
+    pb_map = {int(p): i for p, i in man_b["partitions"].items()}
+    all_parts = sorted(set(pa_map) | set(pb_map))
+
+    def _proved_equal(ia: dict | None, ib: dict | None) -> bool:
+        if ia is None and ib is None:
+            return True
+        if ia is None or ib is None:
+            return False
+        if ia.get("deltas") or ib.get("deltas"):
+            return False
+        ca, cb = ia.get("checksum"), ib.get("checksum")
+        return (ca == cb and ca not in (None, NO_CHECKSUM)
+                and ia.get("live_rows") == ib.get("live_rows"))
+
+    pending = [p for p in all_parts
+               if not _proved_equal(pa_map.get(p), pb_map.get(p))]
+
+    @ray.remote
+    def content(lake: str, info: dict | None) -> tuple:
+        tables = [pq.read_table(os.path.join(lake, rel))
+                  for rel in _info_files(info)]
+        if not tables:
+            return (0, "0")
+        merged = tables[0] if len(tables) == 1 else lww_last_per_key(
+            pa.concat_tables(tables, promote_options="permissive"),
+            ["conv_id", "turn_idx"], ["ts", OFFSET_COL],
+        )
+        live = merged.filter(pc.equal(merged[DELETED_COL], False))
+        return (live.num_rows, _live_checksum(live))
+
+    refs = []
+    for p in pending:
+        refs.append((p, content.remote(lake_a, pa_map.get(p)),
+                     content.remote(lake_b, pb_map.get(p))))
+    differing = []
+    for p, ra, rb in refs:
+        a, b = ray.get(ra), ray.get(rb)
+        if a != b:
+            differing.append({"part": p, "rows_a": a[0], "rows_b": b[0]})
+    return {
+        "equal": not differing,
+        "epoch_a": ea, "epoch_b": eb,
+        "manifest_proved": len(all_parts) - len(pending),
+        "content_checked": len(pending),
+        "differing_partitions": [d["part"] for d in differing],
+        "detail": differing,
+    }
