@@ -821,3 +821,167 @@ def substring_containment_pairs(sf_dir: str):
 
     return (cand.map_batches(verify, batch_format="pyarrow")
             .sort(["contained_id", "container_id"]))
+
+
+# ---------------------------------------------------------------------------
+# cdc_chunk_dedup_stats — content-defined chunking (CDC) storage dedup:
+# split every document at data-dependent breakpoints (an 8-char rolling
+# polynomial hash ≡ 0 mod 64, so identical passages break identically
+# regardless of their byte offset — the property fixed-size blocks
+# lack), then measure corpus-level chunk-store dedup: chunk count,
+# distinct chunks (EXACT, keyed by the chunk bytes — no hash identity),
+# total vs unique chars, dedup ratio.  The storage-side sibling of the
+# document-level MinHash/containment family, and the mechanism a
+# transcript lake's text store would dedup revisions with.
+# Scale shape: chunks TILE each document, so the chunk keys are a
+# zero-copy large_binary view over the batch's UTF-32 buffer (offsets
+# only — no per-chunk materialization); one chunk-keyed exchange of
+# per-batch distinct partials; 1-row rollup.  Windows slide over UTF-32
+# code units so equality ≡ SQL char-window equality on any text.
+# ---------------------------------------------------------------------------
+def _cdc_chunk_sql(w: int = 8, div: int = 64) -> str:
+    from .sketch_sql import _MASK, _fpows
+
+    pows = _fpows(w)
+    terms = " + ".join(
+        f"unicode(substring(text, i + {j}, 1))::HUGEINT * {pows[j]}"
+        for j in range(w)
+    )
+    return f"""
+    WITH docs AS (
+      -- empty documents contribute no chunks (mirrors the engine)
+      SELECT doc_id, text FROM documents WHERE length(text) > 0),
+    shp AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - {w - 1}, 0))) AS i
+      FROM docs),
+    shh AS MATERIALIZED (
+      SELECT doc_id, i, (({terms}) & {_MASK}) AS h FROM shp),
+    st AS (
+      SELECT doc_id, 1 AS s FROM docs
+      UNION ALL
+      SELECT doc_id, i FROM shh WHERE h % {div} = 0 AND i > 1),
+    ch AS (
+      SELECT st.doc_id,
+             substr(d.text, s,
+                    COALESCE(lead(s) OVER (PARTITION BY st.doc_id ORDER BY s),
+                             length(d.text) + 1) - s) AS chunk
+      FROM st JOIN docs d USING (doc_id)),
+    cl AS (SELECT chunk, length(chunk) AS ln FROM ch)
+    SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT chunk) AS BIGINT) AS n_distinct,
+           CAST(sum(ln) AS BIGINT) AS chars_total,
+           CAST((SELECT sum(length(chunk))
+                 FROM (SELECT DISTINCT chunk FROM cl)) AS BIGINT)
+             AS chars_unique,
+           CAST((SELECT sum(length(chunk))
+                 FROM (SELECT DISTINCT chunk FROM cl)) AS DOUBLE)
+             / CAST(sum(ln) AS DOUBLE) AS dedup_ratio
+    FROM cl
+    """
+
+
+@query("cdc_chunk_dedup_stats", _cdc_chunk_sql())
+def cdc_chunk_dedup_stats(sf_dir: str, w: int = 8, div: int = 64):
+    from .sketch_sql import _fpows
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    nparts = join_parts()
+    pows = np.array(_fpows(w), dtype=np.uint64)
+
+    def chunk_partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].combine_chunks().to_pylist()
+        bufs = [s.encode("utf-32-le") if s is not None else b"" for s in texts]
+        lens = np.array([len(b) // 4 for b in bufs], dtype=np.int64)
+        keep = lens > 0
+        bufs = [b for b, k in zip(bufs, keep) if k]
+        lens = lens[keep]
+        if not len(lens):
+            return pa.table({"chunk": pa.array([], pa.large_binary()),
+                             "ln": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64()),
+                             "gpart": pa.array([], pa.int32())})
+        flat = b"".join(bufs)
+        all_c = np.frombuffer(flat, dtype=np.uint32)
+        doc_start = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        doc_end = np.cumsum(lens)
+        nwin = np.maximum(lens - (w - 1), 0)
+        # rolling window hashes at every global char position that has
+        # a full in-doc window (SQL i = local + 1)
+        bp_abs = np.empty(0, np.int64)
+        total_win = int(nwin.sum())
+        if total_win:
+            wstarts = np.concatenate(([0], np.cumsum(nwin)[:-1]))
+            row_idx = np.repeat(np.arange(len(lens)), nwin)
+            local = np.arange(total_win, dtype=np.int64) - wstarts[row_idx]
+            gpos = doc_start[row_idx] + local
+            win = np.lib.stride_tricks.sliding_window_view(all_c, w)[gpos]
+            with np.errstate(over="ignore"):
+                h = win.astype(np.uint64) @ pows
+            # boundary: h % div == 0 at local position > 0 (SQL i > 1)
+            bmask = (h % np.uint64(div) == 0) & (local > 0)
+            bp_abs = gpos[bmask]
+        # chunk starts: every doc start + every breakpoint → chunks
+        # tile the flat buffer exactly (offsets-only chunk array)
+        starts = np.union1d(doc_start, bp_abs)
+        ends = np.concatenate([starts[1:], [len(all_c)]])
+        # doc ends must also close chunks: a doc's last chunk ends at
+        # doc_end, and the next doc's first chunk starts at its start —
+        # guaranteed because every doc_start is in `starts`
+        offsets = np.concatenate([starts, [len(all_c)]]) * 4
+        chunks = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), len(starts),
+            [None, pa.py_buffer(offsets.astype(np.int64)),
+             pa.py_buffer(flat)])
+        ln = (ends - starts).astype(np.int64)
+        tbl = pa.table({"chunk": chunks, "ln": pa.array(ln),
+                        "cnt": pa.array(np.ones(len(starts), np.int64))})
+        part = tbl.group_by(["chunk", "ln"]).aggregate([("cnt", "sum")])
+        carr = part["chunk"].combine_chunks()
+        # partition key from each chunk's head 8 bytes, gathered with
+        # offset math (equality still decided on full bytes in the
+        # kernel); chunks are ≥ 1 UTF-32 unit = 4 bytes, zero-padded
+        voff = np.frombuffer(carr.buffers()[1], np.int64,
+                             count=len(carr) + 1) + carr.offset
+        vbuf = np.frombuffer(carr.buffers()[2], np.uint8)
+        idx = voff[:-1, None] + np.arange(8)
+        pad = idx >= voff[1:, None]
+        head = vbuf[np.minimum(idx, len(vbuf) - 1)]
+        head[pad] = 0
+        hh = head.view(np.uint64).ravel()
+        with np.errstate(over="ignore"):
+            hh = hh * np.uint64(0x9E3779B97F4A7C15)
+        gp = (hh % np.uint64(nparts)).astype(np.int32)
+        return part.append_column("gpart", pa.array(gp))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("chunk", sort=False).agg(
+            ln=("ln", "first"), cnt=("cnt_sum", "sum"))
+        return pd.DataFrame({
+            "n_chunks": [int(agg["cnt"].sum())],
+            "n_distinct": [len(agg)],
+            "chars_total": [int((agg["ln"] * agg["cnt"]).sum())],
+            "chars_unique": [int(agg["ln"].sum())],
+        })
+
+    def finish(t: pa.Table) -> pa.Table:
+        nc = int(pc.sum(t["n_chunks"]).as_py() or 0)
+        nd = int(pc.sum(t["n_distinct"]).as_py() or 0)
+        ct = int(pc.sum(t["chars_total"]).as_py() or 0)
+        cu = int(pc.sum(t["chars_unique"]).as_py() or 0)
+        return pa.table({
+            "n_chunks": pa.array([nc], pa.int64()),
+            "n_distinct": pa.array([nd], pa.int64()),
+            "chars_total": pa.array([ct], pa.int64()),
+            "chars_unique": pa.array([cu], pa.int64()),
+            "dedup_ratio": pa.array([float(cu) / float(ct)], pa.float64()),
+        })
+
+    return (
+        ds.map_batches(chunk_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(per_part, batch_format="pandas")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -26,6 +26,7 @@ QUERIES = [
     "doc_fingerprints",
     "bpe_token_counts",
     "text_quality_scores",
+    "cdc_chunk_dedup_stats",
 ]
 
 _WORDS = ["the", "quick", "brown", "fox", "jumps", "over", "lazy",

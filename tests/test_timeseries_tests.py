@@ -59,6 +59,7 @@ PINNED = [
     "running_balance_floor_per_user",
     "calibration_bins_value",
     "welch_t_purchase_vs_view",
+    "cdc_chunk_dedup_stats",
 ]
 
 
