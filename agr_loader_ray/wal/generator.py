@@ -140,14 +140,30 @@ def build_events(spec: WalSpec) -> pa.Table:
     def _int_str(a: np.ndarray) -> pa.Array:
         return pc.cast(pa.array(a), pa.string())
 
-    conv_pa = pc.binary_join_element_wise(
-        "conv-", pc.utf8_lpad(_int_str(conv_idx.astype(np.int64)), 8, "0"), "")
-    text_pa = pc.binary_join_element_wise(
-        "turn ", _int_str(turn_idx.astype(np.int64)), " of ", conv_pa,
-        " @", _int_str(offs), "")
-    if spec.text_len > 40:
-        pad = "".join(rng.choice(list("abcdefgh ij klmnop qrstu vwxyz"), size=spec.text_len - 30))
-        text_pa = pc.binary_join_element_wise(text_pa, " " + pad, "")
+    pad = ("".join(rng.choice(list("abcdefgh ij klmnop qrstu vwxyz"),
+                              size=spec.text_len - 30))
+           if spec.text_len > 40 else None)
+
+    # build the wide string columns in row slices: a single string Array
+    # caps at 2 GiB of offsets+data (ArrowCapacityError at 32 M events);
+    # chunked columns keep every chunk well under it
+    _SLICE = 4_000_000
+    conv_chunks, text_chunks = [], []
+    for lo in range(0, n, _SLICE):
+        hi = min(lo + _SLICE, n)
+        conv_c = pc.binary_join_element_wise(
+            "conv-",
+            pc.utf8_lpad(_int_str(conv_idx[lo:hi].astype(np.int64)), 8, "0"),
+            "")
+        text_c = pc.binary_join_element_wise(
+            "turn ", _int_str(turn_idx[lo:hi].astype(np.int64)), " of ",
+            conv_c, " @", _int_str(offs[lo:hi]), "")
+        if pad is not None:
+            text_c = pc.binary_join_element_wise(text_c, " " + pad, "")
+        conv_chunks.append(conv_c)
+        text_chunks.append(text_c)
+    conv_pa = pa.chunked_array(conv_chunks)
+    text_pa = pa.chunked_array(text_chunks)
 
     tbl_cols: dict[str, pa.Array] = {
         "offset": pa.array(offs, pa.int64()),
