@@ -28,6 +28,9 @@ class EngineConfig:
     #: reserved stage sizing (per-stage batch size / actor pool caps)
     batch_size: int = 65536
     actor_pool_cap: int = 8
+    #: partition-exchange strategy: "task" (raw-task bucketing, default)
+    #: or "dataset" (groupby(part) sort shuffle)
+    exchange: str = "task"
 
     def validate(self) -> "EngineConfig":
         errors = []
@@ -37,6 +40,8 @@ class EngineConfig:
             errors.append("n_partitions must be >= 1")
         if self.compact_every < 1:
             errors.append("compact_every must be >= 1 (1 = pure copy-on-write)")
+        if self.exchange not in ("task", "dataset"):
+            errors.append("exchange must be 'task' or 'dataset'")
         if self.max_catchup < 1:
             errors.append("max_catchup must be >= 1")
         if self.batch_size < 1 or self.actor_pool_cap < 1:
@@ -56,7 +61,8 @@ class EngineConfig:
         from .pipelines.engine import CdcEngine
 
         return CdcEngine(
-            self.lake_root, n_partitions=self.n_partitions, compact_every=self.compact_every
+            self.lake_root, n_partitions=self.n_partitions,
+            compact_every=self.compact_every, exchange=self.exchange,
         )
 
 

@@ -116,7 +116,11 @@ def run_bench() -> dict:
     for _ in range(n_trials):
         lake_root = tempfile.mkdtemp(prefix="graft_bench_lake_")
         try:
-            eng = CdcEngine(lake_root, n_partitions=64)
+            # GRAFT_EXCHANGE=dataset re-runs the bench on the generic
+            # groupby(part) sort-shuffle path (the pre-task-exchange
+            # measurement surface) for apples-to-apples comparisons
+            eng = CdcEngine(lake_root, n_partitions=64,
+                            exchange=os.environ.get("GRAFT_EXCHANGE", "task"))
             t0 = time.perf_counter()
             s = eng.replay(wal_root)
             sec = time.perf_counter() - t0
@@ -149,6 +153,7 @@ def run_bench() -> dict:
         # measured numbers ±2× (BASELINE.md §2b) — a reader must be able
         # to tell a loaded run from a quiet one
         "loadavg_1m": round(loadavg_ambient, 2),
+        "exchange": os.environ.get("GRAFT_EXCHANGE", "task"),
     }
     ray.shutdown()
     return out
@@ -190,6 +195,7 @@ def run_scaling() -> dict:
         "wal_events": lo["wal_events"],
         "loadavg_leg32": hi.get("loadavg_1m"),
         "loadavg_leg8": lo.get("loadavg_1m"),
+        "exchange": lo.get("exchange"),
     }
 
 
