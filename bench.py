@@ -160,9 +160,10 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    def run_leg(ncpu: int) -> dict:
+    def run_leg(ncpu: int, exchange: str) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    RAY_GRAFT_TRIALS="5",
+                   GRAFT_EXCHANGE=exchange,
                    RAY_GRAFT_SKIP_QUERIES="1")  # legs measure replay only
         cmd = [sys.executable, os.path.abspath(__file__)]
         if shutil.which("taskset"):
@@ -171,7 +172,13 @@ def run_scaling() -> dict:
             # the low-parallelism leg silently uses extra silicon
             cmd = ["taskset", "-c", f"0-{ncpu - 1}", *cmd]
         out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True).stdout
-        time.sleep(5)  # let the previous leg's raylet/workers fully drain
+        # let the leg's raylet/workers fully drain before the next one:
+        # a leg launched into the previous leg's load decay reads 2-4×
+        # slow (measured); wait for loadavg to settle, bounded
+        for _ in range(18):
+            time.sleep(5)
+            if os.getloadavg()[0] < 2.0:
+                break
         return json.loads(out.strip().splitlines()[-1])
 
     # One fresh pinned process per leg, best-of-5 replays inside each
@@ -181,21 +188,40 @@ def run_scaling() -> dict:
     # ±0.08 under co-tenant noise (BASELINE.md §2b).  32-CPU leg first:
     # it is the noise-sensitive one (the 8-CPU leg only contends for a
     # quarter of the cores).
-    hi, lo = run_leg(32), run_leg(8)
-    eps_lo, eps_hi = lo["events_per_sec"], hi["events_per_sec"]
-    eff = (eps_hi / eps_lo) / (32 / 8)
+    #
+    # BOTH exchange surfaces are measured (BASELINE.md §2d "task-based
+    # partition exchange"): the sort-shuffle ("dataset") surface is the
+    # unchanged cross-round protocol — its ratio is the headline
+    # scaling_efficiency — while the task exchange is the capacity
+    # record at every parallelism level; its legs are so much faster
+    # that one box's shared memory bus caps the 32-core leg (per-core
+    # 342k ev/s @ 8 vs 192k @ 32), an artifact a real N→4N-NODE
+    # cluster (one bus + NIC per node) does not have.
+    def legs(exchange: str) -> dict:
+        hi, lo = run_leg(32, exchange), run_leg(8, exchange)
+        eps_lo, eps_hi = lo["events_per_sec"], hi["events_per_sec"]
+        return {
+            "sec_8": lo["value"],
+            "sec_32": hi["value"],
+            "events_per_sec_8": eps_lo,
+            "events_per_sec_32": eps_hi,
+            "scaling_efficiency": round((eps_hi / eps_lo) / (32 / 8), 3),
+            "loadavg_leg32": hi.get("loadavg_1m"),
+            "loadavg_leg8": lo.get("loadavg_1m"),
+            "sf": lo["sf"],
+            "wal_events": lo["wal_events"],
+        }
+
+    dataset, task = legs("dataset"), legs("task")
     return {
         "metric": "scaling_efficiency (events/sec at 8 vs 32 CPUs, same input)",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "events_per_sec_8": eps_lo,
-        "events_per_sec_32": eps_hi,
-        "scaling_efficiency": round(eff, 3),
-        "sf": lo["sf"],
-        "wal_events": lo["wal_events"],
-        "loadavg_leg32": hi.get("loadavg_1m"),
-        "loadavg_leg8": lo.get("loadavg_1m"),
-        "exchange": lo.get("exchange"),
+        # headline = the unchanged sort-shuffle protocol surface
+        # (comparable to the round-1/2 records); the task exchange's
+        # own legs + single-box-bus-compressed ratio are reported
+        # alongside
+        **dataset,
+        "exchange": "dataset (protocol surface; see task_exchange)",
+        "task_exchange": {**task, "exchange": "task (default engine path)"},
     }
 
 
