@@ -711,11 +711,16 @@ class CdcEngine:
         re-redrives the same events, which is state-idempotent — same
         (key, ts, offset) rows fold to the same winner).
 
-        The redrive epoch number is ``last_committed + 1``.  CAVEAT:
-        redrive a lake only after its source WAL is fully ingested — a
-        WAL that later grows an epoch with this number would be skipped
-        by exactly-once bookkeeping.
+        The redrive epoch number is ``last_committed + 1``.  Redrive a
+        lake only after its source WAL is fully ingested: a WAL that
+        later grows an epoch with this number cannot be applied under
+        that number.  The collision is DETECTED, not silent — the epoch
+        is reserved in ``_REDRIVEN.json`` before apply and its manifest
+        is stamped ``redrive: true``, and ``replay()`` raises when a
+        pending WAL epoch number matches a redrive-committed epoch
+        instead of skipping the WAL epoch's events.
         """
+        import shutil
         import tempfile
 
         from ..state.constraints import constraint_violations
@@ -734,9 +739,12 @@ class CdcEngine:
 
         redriven_path = os.path.join(self.manifest.lake_root, "_REDRIVEN.json")
         already: set[int] = set()
+        redrive_epochs: set[int] = set()
         if os.path.exists(redriven_path):
             with open(redriven_path) as fh:
-                already = set(json.load(fh)["offsets"])
+                rj = json.load(fh)
+            already = set(rj["offsets"])
+            redrive_epochs = set(rj.get("epochs", []))
 
         tbls = []
         for rel in sorted(set(qfiles)):
@@ -761,30 +769,44 @@ class CdcEngine:
             return {"redriven": 0, "epoch": None, "still_parked": still}
 
         epoch = last + 1
+        # Reserve the epoch number BEFORE applying (offsets unchanged, so
+        # a crash here still re-redrives the same events): replay()'s
+        # collision guard must be armed even if we die between the epoch
+        # commit and the post-commit offsets publish below.
+        redrive_epochs.add(epoch)
+        self.manifest.commit_io.publish_json(
+            redriven_path, {"offsets": sorted(already),
+                            "epochs": sorted(redrive_epochs)})
         # quarantine files carry no epoch column (dropped at park time) —
         # the redrive epoch is this new one
         eligible = eligible.append_column(
             "epoch", pa.array(np.full(eligible.num_rows, epoch, np.int32)))
         wal_tmp = tempfile.mkdtemp(prefix="agr_redrive_wal_")
-        edir = os.path.join(wal_tmp, f"epoch={epoch}")
-        os.makedirs(edir)
-        with open(os.path.join(wal_tmp, "_WAL_SEALED_MODE"), "w"):
-            pass
-        pq.write_table(eligible, os.path.join(edir, "segment-0000.parquet"))
-        with open(os.path.join(edir, "_SEALED"), "w"):
-            pass
+        try:
+            edir = os.path.join(wal_tmp, f"epoch={epoch}")
+            os.makedirs(edir)
+            with open(os.path.join(wal_tmp, "_WAL_SEALED_MODE"), "w"):
+                pass
+            pq.write_table(eligible, os.path.join(edir, "segment-0000.parquet"))
+            with open(os.path.join(edir, "_SEALED"), "w"):
+                pass
 
-        r = self.apply_epochs(wal_tmp, [epoch])
+            r = self.apply_epochs(wal_tmp, [epoch],
+                                  manifest_extras={"redrive": True})
+        finally:
+            shutil.rmtree(wal_tmp, ignore_errors=True)
         new_offsets = sorted(already | set(
             int(o) for o in eligible["offset"].to_pylist()))
         self.manifest.commit_io.publish_json(
-            redriven_path, {"offsets": new_offsets})
+            redriven_path, {"offsets": new_offsets,
+                            "epochs": sorted(redrive_epochs)})
         return {"redriven": eligible.num_rows, "epoch": epoch,
                 "still_parked": still, "events": r["events"]}
 
     # -- WAL introspection --------------------------------------------------
     @staticmethod
-    def wal_epochs(wal_root: str, trust_unsealed: bool = False) -> list[int]:
+    def wal_epochs(wal_root: str, trust_unsealed: bool = False,
+                   missing_ok: bool = False) -> list[int]:
         """Epochs safe to consume.
 
         An epoch directory is *sealed* once the writer drops a ``_SEALED``
@@ -802,9 +824,15 @@ class CdcEngine:
         """
         if not os.path.isdir(wal_root):
             # a tailer may legitimately start watching before the writer
-            # has created the WAL root (binlog-tail startup race): that
-            # is "no epochs yet", not an error
-            return []
+            # has created the WAL root (binlog-tail startup race) — that
+            # caller passes missing_ok=True and gets "no epochs yet".
+            # One-shot replay/verify keep the default and fail loudly on
+            # a typo'd path instead of reporting success with 0 events.
+            if missing_ok:
+                return []
+            raise FileNotFoundError(
+                f"WAL root {wal_root!r} does not exist (pass missing_ok=True "
+                "only for tail loops racing the writer's first epoch)")
         dirs = {
             int(d.split("=", 1)[1]): os.path.join(wal_root, d)
             for d in os.listdir(wal_root)
@@ -854,8 +882,13 @@ class CdcEngine:
         return [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
 
     # -- apply --------------------------------------------------------------
-    def apply_epochs(self, wal_root: str, epochs: list[int]) -> dict:
+    def apply_epochs(self, wal_root: str, epochs: list[int],
+                     manifest_extras: dict | None = None) -> dict:
         """Apply a contiguous backlog of epochs in ONE shuffle.
+
+        ``manifest_extras`` is merged into each committed epoch's
+        manifest (used by redrive_quarantine to durably mark its
+        synthetic epochs).
 
         Produces byte-identical per-epoch lake files and manifests as
         one-epoch-at-a-time application (verified by tests) — only the
@@ -958,12 +991,14 @@ class CdcEngine:
                               "files": [f for r in qrows for f in _base_files(r)],
                               "reasons": reasons}
             self._check_writer()
+            extras = dict(manifest_extras or {})
+            if cons_state["version"]:
+                extras["constraints_version"] = cons_state["version"]
             self.manifest.commit_epoch(
                 e, registries_by_epoch[e], parts,
                 (None, max_off) if max_off is not None else None,
                 quarantine=quarantine, n_partitions=self.n_partitions,
-                extras=({"constraints_version": cons_state["version"]}
-                        if cons_state["version"] else None),
+                extras=extras or None,
             )
             stats.append({"epoch": e, "skipped": False, "touched_partitions": len(erows),
                           "quarantined": quarantine["rows"] if quarantine else 0})
@@ -1000,6 +1035,7 @@ class CdcEngine:
         ]
         todo = [e for e in pending
                 if not os.path.exists(self.manifest.epoch_manifest_path(e))]
+        self._guard_redrive_collision(set(pending) - set(todo))
         stats: list[dict] = [
             {"epoch": e, "skipped": True, "sec": 0.0} for e in pending if e not in todo
         ]
@@ -1017,6 +1053,29 @@ class CdcEngine:
             "events_per_sec": events / sec if sec > 0 else 0.0,
         }
 
+    def _guard_redrive_collision(self, committed_pending: set[int]) -> None:
+        """Refuse to silently skip a WAL epoch whose number was consumed
+        by a redrive commit.  ``committed_pending`` is the set of WAL
+        epochs that exactly-once bookkeeping is about to skip; if any of
+        them is a redrive-reserved epoch, the WAL epoch's events can
+        never be applied under that number — data loss — so raise.
+        Costs one ``os.path.exists`` when no redrive ever happened."""
+        if not committed_pending:
+            return
+        redriven_path = os.path.join(self.manifest.lake_root, "_REDRIVEN.json")
+        if not os.path.exists(redriven_path):
+            return
+        with open(redriven_path) as fh:
+            redrive_epochs = set(json.load(fh).get("epochs", []))
+        clash = sorted(committed_pending & redrive_epochs)
+        if clash:
+            raise ValueError(
+                f"WAL epoch(s) {clash} collide with redrive-committed epoch "
+                "number(s): the WAL events would be silently skipped by "
+                "exactly-once bookkeeping. Redrive only after the source WAL "
+                "is fully ingested, or renumber the WAL epochs."
+            )
+
     def tail(self, wal_root: str, poll_interval: float = 1.0,
              idle_rounds: int = 3, max_rounds: int | None = None) -> dict:
         """Tail the WAL directory: apply new epochs as their directories
@@ -1033,10 +1092,12 @@ class CdcEngine:
         total = {"events_applied": 0, "batches": 0}
         while idle < idle_rounds and (max_rounds is None or rounds < max_rounds):
             rounds += 1
+            seen = self.wal_epochs(wal_root, missing_ok=True)
             pending = [
-                e for e in self.wal_epochs(wal_root)
+                e for e in seen
                 if not os.path.exists(self.manifest.epoch_manifest_path(e))
             ]
+            self._guard_redrive_collision(set(seen) - set(pending))
             if pending:
                 r = self.apply_epochs(wal_root, pending)
                 total["events_applied"] += r["events"]

@@ -941,8 +941,11 @@ def cdc_chunk_dedup_stats(sf_dir: str, w: int = 8, div: int = 64):
         # partition key from each chunk's head 8 bytes, gathered with
         # offset math (equality still decided on full bytes in the
         # kernel); chunks are ≥ 1 UTF-32 unit = 4 bytes, zero-padded
+        # a sliced array's offsets buffer is read starting at element
+        # carr.offset (byte offset = carr.offset * 8) — NOT by adding
+        # the element count to the byte-offset VALUES
         voff = np.frombuffer(carr.buffers()[1], np.int64,
-                             count=len(carr) + 1) + carr.offset
+                             count=len(carr) + 1, offset=carr.offset * 8)
         vbuf = np.frombuffer(carr.buffers()[2], np.uint8)
         idx = voff[:-1, None] + np.arange(8)
         pad = idx >= voff[1:, None]

@@ -52,13 +52,21 @@ def lww_last_per_key(tbl: pa.Table, key_cols: list[str], order_cols: list[str]) 
     import pyarrow.compute as pc
 
     cols: list[np.ndarray] | None = []
-    for c in [*key_cols, *order_cols]:
+    for i, c in enumerate([*key_cols, *order_cols]):
         col = tbl[c]
         if col.null_count:
             cols = None
             break
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            if i >= len(key_cols):
+                # dictionary codes are first-appearance order, NOT
+                # lexical — exact for KEY equality-grouping, wrong as a
+                # sort ORDER.  A string order column must take the
+                # sort_by fallback (no current engine caller hits this:
+                # order cols are always ts/offset/event_id).
+                cols = None
+                break
             col = pc.dictionary_encode(col).indices
         elif pa.types.is_timestamp(col.type):
             col = col.cast(pa.int64())

@@ -257,3 +257,56 @@ def test_redrive_noop_without_quarantine(tmp_lake, tmp_wal):
     eng.replay(tmp_wal)
     assert eng.redrive_quarantine() == {"redriven": 0, "epoch": None,
                                         "still_parked": 0}
+
+
+def test_redrive_epoch_collision_detected_not_skipped(tmp_lake, tmp_wal):
+    """ADVICE r3 (medium): a redrive commits epoch last+1; if the source
+    WAL later grows an epoch with that number, replay/tail must RAISE
+    instead of silently skipping the WAL epoch's events.  The redrive
+    epoch is durably marked in both _REDRIVEN.json and its manifest."""
+    import glob
+    import json as _json
+
+    _write_wal(tmp_wal, [
+        _row(0, "I", "c-0", text="fine"),
+        _row(1, "I", "c-1", text="x" * 50),   # parked: text_short
+    ])
+    eng = CdcEngine(tmp_lake, n_partitions=2)
+    eng.set_constraints(_RULES)
+    eng.replay(tmp_wal)
+
+    before = set(glob.glob("/tmp/agr_redrive_wal_*"))
+    eng.set_constraints([])
+    r = eng.redrive_quarantine()
+    assert r["redriven"] == 1 and r["epoch"] == 1
+    # temp WAL dir cleaned up (ADVICE r3 low)
+    assert set(glob.glob("/tmp/agr_redrive_wal_*")) == before
+    # durable markers
+    assert eng.manifest.read_epoch(1).get("redrive") is True
+    with open(os.path.join(tmp_lake, "_REDRIVEN.json")) as fh:
+        assert _json.load(fh)["epochs"] == [1]
+
+    # source WAL now grows epoch=1 → collision must raise, not skip
+    _write_wal(tmp_wal, [_row(2, "I", "c-9", text="late", ts=2_000)], epoch=1)
+    with pytest.raises(ValueError, match="collide with redrive"):
+        eng.replay(tmp_wal)
+    with pytest.raises(ValueError, match="collide with redrive"):
+        eng.tail(tmp_wal, poll_interval=0.01, idle_rounds=1)
+    # the colliding row was NOT silently dropped-and-forgotten: the lake
+    # still has no c-9 and the WAL epoch remains unapplied
+    got = export_sorted(tmp_lake).to_pandas()
+    assert "c-9" not in set(got["conv_id"])
+
+
+def test_wal_epochs_missing_root_raises_unless_opted_in(tmp_lake):
+    """ADVICE r3 (low): a typo'd replay path fails loudly; only the
+    tail loop (racing the writer's first epoch) opts into leniency."""
+    eng = CdcEngine(tmp_lake, n_partitions=2)
+    with pytest.raises(FileNotFoundError):
+        eng.wal_epochs("/tmp/agr-no-such-wal-root")
+    assert eng.wal_epochs("/tmp/agr-no-such-wal-root", missing_ok=True) == []
+    with pytest.raises(FileNotFoundError):
+        eng.replay("/tmp/agr-no-such-wal-root")
+    # tail tolerates the startup race and just idles out
+    r = eng.tail("/tmp/agr-no-such-wal-root", poll_interval=0.01, idle_rounds=1)
+    assert r["events_applied"] == 0

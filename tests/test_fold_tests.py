@@ -81,3 +81,42 @@ def test_key_hash_spreads_turns_of_one_conv():
     t = _tbl([{"conv_id": "hot", "turn_idx": i} for i in range(64)])
     parts = key_hash(t["conv_id"], t["turn_idx"]) % np.uint64(8)
     assert len(set(parts.tolist())) > 1
+
+
+def test_lww_string_order_column_sorts_lexically():
+    """A string ORDER column must be ordered lexically, not by
+    dictionary-code (first-appearance) order — the fast path must bail
+    to sort_by when an order col is a string (ADVICE r3)."""
+    t = _tbl(
+        [
+            # first appearance is "zzz" → its dict code (0) is LOWEST,
+            # so a code-ordered lexsort would wrongly pick "aaa" as last
+            {"k": 1, "o": "zzz", "v": "lex-last"},
+            {"k": 1, "o": "aaa", "v": "lex-first"},
+            {"k": 2, "o": "mm", "v": "only"},
+        ]
+    )
+    out = lww_last_per_key(t, ["k"], ["o"])
+    got = {r["k"]: r["v"] for r in out.to_pylist()}
+    assert got == {1: "lex-last", 2: "only"}
+
+
+def test_lww_string_key_fast_path_still_exact():
+    """String KEY columns stay on the dictionary-encode fast path
+    (equality grouping is code-exact); randomized vs pandas."""
+    rng = np.random.default_rng(7)
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.choice([f"conv-{i}" for i in range(40)], n),
+        "ts": rng.integers(0, 50, n),
+        "offset": np.arange(n),
+        "v": rng.integers(0, 10**9, n),
+    })
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    out = lww_last_per_key(t, ["k"], ["ts", "offset"]).to_pandas()
+    want = (df.sort_values(["k", "ts", "offset"]).groupby("k", as_index=False)
+            .last())
+    got = out.sort_values("k").reset_index(drop=True)
+    want = want.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "ts", "offset", "v"]],
+                                  want[["k", "ts", "offset", "v"]])
