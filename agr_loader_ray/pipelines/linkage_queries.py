@@ -148,13 +148,17 @@ def snm_candidate_pairs(sf_dir: str, window: int = 2, block: int = 4096):
 # ---------------------------------------------------------------------------
 # mutual_topk_pairs — mutual-k-NN edges of the cosine k-NN graph: (u, v)
 # is an edge iff v is in u's top-3 AND u is in v's top-3 (round-6 sims,
-# ties broken by neighbor id — the ann_cosine_topk convention).  The
-# normalized matrix is broadcast once (documented small-side path; the
-# IVF/LSH stages are the >memory scale path), each batch matmuls its rows
-# against it, per-row top-3 by lexsort, and mutuality resolves with ONE
-# partition-kernel exchange on the undirected pair key (count==2 ⇒
+# ties broken by neighbor id — the ann_cosine_topk convention).
+# SIZE-DISPATCHED (the closure_auto pattern): below
+# _MUTUAL_BROADCAST_MAX rows the normalized matrix is broadcast once and
+# each batch matmuls its rows against it; above it the exact k-NN edges
+# come from the blocked block-pair exchange
+# (stages/similarity.knn_edges_blocked — local per-block top-k, exact
+# groupby(src) merge, no broadcast).  Either way mutuality resolves with
+# ONE partition-kernel exchange on the undirected pair key (count==2 ⇒
 # mutual).  sim is computed on the u<v orientation on both sides.
 # ---------------------------------------------------------------------------
+_MUTUAL_BROADCAST_MAX = 150_000  # rows; ~75 MB broadcast at dim 64
 @query(
     "mutual_topk_pairs",
     """
@@ -172,8 +176,20 @@ def snm_candidate_pairs(sf_dir: str, window: int = 2, block: int = 4096):
     WHERE r1.rk <= 3 AND r2.rk <= 3 AND r1.i < r1.j
     """,
 )
-def mutual_topk_pairs(sf_dir: str, k: int = 3):
-    from ..stages.similarity import _batch_matrix, round_half_away
+def mutual_topk_pairs(sf_dir: str, k: int = 3, mode: str = "auto"):
+    from ..stages.similarity import (_batch_matrix, knn_edges_blocked,
+                                     n_blocks_for, round_half_away)
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    nparts = _join_parts()
+    if mode == "auto":
+        mode = ("broadcast" if ds.count() <= _MUTUAL_BROADCAST_MAX
+                else "blocked")
+    if mode == "blocked":
+        # max(vec_id) is a bounded aggregate; no driver-resident table
+        pack_mod = np.int64(int(ds.max("vec_id")) + 2)
+        knn = knn_edges_blocked(ds, k=k, n_blocks=n_blocks_for(ds.count()))
+        return _mutual_resolve(knn, pack_mod, nparts)
 
     base = read_small(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     ids_all = base["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -184,8 +200,6 @@ def mutual_topk_pairs(sf_dir: str, k: int = 3):
     norms[norms == 0] = 1.0
     ref = ray.put((ids_all, mat / norms[:, None]))
 
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    nparts = _join_parts()
     pack_mod = np.int64(int(ids_all.max()) + 2)
 
     def topk_rows(t: pa.Table) -> pa.Table:
@@ -209,6 +223,15 @@ def mutual_topk_pairs(sf_dir: str, k: int = 3):
 
     knn = ds.map_batches(topk_rows, batch_format="pyarrow",
                          zero_copy_batch=True)
+    return _mutual_resolve(knn, pack_mod, nparts)
+
+
+def _mutual_resolve(knn: "ray.data.Dataset", pack_mod: np.int64,
+                    nparts: int) -> "ray.data.Dataset":
+    """Mutuality over directed (src, dst, sim) k-NN edges: ONE
+    partition-kernel exchange on the packed undirected pair key —
+    count==2 in a partition ⇒ both directions exist ⇒ mutual.  Shared by
+    the broadcast and blocked k-NN routes."""
 
     def pack(t: pa.Table) -> pa.Table:
         s = t["src"].to_numpy(zero_copy_only=False)

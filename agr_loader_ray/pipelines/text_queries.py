@@ -765,11 +765,16 @@ def url_template_sources(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # embedding_near_dup_pairs — embedding-cosine near-duplicate detection.
-# Exact all-pairs against a broadcast matrix (the embeddings table is the
-# designed small side; at 100 TB bucketize with HyperplaneLSH first and
-# compare within buckets — stages/similarity.lsh_bucketed_topk shows the
-# bucketed path).  Rounded float64 scoring matches the DuckDB oracle.
+# SIZE-DISPATCHED (the closure_auto pattern, stages/closure.py): below
+# _NEAR_DUP_BROADCAST_MAX rows the exact all-pairs runs against a
+# broadcast normalized matrix (one ray.put, zero shuffles); above it the
+# same exact math routes through the blocked block-pair exchange
+# (stages/similarity.allpairs_cosine_threshold_blocked) — nothing
+# broadcast or driver-resident, memory per task bounded by the block
+# size.  Both routes hash-match (equivalence-tested at the boundary).
+# Rounded float64 scoring matches the DuckDB oracle.
 # ---------------------------------------------------------------------------
+_NEAR_DUP_BROADCAST_MAX = 150_000  # rows; ~75 MB broadcast at dim 64
 @query(
     "embedding_near_dup_pairs",
     """
@@ -782,10 +787,20 @@ def url_template_sources(sf_dir: str):
                                        CAST(b.embedding AS DOUBLE[])), 6) >= 0.25
     """,
 )
-def embedding_near_dup_pairs(sf_dir: str):
+def embedding_near_dup_pairs(sf_dir: str, mode: str = "auto"):
     import ray as _ray
 
-    from ..stages.similarity import _batch_matrix, round_half_away
+    from ..stages.similarity import (_batch_matrix,
+                                     allpairs_cosine_threshold_blocked,
+                                     n_blocks_for, round_half_away)
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if mode == "auto":
+        n = ds.count()  # parquet metadata — no scan
+        mode = "broadcast" if n <= _NEAR_DUP_BROADCAST_MAX else "blocked"
+    if mode == "blocked":
+        return allpairs_cosine_threshold_blocked(
+            ds, threshold=0.25, n_blocks=n_blocks_for(ds.count()))
 
     full = read_small(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     mat = _batch_matrix(full, "embedding")
@@ -815,7 +830,6 @@ def embedding_near_dup_pairs(sf_dir: str):
                 }
             )
 
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return ds.map_batches(PairScore, fn_constructor_args=(ref, 0.25),
                           batch_format="pyarrow", zero_copy_batch=True,
                           concurrency=_pool())

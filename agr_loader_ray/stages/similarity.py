@@ -236,3 +236,159 @@ def quantize_embeddings_batch(batch: pa.Table, vec_col: str = "embedding") -> pa
         "q_checksum": pa.array(checksum.astype(np.int64)),
         "max_err": pa.array(round_half_away(err, 6), pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Blocked (no-broadcast) EXACT all-pairs kernels — the >memory scale path
+# for whole-table pairwise similarity.  Rows are hashed into B blocks;
+# each of the B(B+1)/2 unordered block pairs becomes one group of a
+# single groupby exchange (each row is replicated B times, the classic
+# triangle-join replication factor sqrt(#reducers)); the group kernel
+# matmuls the two sub-blocks.  Memory per task is 2·(n/B) vectors —
+# bounded by choosing B from the row count — and nothing is ever
+# broadcast or driver-resident.  Float op order inside the kernels
+# matches the broadcast paths exactly so both routes hash identically.
+# ---------------------------------------------------------------------------
+
+def n_blocks_for(n_rows: int, target_block_rows: int = 65536) -> int:
+    """Block count so a block-pair task holds ~2·target rows."""
+    return max(2, -(-int(n_rows) // int(target_block_rows)))
+
+
+def _block_pair_id(g1: np.ndarray, g2: np.ndarray, n_blocks: int) -> np.ndarray:
+    """Dense id of the unordered block pair {g1, g2} (g1 <= g2 assumed)."""
+    b = np.int64(n_blocks)
+    return g1 * b - (g1 * (g1 - 1)) // 2 + (g2 - g1)
+
+
+def _replicate_to_block_pairs(t: pa.Table, n_blocks: int,
+                              id_col: str = "vec_id") -> pa.Table:
+    """Tag every row with each of the n_blocks block-pair tasks it joins.
+
+    Output columns: ``pt`` (pair-task id), ``blk`` (the row's own block)
+    plus the input columns.  Shuffle volume is n_blocks × input — size
+    n_blocks so a pair task fits in a worker heap, no larger."""
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    g = (ids % n_blocks).astype(np.int64)
+    n = len(ids)
+    rep = np.repeat(np.arange(n, dtype=np.int64), n_blocks)
+    other = np.tile(np.arange(n_blocks, dtype=np.int64), n)
+    gg = g[rep]
+    lo = np.minimum(gg, other)
+    hi = np.maximum(gg, other)
+    out = t.take(pa.array(rep))
+    out = out.append_column("pt", pa.array(_block_pair_id(lo, hi, n_blocks)))
+    return out.append_column("blk", pa.array(gg))
+
+
+def allpairs_cosine_threshold_blocked(
+    ds: "ray.data.Dataset", threshold: float, n_blocks: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Exact (id_a < id_b, sim >= threshold) cosine pairs without any
+    whole-table broadcast: block-pair groupby exchange + per-group
+    matmul.  Float math per pair is ``(x_a/|x_a|) · (x_b/|x_b|)`` —
+    identical to the broadcast PairScore kernel, so results hash-match
+    the broadcast route (equivalence-tested)."""
+
+    def pair_kernel(g: pd.DataFrame) -> pa.Table:
+        ids = g[id_col].to_numpy().astype(np.int64)
+        mat = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0] = 1.0
+        mat = mat / nrm[:, None]
+        blk = g["blk"].to_numpy().astype(np.int64)
+        b_lo = blk.min()
+        li = blk == b_lo
+        if li.all():  # diagonal pair (i == i): strict upper triangle by id
+            sims = round_half_away(mat @ mat.T, 6)
+            mask = (sims >= threshold) & (ids[None, :] > ids[:, None])
+            ri, ci = np.nonzero(mask)
+            id_a, id_b = ids[ri], ids[ci]
+            sim = sims[ri, ci]
+        else:
+            ri_m, ci_m = np.nonzero(li), np.nonzero(~li)
+            mi, mj = mat[li], mat[~li]
+            ii, ij = ids[li], ids[~li]
+            sims = round_half_away(mi @ mj.T, 6)
+            mask = sims >= threshold
+            ri, ci = np.nonzero(mask)
+            a, bb = ii[ri], ij[ci]
+            id_a = np.minimum(a, bb)
+            id_b = np.maximum(a, bb)
+            sim = sims[ri, ci]
+        return pa.table({
+            "id_a": pa.array(id_a, pa.int64()),
+            "id_b": pa.array(id_b, pa.int64()),
+            "sim": pa.array(sim, pa.float64()),
+        })
+
+    rep = ds.map_batches(_replicate_to_block_pairs,
+                         fn_kwargs={"n_blocks": n_blocks, "id_col": id_col},
+                         batch_format="pyarrow", zero_copy_batch=True)
+    return rep.groupby("pt").map_groups(pair_kernel, batch_format="pandas")
+
+
+def knn_edges_blocked(
+    ds: "ray.data.Dataset", k: int, n_blocks: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Exact directed k-NN edges (src, dst, sim) without broadcast.
+
+    Per block-pair group, each side's rows take a LOCAL top-k against
+    the other side (by round-6 sim DESC, dst id ASC — the global
+    tie-break), then one groupby(src) merge selects the global top-k:
+    a local top-k retains every candidate that can appear in the global
+    one, so the merge is exact.  Float math per direction is
+    ``(x_src · x_dst/|x_dst|) / |x_src|`` — identical to the broadcast
+    topk_rows kernel."""
+
+    def local_topk(ids_q, mat_q, nrm_q, ids_c, mn_c, same_block):
+        sims = round_half_away((mat_q @ mn_c.T) / nrm_q[:, None], 6)
+        if same_block:
+            self_col = np.searchsorted(ids_c, ids_q)
+            hit = (self_col < len(ids_c)) & (ids_c[np.minimum(
+                self_col, len(ids_c) - 1)] == ids_q)
+            sims[np.nonzero(hit)[0], self_col[hit]] = -np.inf
+        kk = min(k, sims.shape[1])
+        order = np.lexsort((np.broadcast_to(ids_c, sims.shape), -sims),
+                           axis=1)[:, :kk]
+        src = np.repeat(ids_q, kk)
+        dst = ids_c[order].ravel()
+        sim = np.take_along_axis(sims, order, axis=1).ravel()
+        keep = sim > -np.inf
+        return src[keep], dst[keep], sim[keep]
+
+    def pair_kernel(g: pd.DataFrame) -> pa.Table:
+        ids = g[id_col].to_numpy().astype(np.int64)
+        srt = np.argsort(ids, kind="stable")
+        ids = ids[srt]
+        mat = np.stack(g[vec_col].to_numpy()).astype(np.float64)[srt]
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0] = 1.0
+        blk = g["blk"].to_numpy().astype(np.int64)[srt]
+        b_lo = blk.min()
+        li = blk == b_lo
+        if li.all():
+            s, d, v = local_topk(ids, mat, nrm, ids, mat / nrm[:, None], True)
+        else:
+            mi, mj = mat[li], mat[~li]
+            ni, nj = nrm[li], nrm[~li]
+            ii, ij = ids[li], ids[~li]
+            s1, d1, v1 = local_topk(ii, mi, ni, ij, mj / nj[:, None], False)
+            s2, d2, v2 = local_topk(ij, mj, nj, ii, mi / ni[:, None], False)
+            s, d, v = (np.concatenate([s1, s2]), np.concatenate([d1, d2]),
+                       np.concatenate([v1, v2]))
+        return pa.table({"src": pa.array(s, pa.int64()),
+                         "dst": pa.array(d, pa.int64()),
+                         "sim": pa.array(v, pa.float64())})
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["dst"].to_numpy(), -g["sim"].to_numpy()))[:k]
+        return g.iloc[order][["src", "dst", "sim"]]
+
+    rep = ds.map_batches(_replicate_to_block_pairs,
+                         fn_kwargs={"n_blocks": n_blocks, "id_col": id_col},
+                         batch_format="pyarrow", zero_copy_batch=True)
+    cand = rep.groupby("pt").map_groups(pair_kernel, batch_format="pandas")
+    return cand.groupby("src").map_groups(merge_topk, batch_format="pandas")

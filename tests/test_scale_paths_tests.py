@@ -246,3 +246,73 @@ def test_closure_bfs_vectorized_matches_brute_force():
     }
     # exactly-once: no duplicated (node, ancestor) rows from the diamond
     assert len(got) == len(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Size-dispatched similarity queries: the blocked (no-broadcast) route
+# must hash-match the broadcast route on the same input (VERDICT r3 #1).
+# ---------------------------------------------------------------------------
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(
+        drop=True)
+
+
+def test_embedding_near_dup_blocked_equals_broadcast():
+    from agr_loader_ray.pipelines.text_queries import embedding_near_dup_pairs
+
+    sf = "/root/testdata/sf0.01"
+    bc = _canon(embedding_near_dup_pairs(sf, mode="broadcast").to_pandas())
+    bl = _canon(embedding_near_dup_pairs(sf, mode="blocked").to_pandas())
+    assert len(bc) > 0
+    pd.testing.assert_frame_equal(bc, bl)
+
+
+def test_mutual_topk_blocked_equals_broadcast():
+    from agr_loader_ray.pipelines.linkage_queries import mutual_topk_pairs
+
+    sf = "/root/testdata/sf0.01"
+    bc = _canon(mutual_topk_pairs(sf, mode="broadcast").to_pandas())
+    bl = _canon(mutual_topk_pairs(sf, mode="blocked").to_pandas())
+    assert len(bc) > 0
+    pd.testing.assert_frame_equal(bc, bl)
+
+
+def test_knn_edges_blocked_exact_vs_numpy():
+    """Blocked k-NN edges on a synthetic table (many blocks forced) match
+    an O(n^2) numpy reference with the (sim DESC, dst ASC) tie-break."""
+    import ray.data as rd
+
+    from agr_loader_ray.stages.similarity import (knn_edges_blocked,
+                                                  round_half_away)
+
+    rng = np.random.default_rng(11)
+    n, d, k = 160, 8, 3
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    ids = rng.permutation(np.arange(100, 100 + 2 * n, 2)).astype(np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(mat),
+                                        pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t)
+    got = (knn_edges_blocked(ds, k=k, n_blocks=7).to_pandas()
+           .sort_values(["src", "sim", "dst"],
+                        ascending=[True, False, True])
+           .reset_index(drop=True))
+
+    m = mat.astype(np.float64)
+    nn = np.linalg.norm(m, axis=1)
+    srt = np.argsort(ids)
+    ids_s, mn = ids[srt], (m / nn[:, None])[srt]
+    sims = round_half_away((m @ mn.T) / nn[:, None], 6)
+    rows = []
+    for i in range(n):
+        s = sims[i].copy()
+        s[np.searchsorted(ids_s, ids[i])] = -np.inf
+        order = np.lexsort((ids_s, -s))[:k]
+        for j in order:
+            rows.append((ids[i], ids_s[j], s[j]))
+    want = (pd.DataFrame(rows, columns=["src", "dst", "sim"])
+            .sort_values(["src", "sim", "dst"], ascending=[True, False, True])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
