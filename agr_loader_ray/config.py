@@ -68,20 +68,108 @@ class EngineConfig:
 
 #: derived-pipeline registry: name → fn(lake_root, epoch=None) -> Dataset
 DERIVED_REGISTRY: dict[str, Callable] = {}
+#: declared upstream pipelines per name (drives the group schedule)
+DERIVED_DEPS: dict[str, tuple[str, ...]] = {}
 
 
-def register_derived(name: str):
+def register_derived(name: str, depends_on: tuple[str, ...] = ()):
     """Plug a second-pass pipeline into the registry (the reference's
-    StubETL template role — see ``pipelines/derived.py`` for the model)."""
+    StubETL template role — see ``pipelines/derived.py`` for the model).
+
+    ``depends_on`` names upstream DERIVED pipelines this one reads (the
+    reference's etl_groups barrier schedule,
+    ``/root/reference/src/aggregate_loader.py:122-159``, states the same
+    ordering as a hand-written list-of-lists) — ``plan_groups`` layers
+    the registry from these declarations and ``run_derived_groups``
+    executes with a barrier between layers."""
 
     def deco(fn):
         DERIVED_REGISTRY[name] = fn
+        DERIVED_DEPS[name] = tuple(depends_on)
         return fn
 
     return deco
+
+
+def plan_groups(names: list[str] | None = None) -> list[list[str]]:
+    """Kahn layering of the derived registry: group k holds pipelines
+    whose declared dependencies all sit in groups < k.  Raises on a
+    dependency cycle or an unknown dependency (a typo'd name must fail
+    loudly, not silently reorder)."""
+    names = sorted(DERIVED_REGISTRY) if names is None else list(names)
+    chosen = set(names)
+    for n in names:
+        missing = [d for d in DERIVED_DEPS.get(n, ()) if d not in chosen]
+        if missing:
+            raise ValueError(
+                f"derived pipeline {n!r} depends on {missing} which are not "
+                f"in the run set {sorted(chosen)}")
+    placed: set[str] = set()
+    groups: list[list[str]] = []
+    remaining = list(names)
+    while remaining:
+        layer = [n for n in remaining
+                 if all(d in placed for d in DERIVED_DEPS.get(n, ()))]
+        if not layer:
+            raise ValueError(f"dependency cycle among {sorted(remaining)}")
+        groups.append(sorted(layer))
+        placed.update(layer)
+        remaining = [n for n in remaining if n not in placed]
+    return groups
+
+
+def run_derived_groups(lake_root: str, out_root: str,
+                       names: list[str] | None = None,
+                       epoch: int | None = None) -> dict:
+    """Execute derived pipelines in dependency groups with a BARRIER
+    between groups: every pipeline of group k is fully materialized
+    (parquet + lineage manifest) before any pipeline of group k+1
+    starts — so conversation_text → descriptions ordering is stated in
+    the registry, not implied by call order.
+
+    Resumable: a pipeline whose manifest for the source epoch already
+    exists is skipped (the reference reruns only unfinished ETLs).
+    Returns ``{name: manifest_info}`` plus the executed group plan.
+    """
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .state.manifest import LakeManifest, _atomic_write_json
+
+    e = LakeManifest(lake_root).last_committed_epoch() if epoch is None else epoch
+    if e is None:
+        raise FileNotFoundError(f"no committed epoch in {lake_root}")
+    groups = plan_groups(names)
+    infos: dict[str, dict] = {}
+    for gi, group in enumerate(groups):
+        # barrier: the loop body materializes every pipeline of this
+        # group before the next group's first build starts
+        for name in group:
+            out_dir = os.path.join(out_root, name)
+            mpath = os.path.join(out_dir, "_manifests", f"epoch={e}.json")
+            if os.path.exists(mpath):
+                with open(mpath) as fh:
+                    infos[name] = json.load(fh)
+                continue
+            ds = DERIVED_REGISTRY[name](lake_root, epoch=e)
+            data_dir = os.path.join(out_dir, f"epoch={e}")
+            ds.write_parquet(data_dir)
+            rows = sum(
+                pq.read_metadata(os.path.join(data_dir, f)).num_rows
+                for f in os.listdir(data_dir) if f.endswith(".parquet")
+            )
+            info = {"name": name, "source_epoch": e, "rows": rows,
+                    "path": data_dir, "group": gi,
+                    "depends_on": list(DERIVED_DEPS.get(name, ()))}
+            _atomic_write_json(mpath, info)
+            infos[name] = info
+    return {"epoch": e, "groups": groups, "pipelines": infos}
 
 
 # built-ins
 from .pipelines.derived import conversation_stats  # noqa: E402
 
 DERIVED_REGISTRY["conversation_stats"] = conversation_stats
+DERIVED_DEPS["conversation_stats"] = ()

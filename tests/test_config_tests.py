@@ -1,5 +1,7 @@
 """Config validation + extension registry tests."""
 
+import os
+
 import pytest
 
 from agr_loader_ray.config import DERIVED_REGISTRY, EngineConfig, register_derived
@@ -30,3 +32,102 @@ def test_registry_has_builtin_and_accepts_plugins():
 
     assert DERIVED_REGISTRY["noop"] is noop
     del DERIVED_REGISTRY["noop"]
+
+
+# ---------------------------------------------------------------------------
+# Dependency-group scheduler (VERDICT r3 #6): declared depends_on →
+# Kahn layering → barrier execution with lineage manifests, mirroring
+# the reference's 36-group etl_groups schedule
+# (/root/reference/src/aggregate_loader.py:122-159).
+# ---------------------------------------------------------------------------
+
+def test_plan_groups_layers_by_dependency():
+    from agr_loader_ray.config import (DERIVED_DEPS, DERIVED_REGISTRY,
+                                       plan_groups, register_derived)
+
+    @register_derived("t_a")
+    def t_a(lake_root, epoch=None):
+        raise AssertionError("not executed by plan")
+
+    @register_derived("t_b", depends_on=("t_a",))
+    def t_b(lake_root, epoch=None):
+        raise AssertionError
+
+    @register_derived("t_c", depends_on=("t_a",))
+    def t_c(lake_root, epoch=None):
+        raise AssertionError
+
+    @register_derived("t_d", depends_on=("t_b", "t_c"))
+    def t_d(lake_root, epoch=None):
+        raise AssertionError
+
+    try:
+        assert plan_groups(["t_a", "t_b", "t_c", "t_d"]) == [
+            ["t_a"], ["t_b", "t_c"], ["t_d"]]
+        # unknown dep fails loudly
+        with pytest.raises(ValueError, match="not in the run set"):
+            plan_groups(["t_b"])
+        # cycle fails loudly
+        DERIVED_DEPS["t_a"] = ("t_d",)
+        with pytest.raises(ValueError, match="cycle"):
+            plan_groups(["t_a", "t_b", "t_c", "t_d"])
+    finally:
+        for n in ("t_a", "t_b", "t_c", "t_d"):
+            DERIVED_REGISTRY.pop(n, None)
+            DERIVED_DEPS.pop(n, None)
+
+
+def test_run_derived_groups_barrier_and_resume(tmp_path):
+    """Group k+1 sees group k fully materialized (the barrier is
+    observable: the downstream pipeline READS its upstream's parquet);
+    re-running skips completed pipelines."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from agr_loader_ray.config import (DERIVED_DEPS, DERIVED_REGISTRY,
+                                       register_derived, run_derived_groups)
+    from agr_loader_ray.pipelines.engine import CdcEngine
+    from agr_loader_ray.wal.generator import T1_SMOKE, generate_wal
+
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "derived")
+    generate_wal(wal, T1_SMOKE)
+    CdcEngine(lake, n_partitions=4).replay(wal)
+
+    calls = []
+
+    @register_derived("t_base")
+    def t_base(lake_root, epoch=None):
+        calls.append("t_base")
+        from agr_loader_ray.pipelines.derived import conversation_stats
+
+        return conversation_stats(lake_root, epoch=epoch)
+
+    @register_derived("t_down", depends_on=("t_base",))
+    def t_down(lake_root, epoch=None):
+        calls.append("t_down")
+        # the BARRIER contract: upstream parquet must already exist
+        up = os.path.join(out, "t_base", f"epoch={epoch}")
+        files = [os.path.join(up, f) for f in os.listdir(up)
+                 if f.endswith(".parquet")]
+        assert files, "barrier violated: upstream not materialized"
+        return rd.read_parquet(files).map_batches(
+            lambda t: t.select(["conv_id", "n_turns"]),
+            batch_format="pyarrow")
+
+    try:
+        r = run_derived_groups(lake, out, names=["t_base", "t_down"])
+        assert r["groups"] == [["t_base"], ["t_down"]]
+        assert calls == ["t_base", "t_down"]
+        assert r["pipelines"]["t_down"]["rows"] > 0
+        df = pq.read_table(r["pipelines"]["t_down"]["path"]).to_pandas()
+        assert set(df.columns) == {"conv_id", "n_turns"}
+        # resume: second run executes nothing
+        r2 = run_derived_groups(lake, out, names=["t_base", "t_down"])
+        assert calls == ["t_base", "t_down"]
+        assert r2["pipelines"]["t_base"]["rows"] == r["pipelines"]["t_base"]["rows"]
+    finally:
+        for n in ("t_base", "t_down"):
+            DERIVED_REGISTRY.pop(n, None)
+            DERIVED_DEPS.pop(n, None)
