@@ -5,10 +5,12 @@ Registered into the same QUERIES/ORACLE_SQL registries as
 DuckDB oracle: the sketch/ANN ops mirror their seed-derived signature
 pipelines in SQL (``sketch_sql.py``), and the multimodal ops are gated
 on exact integer features recomputed from the generative payload
-formulas.  The only rows-only entries left are the lake-input pipelines
-(cdc_engine_replay / derived_* / clean_corpus), whose inputs are engine
-state rather than registered views; their oracle equality is asserted
-in tests/ instead.
+formulas.  The lake-input pipelines (cdc_engine_replay / cdc_txn_replay
+/ derived_* / ivm_*) publish the WAL they consumed to a fixed path as a
+side effect and carry window/QUALIFY-LWW DuckDB oracles over it; the
+only rows-only entries left are cdc_engine_change_feed (state-diff
+semantics, oracle-tested per epoch in tests/test_engine_tests.py) and
+clean_corpus (composite LSH pipeline, pandas cross-check in tests).
 """
 
 from __future__ import annotations
@@ -26,6 +28,47 @@ from ..stages.dedup import minhash_lsh_candidates, simhash_near_dup_pairs
 from ..stages.similarity import brute_force_topk, lsh_bucketed_topk
 from ..stages.text import LangId, fingerprint_batch, token_quality_batch
 from .queries import _pool, query
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles for the LAKE-INPUT pipelines (cdc_engine_replay /
+# derived_* / ivm_*): the Ray query publishes the WAL it consumed to a
+# FIXED path as a side effect (the gate runs the Ray side first), and the
+# oracle replays the identical events with window/QUALIFY LWW semantics —
+# row_number() OVER (PARTITION BY key ORDER BY ts DESC, offset DESC) = 1,
+# winner op <> 'D'.  This closes the typed-hash gate over pipelines whose
+# input is engine state rather than a registered view.
+# ---------------------------------------------------------------------------
+import os as _os  # noqa: E402
+import tempfile as _tempfile  # noqa: E402
+
+_ORA_IN = _os.path.join(_tempfile.gettempdir(), "agr_oracle_in")
+
+
+def _lww_live_cte(parquet_path: str) -> str:
+    """Shared oracle prelude: fold a published WAL parquet to its live
+    state under the engine's exact LWW order (ts DESC, offset DESC)."""
+    return f"""
+    WITH ev AS (SELECT * FROM read_parquet('{parquet_path}')
+                WHERE op <> 'S'),
+    w AS (SELECT conv_id, turn_idx, role, text, tool, ts, op,
+                 row_number() OVER (PARTITION BY conv_id, turn_idx
+                                    ORDER BY ts DESC, "offset" DESC) AS rn
+          FROM ev),
+    live AS (SELECT conv_id, turn_idx, role, text, tool, ts
+             FROM w WHERE rn = 1 AND op <> 'D')
+    """
+
+
+_ENGINE_WAL = _os.path.join(_ORA_IN, "engine_wal.parquet")
+_CONV_STATS_ORACLE = _lww_live_cte(_ENGINE_WAL) + """
+    SELECT conv_id,
+           CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS total_chars,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tool_turns,
+           max(ts) AS last_ts
+    FROM live GROUP BY conv_id
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -515,6 +558,28 @@ def multimodal_frame_sample(sf_dir: str):
 # registered views (the WAL is engine input, not a view) → rows-only
 # gate here; full oracle equality is asserted in tests/test_engine_tests.py.
 # ---------------------------------------------------------------------------
+def _publish_oracle_input(name: str, wal_root: str) -> None:
+    """Union a WAL's epoch segments into ONE parquet at a FIXED path the
+    static DuckDB oracle SQL reads (``/tmp/agr_oracle_in/<name>.parquet``).
+
+    The gate protocol runs the Ray query BEFORE its oracle, so the file
+    always reflects the current sf tier's WAL.  Atomic (tmp + rename):
+    a crashed publish can't leave a half-written oracle input."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    d = os.path.join(tempfile.gettempdir(), "agr_oracle_in")
+    os.makedirs(d, exist_ok=True)
+    files = sorted(_glob.glob(os.path.join(wal_root, "epoch=*", "*.parquet")))
+    tbl = pa.concat_tables([_pq.read_table(f) for f in files])
+    tmp = os.path.join(d, f".{name}.parquet.tmp.{os.getpid()}")
+    _pq.write_table(tbl, tmp)
+    os.replace(tmp, os.path.join(d, f"{name}.parquet"))
+
+
 def _replay_lake(sf_dir: str) -> str:
     """Deterministic synthetic WAL → lake for ``sf_dir`` (cached: replay
     skips committed epochs, so repeat calls are metadata-only)."""
@@ -531,6 +596,7 @@ def _replay_lake(sf_dir: str) -> str:
                    schema_events=((0.5, '{"kind": "add_column", "name": "lang", "type": "string", "default": null}'),))
     wal_root = os.path.join(tempfile.gettempdir(), f"agr_q_wal_{n}")
     meta = generate_wal(wal_root, spec)
+    _publish_oracle_input("engine_wal", wal_root)
     # lake dir keyed to the WAL spec: a spec change can never replay into a
     # stale lake whose committed manifests would short-circuit the work
     import hashlib
@@ -542,23 +608,54 @@ def _replay_lake(sf_dir: str) -> str:
     return lake_root
 
 
-@query("cdc_engine_replay")
+@query(
+    "cdc_engine_replay",
+    _lww_live_cte(_ENGINE_WAL) + """
+    SELECT conv_id, turn_idx, role, text, tool, ts,
+           CAST(NULL AS VARCHAR) AS lang
+    FROM live
+    """,
+)
 def cdc_engine_replay(sf_dir: str):
+    """Full engine replay of the published synthetic WAL; the oracle
+    folds the identical events with QUALIFY-style LWW windows (rn=1 on
+    ts DESC, offset DESC; winner op <> 'D').  The ``lang`` column is the
+    mid-stream add_column schema event — null-default, so the oracle
+    projects a typed NULL."""
     from ..pipelines.export import export_sorted
 
     return export_sorted(_replay_lake(sf_dir))
 
 
-@query("cdc_txn_replay")
+@query(
+    "cdc_txn_replay",
+    f"""
+    WITH ev AS (
+      SELECT *, 'a' AS tbl
+      FROM read_parquet('{_os.path.join(_ORA_IN, "txn_wal_a.parquet")}')
+      UNION ALL
+      SELECT *, 'b' AS tbl
+      FROM read_parquet('{_os.path.join(_ORA_IN, "txn_wal_b.parquet")}')),
+    w AS (SELECT tbl, conv_id, turn_idx, role, text, tool, ts, op,
+                 row_number() OVER (PARTITION BY tbl, conv_id, turn_idx
+                                    ORDER BY ts DESC, "offset" DESC) AS rn
+          FROM ev WHERE op <> 'S')
+    SELECT conv_id, turn_idx, role, text, tool, ts, tbl AS "table"
+    FROM w WHERE rn = 1 AND op <> 'D'
+    """,
+)
 def cdc_txn_replay(sf_dir: str):
     """Multi-table ATOMIC replay end-to-end: two per-table WALs are
     merged into one combined binlog (``table`` column), demuxed back by
     the streaming binlog-demux stage, replayed under the 2PC intent
     coordinator (``pipelines/txn.py``), and read back through the
     consistent-snapshot fence.  Returns both tables' fenced state with a
-    ``table`` column.  Rows-only gate (lake input, not a view); crash
-    atomicity, roll-forward recovery and snapshot isolation are asserted
-    in tests/test_txn_tests.py."""
+    ``table`` column.  Oracle: both DEMUXED WALs (published to fixed
+    paths — the exact event streams the engines consumed) LWW-folded per
+    table; the fence covers every epoch after a complete replay, so the
+    fenced read equals the full fold.  Crash atomicity, roll-forward
+    recovery and snapshot isolation are asserted in
+    tests/test_txn_tests.py."""
     import os
     import tempfile
 
@@ -582,6 +679,8 @@ def cdc_txn_replay(sf_dir: str):
     if not os.path.exists(combined):
         combine_wals(wals, combined)
     demux_wal(combined, demuxed)
+    for t in specs:
+        _publish_oracle_input(f"txn_wal_{t}", demuxed[t])
     engines = {t: CdcEngine(os.path.join(root, f"lake_{t}"), n_partitions=8)
                for t in specs}
     txn = TxnReplay(os.path.join(root, "txn"), engines, demuxed)
@@ -648,12 +747,13 @@ def cdc_engine_change_feed(sf_dir: str):
 # derived_conversation_stats / derived_descriptions — §3.2 second-pass
 # pipelines over the committed lake (rows-only: lake input, not a view).
 # ---------------------------------------------------------------------------
-@query("ivm_conversation_stats")
+@query("ivm_conversation_stats", _CONV_STATS_ORACLE)
 def ivm_conversation_stats(sf_dir: str):
     """Incrementally-maintained conversation_stats view (CDF-delta fold,
-    pipelines/ivm.py) at the lake's final epoch.  Rows-only gate (lake
-    input, not a view); equality vs full recompute at EVERY epoch is
-    asserted in tests/test_ivm_tests.py."""
+    pipelines/ivm.py) at the lake's final epoch.  Oracle: the published
+    WAL folded to live state, aggregated per conversation — the IVM
+    result must equal the full recompute; per-epoch equality is
+    additionally asserted in tests/test_ivm_tests.py."""
     import os
     import tempfile
 
@@ -666,14 +766,25 @@ def ivm_conversation_stats(sf_dir: str):
     return read_stats(out).sort("conv_id")
 
 
-@query("ivm_inverted_index")
+@query(
+    "ivm_inverted_index",
+    _lww_live_cte(_ENGINE_WAL) + """
+    , tok AS (SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                     unnest(string_split(coalesce(text, ''), ' ')) AS token
+              FROM live)
+    SELECT token, conv_id, turn_idx, CAST(count(*) AS BIGINT) AS tf
+    FROM tok WHERE token <> ''
+    GROUP BY token, conv_id, turn_idx
+    """,
+)
 def ivm_inverted_index(sf_dir: str):
     """CDF-maintained token→(conv, turn, tf) inverted index
     (pipelines/inverted.py — LSM-style delta segments per token bucket,
-    additive merge-on-read) at the lake's final epoch.  Rows-only gate
-    (lake input, not a view); equality vs full rebuild at EVERY epoch,
-    resumability and compaction-equivalence are asserted in
-    tests/test_inverted_tests.py."""
+    additive merge-on-read) at the lake's final epoch.  Oracle: the
+    published WAL folded to live state, single-space tokenized (the
+    index's exact tokenizer), tf per posting; equality vs full rebuild
+    at EVERY epoch, resumability and compaction-equivalence are
+    additionally asserted in tests/test_inverted_tests.py."""
     import os
     import tempfile
 
@@ -686,14 +797,36 @@ def ivm_inverted_index(sf_dir: str):
     return read_index(out).sort(["token", "conv_id", "turn_idx"])
 
 
-@query("derived_conversation_stats")
+@query("derived_conversation_stats", _CONV_STATS_ORACLE)
 def derived_conversation_stats(sf_dir: str):
     from ..pipelines.derived import conversation_stats
 
     return conversation_stats(_replay_lake(sf_dir))
 
 
-@query("derived_descriptions")
+@query(
+    "derived_descriptions",
+    _lww_live_cte(_ENGINE_WAL) + """
+    , s AS (SELECT conv_id,
+                   CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS total_chars,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_tool_turns
+            FROM live GROUP BY conv_id),
+    m AS (SELECT CAST(sum(n_turns) AS DOUBLE) / count(*) AS mean_turns FROM s)
+    SELECT s.conv_id,
+           'Conversation ' || s.conv_id || ' has '
+             || CAST(s.n_turns AS VARCHAR) || ' turns ('
+             || CASE WHEN s.n_turns > m.mean_turns
+                     THEN 'longer than' ELSE 'at or below' END
+             || ' the corpus mean), '
+             || CAST(s.n_tool_turns AS VARCHAR) || ' tool turns, and '
+             || CAST(s.total_chars AS VARCHAR) || ' characters of text.'
+             AS description,
+           s.n_turns
+    FROM s, m
+    """,
+)
 def derived_descriptions(sf_dir: str):
     from ..pipelines.derived import conversation_descriptions
 
