@@ -57,7 +57,7 @@ import ray
 import ray.data
 
 from ..schemas import DELETED_COL, OFFSET_COL, TRANSCRIPT_SCHEMA
-from ..stages.fold import lww_last_per_key
+from ..stages.fold import lww_last_per_key, lww_winner_indices
 from ..stages.partition import PART_COL, add_partition_column, stable_hash_strings
 from ..state.manifest import LakeManifest
 from ..state.schema_registry import SchemaRegistry
@@ -231,9 +231,16 @@ def _split_block_by_part(block: pa.Table, nslots: int) -> tuple:
     partition's bytes, which is what keeps the pattern shuffle-shaped
     on a multi-node cluster (per-slice transfers, no broadcast)."""
     part = block[PART_COL].to_numpy(zero_copy_only=False)
-    order = np.argsort(part, kind="stable")
-    t = block.take(pa.array(order))
-    slot = part[order] + 1  # QUARANTINE_PART (-1) → slot 0
+    if len(part) == 0 or (part[1:] >= part[:-1]).all():
+        # prefold emits part-ordered blocks (fused gather): slice
+        # zero-copy, no payload re-sort.  A block concatenated from
+        # multiple prefold outputs loses the order and takes the sort.
+        t = block
+        slot = part + 1  # QUARANTINE_PART (-1) → slot 0
+    else:
+        order = np.argsort(part, kind="stable")
+        t = block.take(pa.array(order))
+        slot = part[order] + 1
     bounds = np.searchsorted(slot, np.arange(nslots + 1))
     return tuple(
         t.slice(bounds[s], bounds[s + 1] - bounds[s]) for s in range(nslots)
@@ -360,15 +367,41 @@ class _PreFoldPartition:
                 bad = (pa.concat_tables([bad, viol_rows])
                        if bad.num_rows else viol_rows)
         key = ["conv_id", "turn_idx"] + (["epoch"] if self.keep_epoch else [])
-        if batch.num_rows:
-            batch = lww_last_per_key(batch, key, ["ts", "offset"])
-        out = add_partition_column(self._to_lake_layout(batch), self.n)
+        idx = (lww_winner_indices(batch, key, ["ts", "offset"])
+               if batch.num_rows > 1 else None)
+        if idx is not None:
+            # fused part-ordered gather: hash only the winners' KEY
+            # columns (narrow takes), stable-argsort the int32 part ids,
+            # and pay ONE full-payload take that lands already ordered by
+            # partition — the downstream split task then slices zero-copy
+            # instead of re-sorting the whole payload (one fewer
+            # full-table gather per block; the 32-CPU replay leg is
+            # memory-bus-bound, so saved bytes are saved wall time).
+            # Within a partition the row order is identical to the
+            # unfused path (stable sort over key-code-ordered winners),
+            # so lake bytes are unchanged (exchange equivalence suite).
+            from ..stages.partition import key_hash
+
+            ii = pa.array(idx)
+            part_w = (key_hash(batch["conv_id"].take(ii),
+                               batch["turn_idx"].take(ii))
+                      % np.uint64(self.n)).astype(np.int32)
+            ord2 = np.argsort(part_w, kind="stable")
+            winners = batch.take(pa.array(idx[ord2]))
+            out = self._to_lake_layout(winners).append_column(
+                PART_COL, pa.array(part_w[ord2], pa.int32()))
+        else:
+            if batch.num_rows:
+                batch = lww_last_per_key(batch, key, ["ts", "offset"])
+            out = add_partition_column(self._to_lake_layout(batch), self.n)
         if bad.num_rows:
             # poison rows ride the same exchange under the reserved
-            # partition id; the merge stage diverts them to the sink
+            # partition id (-1 = slot 0: PREPENDED so the block stays
+            # part-ascending for the zero-copy split); the merge stage
+            # diverts them to the sink
             bad_out = self._to_lake_layout(bad).append_column(
                 PART_COL, pa.array(np.full(bad.num_rows, QUARANTINE_PART, np.int32)))
-            out = pa.concat_tables([out, bad_out.select(out.column_names)])
+            out = pa.concat_tables([bad_out.select(out.column_names), out])
         return out
 
 

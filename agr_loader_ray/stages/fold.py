@@ -22,6 +22,57 @@ import numpy as np
 import pyarrow as pa
 
 
+def lww_winner_indices(tbl: pa.Table, key_cols: list[str],
+                       order_cols: list[str]) -> "np.ndarray | None":
+    """Row indices of the per-key LWW winners, in key-code order — the
+    fast path of :func:`lww_last_per_key` WITHOUT the payload take, so a
+    caller can compose its own gather (e.g. the engine prefold orders
+    winners by partition id first and pays ONE take instead of two).
+    Returns ``None`` when the index-only path can't run (nulls in a sort
+    column, string order column, non-numeric survivor) — callers must
+    fall back to :func:`lww_last_per_key`."""
+    n = tbl.num_rows
+    import pyarrow.compute as pc
+
+    cols: list[np.ndarray] = []
+    for i, c in enumerate([*key_cols, *order_cols]):
+        col = tbl[c]
+        if col.null_count:
+            return None
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            if i >= len(key_cols):
+                # dictionary codes are first-appearance order, NOT
+                # lexical — exact for KEY equality-grouping, wrong as a
+                # sort ORDER.  A string order column must take the
+                # sort_by fallback (no current engine caller hits this:
+                # order cols are always ts/offset/event_id).
+                return None
+            col = pc.dictionary_encode(col).indices
+        elif pa.types.is_timestamp(col.type):
+            col = col.cast(pa.int64())
+        elif pa.types.is_boolean(col.type):
+            col = col.cast(pa.int8())
+        try:
+            arr = col.to_numpy(zero_copy_only=False)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            return None
+        if arr.dtype == object:  # non-numeric survivor → fallback
+            return None
+        cols.append(np.ascontiguousarray(arr))
+    order = np.lexsort(tuple(reversed(cols)))
+    kn = len(key_cols)
+    change = np.zeros(n, dtype=bool)
+    change[-1] = True
+    diff: "np.ndarray | None" = None
+    for a in cols[:kn]:
+        s = a[order]
+        ne = s[1:] != s[:-1]
+        diff = ne if diff is None else (diff | ne)
+    change[: n - 1] = diff
+    return order[change]
+
+
 def lww_last_per_key(tbl: pa.Table, key_cols: list[str], order_cols: list[str]) -> pa.Table:
     """Keep the last row per key under ascending ``key_cols + order_cols``.
 
@@ -51,48 +102,9 @@ def lww_last_per_key(tbl: pa.Table, key_cols: list[str], order_cols: list[str]) 
         return tbl
     import pyarrow.compute as pc
 
-    cols: list[np.ndarray] | None = []
-    for i, c in enumerate([*key_cols, *order_cols]):
-        col = tbl[c]
-        if col.null_count:
-            cols = None
-            break
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-            if i >= len(key_cols):
-                # dictionary codes are first-appearance order, NOT
-                # lexical — exact for KEY equality-grouping, wrong as a
-                # sort ORDER.  A string order column must take the
-                # sort_by fallback (no current engine caller hits this:
-                # order cols are always ts/offset/event_id).
-                cols = None
-                break
-            col = pc.dictionary_encode(col).indices
-        elif pa.types.is_timestamp(col.type):
-            col = col.cast(pa.int64())
-        elif pa.types.is_boolean(col.type):
-            col = col.cast(pa.int8())
-        try:
-            arr = col.to_numpy(zero_copy_only=False)
-        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-            cols = None
-            break
-        if arr.dtype == object:  # non-numeric survivor → fallback
-            cols = None
-            break
-        cols.append(np.ascontiguousarray(arr))
-    if cols is not None:
-        order = np.lexsort(tuple(reversed(cols)))
-        kn = len(key_cols)
-        change = np.zeros(n, dtype=bool)
-        change[-1] = True
-        diff: np.ndarray | None = None
-        for a in cols[:kn]:
-            s = a[order]
-            ne = s[1:] != s[:-1]
-            diff = ne if diff is None else (diff | ne)
-        change[: n - 1] = diff
-        return tbl.take(pa.array(order[change]))
+    idx = lww_winner_indices(tbl, key_cols, order_cols)
+    if idx is not None:
+        return tbl.take(pa.array(idx))
 
     t = tbl.sort_by([(c, "ascending") for c in [*key_cols, *order_cols]])
     mask = np.zeros(n, dtype=bool)
