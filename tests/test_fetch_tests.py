@@ -103,3 +103,87 @@ def test_read_extracted_end_to_end(tmp_path):
         zf.write(d / "x.tsv", "x.tsv")
     ds = read_extracted(str(z), str(tmp_path / "staging"))
     assert ds.count() == 10
+
+
+# ---------------------------------------------------------------------------
+# S1 loopback HTTP exercise (VERDICT r3 #5): stand up http.server on
+# 127.0.0.1 and drive the reference's exact contract
+# (/root/reference/src/files/download.py:44-69) — retry on 503 with
+# backoff, success after transient failures, skip-if-exists making NO
+# request, and exhaustion raising FetchError.  No external network.
+# ---------------------------------------------------------------------------
+
+class _FlakyHandler:
+    """Factory: a handler that 503s the first ``fail_n`` GETs per path."""
+
+    def __new__(cls, fail_n: int, body: bytes):
+        from http.server import BaseHTTPRequestHandler
+
+        counts: dict[str, int] = {}
+
+        class H(BaseHTTPRequestHandler):
+            hits = counts
+
+            def do_GET(self):
+                n = counts.get(self.path, 0)
+                counts[self.path] = n + 1
+                if n < fail_n:
+                    self.send_error(503, "flaky")
+                    return
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        return H
+
+
+@pytest.fixture()
+def loopback_http():
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    handler = _FlakyHandler(fail_n=2, body=b"payload-bytes")
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}", handler.hits
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_http_retry_on_503_then_success(tmp_path, loopback_http):
+    base, hits = loopback_http
+    sleeps: list[float] = []
+    dest = tmp_path / "f.bin"
+    got = fetch_with_retry(f"{base}/f.bin", str(dest), retries=5,
+                           backoff_s=6.0, _sleep=sleeps.append)
+    assert got == str(dest) and dest.read_bytes() == b"payload-bytes"
+    # two 503s → two fixed-backoff sleeps, three requests total
+    assert sleeps == [6.0, 6.0]
+    assert hits["/f.bin"] == 3
+
+
+def test_http_skip_if_exists_makes_no_request(tmp_path, loopback_http):
+    base, hits = loopback_http
+    dest = tmp_path / "cached.bin"
+    dest.write_bytes(b"already-here")
+    got = fetch_with_retry(f"{base}/cached.bin", str(dest), retries=3,
+                           _sleep=lambda s: None)
+    assert got == str(dest) and dest.read_bytes() == b"already-here"
+    assert "/cached.bin" not in hits  # existing file wins: zero requests
+
+
+def test_http_exhausted_retries_raise(tmp_path, loopback_http):
+    base, hits = loopback_http
+    sleeps: list[float] = []
+    with pytest.raises(FetchError):
+        fetch_with_retry(f"{base}/gone.bin", str(tmp_path / "g.bin"),
+                         retries=2, backoff_s=1.5, _sleep=sleeps.append)
+    assert hits["/gone.bin"] == 2 and sleeps == [1.5]
+    assert not (tmp_path / "g.bin").exists()  # no partial file left
