@@ -215,21 +215,16 @@ def _shuffle_blocks(total_bytes: int) -> int:
     return max(ncpu, by_bytes)
 
 
-@ray.remote
-def _split_block_by_part(block: pa.Table, nslots: int) -> tuple:
+def _slices_by_part(block: pa.Table, nslots: int) -> tuple:
     """Slice one prefolded block into per-partition sub-tables.
 
-    Map side of the task-based partition exchange: one stable int32
-    argsort on the ``part`` column (values in [-1, nparts); slot 0 is
-    the quarantine stream) and ``nslots`` zero-copy slices of the
-    part-ordered table.  Unlike the sort-based shuffle there is no
-    boundary-sampling pass and no comparison sort of the payload —
-    the partition id is already materialized, so the exchange is pure
-    bucketing (measured 3× faster than ``groupby(part)`` on the 16 M
-    -event bench WAL).  Called with ``.options(num_returns=nslots)`` so
-    each slice becomes its own object — a reduce task fetches ONLY its
-    partition's bytes, which is what keeps the pattern shuffle-shaped
-    on a multi-node cluster (per-slice transfers, no broadcast)."""
+    One stable int32 argsort on the ``part`` column (values in
+    [-1, nparts); slot 0 is the quarantine stream) and ``nslots``
+    zero-copy slices of the part-ordered table.  Unlike the sort-based
+    shuffle there is no boundary-sampling pass and no comparison sort of
+    the payload — the partition id is already materialized, so the
+    exchange is pure bucketing (measured 3× faster than
+    ``groupby(part)`` on the 16 M-event bench WAL)."""
     part = block[PART_COL].to_numpy(zero_copy_only=False)
     if len(part) == 0 or (part[1:] >= part[:-1]).all():
         # prefold emits part-ordered blocks (fused gather): slice
@@ -248,6 +243,58 @@ def _split_block_by_part(block: pa.Table, nslots: int) -> tuple:
 
 
 @ray.remote
+def _split_block_by_part(block: pa.Table, nslots: int) -> tuple:
+    """Standalone split task (Dataset-fed exchange path): called with
+    ``.options(num_returns=nslots)`` so each slice becomes its own
+    object — a reduce task fetches ONLY its partition's bytes, which is
+    what keeps the pattern shuffle-shaped on a multi-node cluster
+    (per-slice transfers, no broadcast)."""
+    return _slices_by_part(block, nslots)
+
+
+@ray.remote
+def _map_prefold_split(paths: list[str], prefold, nslots: int) -> tuple:
+    """FUSED shuffle map task: read one group of sealed WAL segments,
+    prefold, and bucket into per-partition slices — all in ONE task.
+
+    Fusing read+prefold+split removes two per-replay costs the
+    Dataset-fed path pays: the streaming-executor startup (~0.5 s per
+    ``apply_epochs``, pure fixed cost that dominates the 32-CPU leg's
+    wall time) and one full plasma round-trip of the prefolded payload
+    (Ray Data stores the prefold output block, then the split task
+    re-fetches it just to re-store the slices).  Segment files are
+    sealed and schema-stable (schema changes ride the stream as op='S'
+    rows, never as parquet schema drift), so a plain ``pq.read_table``
+    per file is the whole read path.  Retries are safe: reads are
+    deterministic and the task is pure."""
+    tbl = pa.concat_tables([pq.read_table(p) for p in paths])
+    return _slices_by_part(prefold(tbl), nslots)
+
+
+def _group_files_by_bytes(files: list[str], nblocks: int) -> list[list[str]]:
+    """Contiguous, byte-balanced grouping of WAL segment files into
+    ``nblocks`` map-task inputs.  Contiguity keeps each group's rows in
+    (epoch, offset) order — the same stable order the Dataset read
+    yields — so reduce-side concatenation order stays deterministic."""
+    sizes = [os.path.getsize(p) for p in files]
+    total = sum(sizes)
+    nblocks = max(1, min(nblocks, len(files)))
+    target = total / nblocks
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    acc = 0
+    for p, s in zip(files, sizes):
+        cur.append(p)
+        acc += s
+        if acc >= target * (len(groups) + 1) and len(groups) < nblocks - 1:
+            groups.append(cur)
+            cur = []
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+@ray.remote
 def _reduce_apply_part(apply_fn, *slices: pa.Table) -> list[dict]:
     """Reduce side of the task-based partition exchange: concatenate one
     partition's slices (block order — the same stable order the sort
@@ -261,38 +308,41 @@ def _reduce_apply_part(apply_fn, *slices: pa.Table) -> list[dict]:
     return out.to_pylist() if isinstance(out, pa.Table) else list(out)
 
 
-def _task_exchange_apply(ds: "ray.data.Dataset", n_partitions: int,
-                         apply_fn, apply_retries: int) -> list[dict]:
-    """Partition exchange as raw Ray tasks over the prefold Dataset's
-    block refs.
+def _task_exchange_apply(files: list[str], nblocks: int, prefold,
+                         n_partitions: int, apply_fn,
+                         apply_retries: int) -> list[dict]:
+    """Partition exchange as raw Ray tasks over the sealed WAL segments.
 
-    Ray Data still owns the streaming read + prefold (backpressure,
-    spilling); only the all-to-all is hand-rolled: per-block split
-    tasks fan out ``n_partitions + 1`` slices, one reduce task per
+    Map side: ``nblocks`` fused read+prefold+split tasks
+    (:func:`_map_prefold_split`), each fanning out ``n_partitions + 1``
+    per-partition slices as separate objects.  Reduce side: one task per
     partition gathers its slices and runs the same ``apply_fn`` the
     ``groupby(part).map_groups`` path uses.  Semantics are identical —
     every row of a partition reaches exactly one apply call, in stable
-    block order — but the sort shuffle's sampling pass and payload
-    comparison sort are gone (16 M-event replay: exchange 2.7 s → 1.0 s
-    measured).  The reduce barrier (all splits before any apply) is
-    inherent to the exchange, same as the shuffle it replaces.
+    (epoch, offset) block order — but the sort shuffle's sampling pass,
+    payload comparison sort, streaming-executor startup and the extra
+    plasma round-trip of the prefolded payload are all gone (16 M-event
+    replay exchange: 2.7 s → 1.0 s for the split rewrite, a further
+    ~0.8 s fixed cost for the read+prefold fusion, measured).  The
+    reduce barrier (all maps before any apply) is inherent to the
+    exchange, same as the shuffle it replaces.
 
     Partitioning assumption: ``n_partitions`` is fixed per lake (a
     bucket count), so the reduce fan-in is bounded by the map block
     count — object count is O(blocks × parts), the same envelope as
-    Ray's shuffle map outputs."""
+    Ray's shuffle map outputs.  At cluster scale the scheduler bounds
+    map concurrency by CPUs and the object store spills excess slices,
+    exactly like native shuffle map outputs."""
     nslots = n_partitions + 1
-    split = _split_block_by_part.options(num_returns=nslots)
+    split = _map_prefold_split.options(num_returns=nslots)
     reduce_opts = ({"max_retries": apply_retries,
                     "retry_exceptions": [TransientApplyError]}
                    if apply_retries else {})
     reduce = _reduce_apply_part.options(**reduce_opts)
     apply_ref = ray.put(apply_fn)
-    per_block: list[list] = []
-    for bundle in ds.iter_internal_ref_bundles():
-        for bref in bundle.block_refs:
-            refs = split.remote(bref, nslots)
-            per_block.append(refs if isinstance(refs, list) else [refs])
+    prefold_ref = ray.put(prefold)
+    per_block = [split.remote(g, prefold_ref, nslots)
+                 for g in _group_files_by_bytes(files, nblocks)]
     out = ray.get([
         reduce.remote(apply_ref, *[refs[s] for refs in per_block])
         for s in range(nslots)
@@ -966,22 +1016,8 @@ class CdcEngine:
         # Ray (2.49); if a future Ray removes it, fall back to the
         # default provider (pays the remote footer prefetch again)
         nblocks = min(len(files), _shuffle_blocks(total_bytes))
-        import warnings
-
-        try:
-            with warnings.catch_warnings():
-                warnings.simplefilter("ignore", DeprecationWarning)
-                ds = ray.data.read_parquet(
-                    files, override_num_blocks=nblocks,
-                    meta_provider=_NO_PREFETCH_META,
-                )
-        except TypeError:  # pragma: no cover - future-Ray fallback
-            ds = ray.data.read_parquet(files, override_num_blocks=nblocks)
-        ds = ds.map_batches(
-            _PreFoldPartition(self.n_partitions, keep_epoch=True,
-                              constraints=cons),
-            batch_format="pyarrow", zero_copy_batch=True,
-        )
+        prefold = _PreFoldPartition(self.n_partitions, keep_epoch=True,
+                                    constraints=cons)
         apply_fn = _make_catchup_apply(
             self.manifest.lake_root, epochs, registries_by_epoch, prev_parts,
             self.compact_every, self.commit_io, constraints=cons,
@@ -991,8 +1027,22 @@ class CdcEngine:
         # writes make a re-run of the same group converge, not duplicate)
         if self.exchange == "task":
             raw = _task_exchange_apply(
-                ds, self.n_partitions, apply_fn, self.apply_retries)
+                files, nblocks, prefold, self.n_partitions, apply_fn,
+                self.apply_retries)
         else:
+            import warnings
+
+            try:
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore", DeprecationWarning)
+                    ds = ray.data.read_parquet(
+                        files, override_num_blocks=nblocks,
+                        meta_provider=_NO_PREFETCH_META,
+                    )
+            except TypeError:  # pragma: no cover - future-Ray fallback
+                ds = ray.data.read_parquet(files, override_num_blocks=nblocks)
+            ds = ds.map_batches(prefold, batch_format="pyarrow",
+                                zero_copy_batch=True)
             remote_args = ({"max_retries": self.apply_retries,
                             "retry_exceptions": [TransientApplyError]}
                            if self.apply_retries else {})
