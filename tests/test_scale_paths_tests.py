@@ -316,3 +316,42 @@ def test_knn_edges_blocked_exact_vs_numpy():
             .sort_values(["src", "sim", "dst"], ascending=[True, False, True])
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# Size-dispatched graph peels: the distributed routes (edges / node set
+# never driver-resident) must match the driver routes (VERDICT r3 #4).
+# ---------------------------------------------------------------------------
+
+def test_kcore_distributed_peel_equals_driver():
+    from agr_loader_ray.pipelines.graph_queries import kcore_nodes
+
+    sf = "/root/testdata/sf0.01"
+    drv = _canon(kcore_nodes(sf).to_pandas())
+    dist = _canon(kcore_nodes(sf, driver_edge_limit=0).to_pandas())
+    assert len(drv) > 0
+    pd.testing.assert_frame_equal(drv, dist)
+
+
+def test_dag_depth_sharded_bfs_equals_driver(tmp_path):
+    from agr_loader_ray.pipelines.timeseries_queries import dag_depth_levels
+
+    sf = "/root/testdata/sf0.01"
+    drv = _canon(dag_depth_levels(sf).to_pandas())
+    dist = _canon(dag_depth_levels(sf, driver_node_limit=0).to_pandas())
+    assert len(drv) > 0
+    pd.testing.assert_frame_equal(drv, dist)
+
+    # sparse key set: root key 1 absent, so BFS must proceed through the
+    # forced {2, 3} level-1 seeds; unreachable keys emit no rows
+    keys = np.array([2, 3, 6, 13, 27, 999], np.int64)  # 13: 13//2=6 reach
+    part = pa.table({
+        "p_partkey": pa.array(keys),
+        "p_name": pa.array([f"p{k}" for k in keys], pa.string()),
+        "p_brand": pa.array(["B"] * len(keys), pa.string()),
+        "p_retailprice": pa.array([1.0] * len(keys), pa.float64()),
+    })
+    sf2 = _write_sf(tmp_path, {"part": part})
+    drv2 = _canon(dag_depth_levels(sf2).to_pandas())
+    dist2 = _canon(dag_depth_levels(sf2, driver_node_limit=0).to_pandas())
+    pd.testing.assert_frame_equal(drv2, dist2)
