@@ -2119,20 +2119,21 @@ def ntile_quartile_events(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# heavy_hitter_users — EXACT frequent-items via the two-pass
-# sketch-prune pattern: pass 1 runs a Misra-Gries summary (k counters)
-# per batch — the trim subtracts the (k+1)-th largest count so at most
-# k counters survive, and the per-batch trim amounts are tracked, so
-# ``lower(u) + Σδ`` upper-bounds any user's true count; candidates =
-# users whose UPPER bound clears the φ·n threshold (a guaranteed
-# superset of the true heavy hitters, ≤ bounded driver rows).  Pass 2
-# recounts ONLY the candidates exactly (broadcast is_in filter +
-# combiner) and applies the exact threshold.  Output is exact; the
-# sketch only prunes.  The threshold is RELATIVE — users with more than
-# 1.15× the mean events/user — because per-user rates, not per-user
-# totals, are what's stable as the corpus scales (an absolute φ·n cut
-# degenerates to all-or-nothing); exact integer inequality
-# ``cnt · 100 · n_users > 115 · n_total`` on both sides.
+# heavy_hitter_users — EXACT frequent-items in ONE combiner exchange.
+# The threshold is RELATIVE — users with more than 1.15× the mean
+# events/user — because per-user rates, not totals, are what's stable
+# as the corpus scales; exact integer inequality
+# ``cnt · 100 · n_users > 115 · n_total`` on both sides.  A relative
+# threshold needs EXACT ``count(DISTINCT user_id)``, which already
+# forces one full per-user exchange — so the classic Misra-Gries
+# prune-then-recount (an earlier shape here: MG merge exchange +
+# candidate recount exchange + distinct-users exchange = 3 full passes,
+# ~2 s fixed cost each) buys nothing: the single per-batch-combined
+# count aggregate IS the distinct pass, and n_users / the heavy filter
+# fall out of its (bounded, per-user) output.  MG pays only when the
+# threshold is absolute φ·n and no exact distinct count is required.
+# Shuffle volume = per-batch-distinct (user, cnt) partials — identical
+# to what the distinct-users pass alone shuffled.
 # ---------------------------------------------------------------------------
 @query(
     "heavy_hitter_users",
@@ -2144,66 +2145,26 @@ def ntile_quartile_events(sf_dir: str):
     """,
 )
 def heavy_hitter_users(sf_dir: str):
-    _MG_K = 400  # sketch capacity (bounds merge-exchange rows per batch)
-
-    # pinned once: the n_users pass, the MG pass and the recount pass
-    # all reuse the single int64 column (8 B/row) instead of 3 reads
-    ds = read_table(sf_dir, "events", columns=["user_id"]).materialize()
+    ds = read_table(sf_dir, "events", columns=["user_id"])
     n_total = ds.count()  # parquet metadata, no scan
-    # n_users: per-batch unique partial → dedup exchange → count
-    n_users = (
-        ds.map_batches(
-            lambda t: pa.table({"user_id": pc.unique(t["user_id"].combine_chunks())}),
-            batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id").count().count()
-    )
 
-    def mg_partial(t: pa.Table) -> pa.Table:
+    def partial_counts(t: pa.Table) -> pa.Table:
         uid = t["user_id"].to_numpy(zero_copy_only=False)
         users, cnt = np.unique(uid, return_counts=True)
-        delta = 0
-        if len(users) > _MG_K:
-            kth = np.partition(cnt, len(cnt) - _MG_K - 1)[len(cnt) - _MG_K - 1]
-            delta = int(kth)
-            keep = cnt > kth
-            users, cnt = users[keep], cnt[keep] - kth
-        out = pa.table({"user_id": pa.array(users, pa.int64()),
-                        "lower": pa.array(cnt.astype(np.int64), pa.int64()),
-                        "delta": pa.array(np.zeros(len(users), np.int64), pa.int64())})
-        # one delta bookkeeping row per batch (user_id = sentinel −1)
-        sent = pa.table({"user_id": pa.array([-1], pa.int64()),
-                         "lower": pa.array([0], pa.int64()),
-                         "delta": pa.array([delta], pa.int64())})
-        return pa.concat_tables([out, sent])
-
-    merged = (
-        ds.map_batches(mg_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .aggregate(Sum("lower", alias_name="lower"),
-                   Sum("delta", alias_name="delta"))
-    ).to_pandas()  # ≤ _MG_K rows per input batch — sketch-bounded, tiny
-    total_delta = int(merged.loc[merged["user_id"] == -1, "delta"].sum())
-    # candidate iff the UPPER bound clears the exact relative threshold
-    cand = merged[(merged["user_id"] >= 0)
-                  & ((merged["lower"] + total_delta) * 100 * n_users
-                     > 115 * n_total)]["user_id"]
-    cand_arr = np.sort(cand.to_numpy().astype(np.int64))
-
-    def recount(t: pa.Table) -> pa.Table:
-        # task closure: the candidate array is sketch-bounded (≤ _MG_K
-        # ids) — an actor pool would pay startup to avoid shipping ~3 KB
-        uid = t["user_id"].to_numpy(zero_copy_only=False)
-        hit = uid[np.isin(uid, cand_arr)]
-        users, cnt = np.unique(hit, return_counts=True)
         return pa.table({"user_id": pa.array(users, pa.int64()),
                          "n_events": pa.array(cnt.astype(np.int64), pa.int64())})
 
-    exact = (
-        ds.map_batches(recount, batch_format="pyarrow", zero_copy_batch=True)
+    # one pass over events, one combiner exchange; the per-user output
+    # is distributed (never driver-resident) — n_users is a bounded
+    # count over it and the threshold filter streams through it
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow",
+                       zero_copy_batch=True)
         .groupby("user_id")
         .aggregate(Sum("n_events", alias_name="n_events"))
-    )
-    return exact.map_batches(
+    ).materialize()  # per-user table: counted once, filtered once
+    n_users = counts.count()
+    return counts.map_batches(
         lambda t: t.filter(pc.greater(
             pc.multiply(t["n_events"], 100 * n_users), 115 * n_total)),
         batch_format="pyarrow", zero_copy_batch=True)

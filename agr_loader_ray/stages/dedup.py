@@ -37,8 +37,6 @@ _PRIME = np.uint64((1 << 61) - 1)
 #: hybrid prefilter threshold: hot (colliding) bucket keys up to this count
 #: are broadcast for an is_in filter (8 B/key → ≤ 16 MiB driver+object
 #: state); above it the filter runs as a distributed left_semi join.
-_BROADCAST_HOT_LIMIT = 2_000_000
-
 _MULT64 = np.uint64(0x9E3779B97F4A7C15)
 
 _POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
@@ -59,34 +57,6 @@ def _hash_part_col(t: pa.Table, key_col: str, nparts: int,
     with np.errstate(over="ignore"):
         part = ((k * _MULT64) >> np.uint64(33)) % np.uint64(nparts)
     return t.append_column(out, pa.array(part.astype(np.int32)))
-
-
-def _hot_bucket_keys(banded: "ray.data.Dataset", nparts: int) -> "ray.data.Dataset":
-    """{hkey} = bucket keys with ≥2 members: per-block partial counts →
-    ONE hash-partition exchange → per-partition reduceat sum, emitting
-    only colliding keys (fuses the count aggregate and the hot filter)."""
-
-    def partial_counts(t: pa.Table) -> pa.Table:
-        u = t.select(["bkey"]).group_by("bkey").aggregate([("bkey", "count")])
-        return _hash_part_col(u, "bkey", nparts)
-
-    def hot_part(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return pa.table({"hkey": pa.array([], pa.int64())})
-        k = g["bkey"].to_numpy(zero_copy_only=False)
-        c = g["bkey_count"].to_numpy(zero_copy_only=False)
-        order = np.argsort(k, kind="stable")
-        ks, cs = k[order], c[order]
-        first = np.nonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))[0]
-        sums = np.add.reduceat(cs, first)
-        keys = ks[first]
-        return pa.table({"hkey": pa.array(keys[sums > 1])})
-
-    return (
-        banded.map_batches(partial_counts, batch_format="pyarrow",
-                           zero_copy_batch=True)
-        .groupby("part").map_groups(hot_part, batch_format="pyarrow")
-    )
 
 
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
@@ -186,11 +156,15 @@ def _dedup_pairs(cand: "ray.data.Dataset", extra_cols: list[str] = []) -> "ray.d
 
 def minhash_lsh_candidates(ds: "ray.data.Dataset", num_perm: int = 64, bands: int = 16,
                            k: int = 5, id_col: str = "doc_id",
-                           max_bucket: int = 64) -> "ray.data.Dataset":
+                           max_bucket: int = 64,
+                           dedup: bool = True) -> "ray.data.Dataset":
     """docs(text) → candidate near-dup pairs via banded LSH.
 
     bands=16 over 64 perms (r=4 rows/band) targets Jaccard ≳ 0.5.
-    Returns a Dataset of {id_a, id_b} with id_a < id_b (deduped).
+    Returns a Dataset of {id_a, id_b} with id_a < id_b (deduped when
+    ``dedup=True``; with ``dedup=False`` the same pair may appear once
+    per colliding band — callers that verify-then-threshold dedup later,
+    saving this path's second exchange).
 
     ``max_bucket``: buckets larger than this are skipped (boilerplate
     guard — a bucket of s docs expands to s(s-1)/2 pairs; oversized
@@ -198,8 +172,25 @@ def minhash_lsh_candidates(ds: "ray.data.Dataset", num_perm: int = 64, bands: in
     dedup).  Deterministic; NOT a silent cap — skipped buckets are those
     whose (band, bhash) collision count exceeds the threshold, and the
     threshold is part of the operator contract.
+
+    ONE all-to-all exchange: the signature map emits (id, bkey, bpart)
+    with bpart = hash(bkey) % nparts, the groupby(bpart) co-locates each
+    bucket, and the per-partition kernel sorts, segments and expands
+    colliding buckets in one vectorized pass.  (An earlier shape
+    prefiltered colliding buckets with a count exchange + broadcast
+    before a second survivor exchange — but singleton-dominated count
+    partials are the SAME cardinality as the banded rows, so the
+    prefilter shuffled as many bytes and paid an extra round plus two
+    materializations; the size filter lives in the expansion kernel for
+    free.)
     """
     rows_per_band = num_perm // bands
+
+    import pyarrow as _pa
+
+    from ..functions.pools import join_parts as _join_parts
+
+    nparts = _join_parts()
 
     class BandExplode(MinHasher):
         def __call__(self, batch: pa.Table) -> pa.Table:
@@ -213,73 +204,27 @@ def minhash_lsh_candidates(ds: "ray.data.Dataset", num_perm: int = 64, bands: in
                 bh = np.zeros((n, bands), dtype=np.uint64)
                 for r in range(rows_per_band):
                     bh = bh * F ^ chunks[:, :, r]
+                # bucket key mixes the band index in (same derivation as
+                # the pre-fuse bucket_key map — identical bucket sets)
+                bkey = ((bh * _MULT64)
+                        ^ np.arange(bands, dtype=np.uint64)[None, :]).reshape(-1)
+                part = ((bkey * _MULT64) >> np.uint64(33)) % np.uint64(nparts)
             ids = np.repeat(batch[id_col].to_numpy(zero_copy_only=False), bands)
-            band_ids = np.tile(np.arange(bands, dtype=np.int64), n)
             return pa.table(
                 {
                     id_col: pa.array(ids),
-                    "band": pa.array(band_ids),
-                    "bhash": pa.array(bh.reshape(-1).astype(np.int64)),
+                    "bkey": pa.array(bkey.astype(np.int64)),
+                    "bpart": pa.array(part.astype(np.int32)),
                 }
             )
 
     # stateless tasks, not an actor pool: the hasher's state (two small
     # parameter vectors) is trivially picklable, and task pools reach full
     # parallelism immediately where an autoscaling pool ramps from 1
-    banded = ds.map_batches(
+    survivors = ds.map_batches(
         BandExplode(num_perm=num_perm, k=k),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-
-    # Most buckets are singletons: find colliding (band, bhash) buckets
-    # first with a cheap count-aggregate, broadcast them, and only run the
-    # pair expansion over the survivors (per-group Python over 10^5 mostly
-    # size-1 groups was the dominant cost).
-    import pyarrow as _pa
-    import pyarrow.compute as _pc
-
-    def bucket_key(t: _pa.Table) -> _pa.Table:
-        bh = t["bhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bd = t["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            key = (bh * np.uint64(0x9E3779B97F4A7C15)) ^ bd
-        return t.append_column("bkey", _pa.array(key.astype(np.int64)))
-
-    # coalesce the tiny banded rows and pin them: both the collision-count
-    # pass and the survivor filter reuse this small intermediate (without
-    # materialize the whole upstream re-executes twice)
-    nblocks = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    banded = banded.map_batches(bucket_key, batch_format="pyarrow").repartition(nblocks).materialize()
-
-    # colliding buckets: hybrid prefilter.  The hot-key set is bounded by
-    # the collision count; up to _BROADCAST_HOT_LIMIT keys it is cheaper
-    # to broadcast them and filter with a vectorized is_in (measured 2-4×
-    # faster than a hash-shuffle join at this scale — join actors cost a
-    # full exchange).  Beyond the limit (boilerplate-heavy corpora at
-    # 100 TB) fall back to the distributed left_semi join — never
-    # unbounded driver state.  The count+filter is ONE fused
-    # hash-partition exchange (``_hot_bucket_keys``).
-    from ..functions.pools import join_parts as _join_parts
-
-    hot_ds = _hot_bucket_keys(banded, _join_parts()).materialize()
-    n_hot = hot_ds.count()
-    if n_hot == 0:  # Dataset.join rejects a fully-empty right side
-        return ray.data.from_arrow(
-            _pa.table({"id_a": _pa.array([], _pa.int64()), "id_b": _pa.array([], _pa.int64())})
-        )
-    if n_hot <= _BROADCAST_HOT_LIMIT:
-        hot_keys = _pa.concat_arrays(
-            [b["hkey"].combine_chunks() for b in
-             hot_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow")]
-        )
-        survivors = banded.map_batches(
-            lambda t: t.filter(_pc.is_in(t["bkey"], value_set=hot_keys)),
-            batch_format="pyarrow",
-        )
-    else:
-        survivors = banded.join(hot_ds, join_type="left_semi",
-                                num_partitions=_join_parts(),
-                                on=("bkey",), right_on=("hkey",))
 
     def pairs_part(g: _pa.Table) -> _pa.Table:
         # vectorized over ALL buckets in the partition: sort rows by
@@ -307,14 +252,16 @@ def minhash_lsh_candidates(ds: "ray.data.Dataset", num_perm: int = 64, bands: in
         return _pa.table({"id_a": _pa.array(np.concatenate(out_a), _pa.int64()),
                           "id_b": _pa.array(np.concatenate(out_b), _pa.int64())})
 
-    cand = (
-        survivors.map_batches(
-            lambda t: _hash_part_col(t, "bkey", _join_parts(), "bpart"),
-            batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bpart").map_groups(pairs_part, batch_format="pyarrow")
-    )
+    cand = survivors.groupby("bpart").map_groups(pairs_part,
+                                                 batch_format="pyarrow")
     # dedup identical pairs found by multiple bands
-    return _dedup_pairs(cand)
+    out = _dedup_pairs(cand) if dedup else cand
+    # typed seed LAST: a collision-free corpus yields zero rows, and an
+    # executed empty map stage reports schema None — the leading union
+    # input pins the typed schema without touching the data path
+    return ray.data.from_arrow(
+        _pa.table({"id_a": _pa.array([], _pa.int64()),
+                   "id_b": _pa.array([], _pa.int64())})).union(out)
 
 
 def jaccard_ngram(a: str, b: str, k: int = 5) -> float:
@@ -334,6 +281,21 @@ def jaccard_ngram(a: str, b: str, k: int = 5) -> float:
 VERIFY_BROADCAST_PAIR_LIMIT = 2_000_000
 VERIFY_BROADCAST_TEXT_LIMIT = 500_000
 
+#: per-WORKER-PROCESS verify state: {ref_hex: (texts, shingle_sets)} —
+#: the T1 lookup-singleton pattern as a task-pool cache.  Single-entry
+#: (latest ref wins) so one run's id→set memo never outlives its
+#: broadcast texts object.
+_VERIFY_WORKER_STATE: dict = {}
+
+
+def _worker_verify_state(ref):
+    key = ref.hex() if callable(getattr(ref, "hex", None)) else str(ref)
+    st = _VERIFY_WORKER_STATE.get(key)
+    if st is None:
+        _VERIFY_WORKER_STATE.clear()
+        st = _VERIFY_WORKER_STATE[key] = (ray.get(ref), {})
+    return st
+
 
 def verify_pairs_jaccard(
     pairs: "ray.data.Dataset",
@@ -342,6 +304,7 @@ def verify_pairs_jaccard(
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    distinct: bool = True,
 ) -> "ray.data.Dataset":
     """Exact n-gram-Jaccard verification of candidate pairs (the LSH
     false-positive filter).  Returns {id_a, id_b, jaccard} with
@@ -354,8 +317,15 @@ def verify_pairs_jaccard(
     actor) — no join exchange at all; a larger candidate set goes
     through two hash joins.  Either way the per-pair shingle-set
     Jaccard runs inside map_batches, bounded by the candidate count —
-    the verify stage is already past the corpus-scale prune."""
-    from ..functions.pools import join_parts, pool
+    the verify stage is already past the corpus-scale prune.
+
+    ``distinct=False`` declares that the candidate set may repeat a pair
+    (one occurrence per colliding LSH band — ``minhash_lsh_candidates``
+    with ``dedup=False``): the broadcast path dedups driver-side on the
+    ALREADY-pulled pair table (a lexsort over rows already in hand,
+    replacing the upstream ``_dedup_pairs`` exchange); the join path
+    runs the distributed pair dedup first."""
+    from ..functions.pools import join_parts
 
     pairs = pairs.materialize()
     if pairs.count() == 0:
@@ -371,6 +341,14 @@ def verify_pairs_jaccard(
     if use_broadcast:
         pair_tbl = pa.concat_tables(
             pairs.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        if not distinct and pair_tbl.num_rows:
+            a = pair_tbl["id_a"].to_numpy(zero_copy_only=False)
+            b = pair_tbl["id_b"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((b, a))
+            a_s, b_s = a[order], b[order]
+            first = np.concatenate(
+                [[True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])])
+            pair_tbl = pair_tbl.take(pa.array(order[first]))
         ids = np.unique(np.concatenate([
             pair_tbl["id_a"].to_numpy(zero_copy_only=False),
             pair_tbl["id_b"].to_numpy(zero_copy_only=False),
@@ -391,48 +369,52 @@ def verify_pairs_jaccard(
             texts.update(zip(b["id"].to_pylist(), b["text"].to_pylist()))
         ref = _ray.put(texts)
 
-        class ScoreBroadcast:
-            """Per-actor shingle-set cache: each doc's sorted distinct
-            shingle hashes are computed at most once per actor (hot docs
-            appear in MANY candidate pairs — re-shingling per pair was
-            the stage's dominant cost), and the pair Jaccard is a
-            sorted-array membership count (searchsorted), identical to
-            ``jaccard_ngram``'s set arithmetic on the same hashes."""
+        def score_broadcast(t: pa.Table) -> pa.Table:
+            texts, sets = _worker_verify_state(ref)
+            ja = np.empty(t.num_rows)
+            for i, (a, b) in enumerate(zip(t["id_a"].to_pylist(),
+                                           t["id_b"].to_pylist())):
+                sa = sets.get(a)
+                if sa is None:
+                    sa = sets[a] = np.unique(
+                        _shingle_hashes(texts.get(a, ""), k))
+                sb = sets.get(b)
+                if sb is None:
+                    sb = sets[b] = np.unique(
+                        _shingle_hashes(texts.get(b, ""), k))
+                if len(sa) > len(sb):
+                    sa, sb = sb, sa
+                loc = np.searchsorted(sb, sa)
+                loc[loc == len(sb)] = len(sb) - 1 if len(sb) else 0
+                inter = int((sb[loc] == sa).sum()) if len(sb) else 0
+                union = len(sa) + len(sb) - inter
+                ja[i] = inter / union if union else 0.0
+            keep = ja >= threshold
+            return pa.table({
+                "id_a": t["id_a"].combine_chunks().filter(pa.array(keep)),
+                "id_b": t["id_b"].combine_chunks().filter(pa.array(keep)),
+                "jaccard": pa.array(ja[keep], pa.float64()),
+            })
 
-            def __init__(self, ref):
-                self.texts = _ray.get(ref)  # once per actor
-                self._sets: dict = {}
+        if not distinct:
+            # score the driver-deduped table (sliced back into blocks so
+            # the task pool parallelizes), not the duplicated dataset
+            step = 8192
+            slices = [pair_tbl.slice(i, step)
+                      for i in range(0, max(pair_tbl.num_rows, 1), step)]
+            pairs = ray.data.from_arrow(slices)
+        # tasks + per-worker-process cache, not an actor pool: worker
+        # processes persist across tasks, so the id→shingle-set memo
+        # amortizes exactly like actor state without paying autoscaling
+        # pool startup (~1-2 s — the stage's largest fixed cost at bench
+        # scale); ray.get(ref) per task is a local plasma hit
+        return pairs.map_batches(score_broadcast, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=8192)
 
-            def _shingles(self, doc_id) -> np.ndarray:
-                s = self._sets.get(doc_id)
-                if s is None:
-                    s = np.unique(_shingle_hashes(self.texts.get(doc_id, ""), k))
-                    self._sets[doc_id] = s
-                return s
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                ja = np.empty(t.num_rows)
-                for i, (a, b) in enumerate(zip(t["id_a"].to_pylist(),
-                                               t["id_b"].to_pylist())):
-                    sa, sb = self._shingles(a), self._shingles(b)
-                    if len(sa) > len(sb):
-                        sa, sb = sb, sa
-                    loc = np.searchsorted(sb, sa)
-                    loc[loc == len(sb)] = len(sb) - 1 if len(sb) else 0
-                    inter = int((sb[loc] == sa).sum()) if len(sb) else 0
-                    union = len(sa) + len(sb) - inter
-                    ja[i] = inter / union if union else 0.0
-                keep = ja >= threshold
-                return pa.table({
-                    "id_a": t["id_a"].combine_chunks().filter(pa.array(keep)),
-                    "id_b": t["id_b"].combine_chunks().filter(pa.array(keep)),
-                    "jaccard": pa.array(ja[keep], pa.float64()),
-                })
-
-        return pairs.map_batches(ScoreBroadcast, fn_constructor_args=(ref,),
-                                 batch_format="pyarrow", zero_copy_batch=True,
-                                 batch_size=8192, concurrency=pool())
-
+    if not distinct:
+        # join path (pair set past the broadcast bound): distributed
+        # pair dedup before the text-attach joins
+        pairs = _dedup_pairs(pairs)
     a_side = docs.map_batches(
         lambda t: pa.table({"a_id": t[id_col], "a_text": t[text_col]}),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -495,8 +477,17 @@ class SimHasher:
 def simhash_near_dup_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
                            max_hamming: int = 3) -> "ray.data.Dataset":
     """Near-dup pairs by SimHash banding: 4 chunks of 16 bits — any pair
-    within hamming ≤ 3 must share at least one exact chunk (pigeonhole)."""
-    import pyarrow.compute as _pc
+    within hamming ≤ 3 must share at least one exact chunk (pigeonhole).
+
+    ONE all-to-all exchange, same shape as ``minhash_lsh_candidates``:
+    the signature map emits (id, bkey, simhash, bpart) and the
+    per-partition kernel segments co-located buckets and expands them —
+    the collision-count prefilter exchange was the same byte volume as
+    the rows themselves (singleton-dominated partials) plus an extra
+    round and two materializations."""
+    from ..functions.pools import join_parts as _join_parts
+
+    nparts = _join_parts()
 
     def explode_chunks(batch: pa.Table) -> pa.Table:
         sh = SimHasher()
@@ -505,45 +496,21 @@ def simhash_near_dup_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
         chunk_ids = np.tile(np.arange(4, dtype=np.uint64), n)
         sig_rep = np.repeat(sigs, 4)
         chash = (sig_rep >> (chunk_ids * np.uint64(16))) & np.uint64(0xFFFF)
-        # combined bucket key for the collision pre-filter
         with np.errstate(over="ignore"):
-            bkey = (chash * np.uint64(0x9E3779B97F4A7C15)) ^ chunk_ids
+            bkey = (chash * _MULT64) ^ chunk_ids
+            part = ((bkey * _MULT64) >> np.uint64(33)) % np.uint64(nparts)
         return pa.table(
             {
                 id_col: pa.array(np.repeat(batch[id_col].to_numpy(zero_copy_only=False), 4)),
                 "bkey": pa.array(bkey.astype(np.int64)),
                 "simhash": pa.array(sig_rep.astype(np.int64)),
+                "bpart": pa.array(part.astype(np.int32)),
             }
         )
 
-    nblocks = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    banded = ds.map_batches(
+    survivors = ds.map_batches(
         explode_chunks, batch_format="pyarrow", zero_copy_batch=True
-    ).repartition(nblocks).materialize()
-
-    from ..functions.pools import join_parts as _join_parts
-
-    # count+hot-filter as ONE fused hash-partition exchange
-    hot_ds = _hot_bucket_keys(banded, _join_parts()).materialize()
-    n_hot = hot_ds.count()
-    if n_hot == 0:  # Dataset.join rejects a fully-empty right side
-        return ray.data.from_arrow(
-            pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                      "hamming": pa.array([], pa.int64())})
-        )
-    if n_hot <= _BROADCAST_HOT_LIMIT:  # same hybrid contract as MinHash-LSH
-        hot_keys = pa.concat_arrays(
-            [b["hkey"].combine_chunks() for b in
-             hot_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow")]
-        )
-        survivors = banded.map_batches(
-            lambda t: t.filter(_pc.is_in(t["bkey"], value_set=hot_keys)),
-            batch_format="pyarrow",
-        )
-    else:
-        survivors = banded.join(hot_ds, join_type="left_semi",
-                                num_partitions=_join_parts(),
-                                on=("bkey",), right_on=("hkey",))
+    )
 
     def pairs_part(g: pa.Table) -> pa.Table:
         # all buckets of the partition in one pass: sort by (bkey, id),
@@ -581,13 +548,13 @@ def simhash_near_dup_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
                          "id_b": pa.array(b_all[keep], pa.int64()),
                          "hamming": pa.array(ham[keep], pa.int64())})
 
-    cand = (
-        survivors.map_batches(
-            lambda t: _hash_part_col(t, "bkey", _join_parts(), "bpart"),
-            batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bpart").map_groups(pairs_part, batch_format="pyarrow")
-    )
-    return _dedup_pairs(cand, extra_cols=["hamming"])
+    cand = survivors.groupby("bpart").map_groups(pairs_part,
+                                                 batch_format="pyarrow")
+    return ray.data.from_arrow(
+        pa.table({"id_a": pa.array([], pa.int64()),
+                  "id_b": pa.array([], pa.int64()),
+                  "hamming": pa.array([], pa.int64())})).union(
+        _dedup_pairs(cand, extra_cols=["hamming"]))
 
 
 def resolve_duplicate_groups_distributed(

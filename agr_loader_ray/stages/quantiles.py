@@ -34,6 +34,33 @@ import ray
 
 _BUCKETS = 4096
 _BOUNDARY_LIMIT = 262_144
+_TREE_FANIN = 65_536
+
+
+def _collect_tree(parts, combine, fanin_rows: int = _TREE_FANIN) -> pa.Table:
+    """Collapse a dataset of small partial-aggregate rows to one driver
+    table WITHOUT an all-to-all exchange.
+
+    ``ds.groupby().aggregate().take_all()`` on statistics-sized partials
+    pays the full sort-shuffle fixed cost (~2 s per round at bench
+    scale) to merge a few thousand rows; since every partial table here
+    is a per-batch aggregate with a bounded key space (|groups| or
+    |groups|·|quantiles|·buckets rows), an associative combine tree is
+    equivalent and exchange-free: ONE coalescing ``map_batches`` level
+    (Ray bundles ~``fanin_rows`` partial rows per task; each task
+    re-combines them back down to the key-space bound) then a final
+    driver-side combine over the level's outputs.
+
+    Driver intake is (partial_rows / fanin_rows) · key_space rows — at
+    65k fan-in and a ~20k key space that stays driver-sized past 10^10
+    input batches; inputs beyond that would add a second coalescing
+    level, not a shuffle.
+    """
+    folded = parts.map_batches(combine, batch_format="pyarrow",
+                               batch_size=fanin_rows, zero_copy_batch=True)
+    all_tbls = ray.get(folded.to_arrow_refs())
+    tbls = [t for t in all_tbls if t.num_rows] or all_tbls[:1]
+    return combine(pa.concat_tables(tbls, promote_options="default"))
 
 
 def _width(lo: int, hi: int) -> int:
@@ -76,24 +103,32 @@ def exact_group_quantiles(ds, group_col: str, key_col: str,
     per pass anyway; pass ``materialize=False`` for inputs where even
     the projection must stream from storage.
     """
-    from ray.data.aggregate import Max, Min, Sum
-
     if materialize and not isinstance(ds, ray.data.dataset.MaterializedDataset):
         ds = ds.materialize()
 
     def stats_partial(t: pa.Table) -> pa.Table:
         t2 = pa.table({group_col: t[group_col], "k": t[key_col]})
-        return t2.group_by(group_col).aggregate(
+        g = t2.group_by(group_col).aggregate(
             [("k", "count"), ("k", "min"), ("k", "max")]
         )
+        return pa.table({group_col: g[group_col],
+                         "n": g["k_count"].cast(pa.int64()),
+                         "lo": g["k_min"], "hi": g["k_max"]})
 
-    stats = (
-        ds.map_batches(stats_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(group_col)
-        .aggregate(Sum("k_count", alias_name="n"),
-                   Min("k_min", alias_name="lo"),
-                   Max("k_max", alias_name="hi"))
-    ).take_all()  # one tiny row per group
+    def stats_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(group_col).aggregate(
+            [("n", "sum"), ("lo", "min"), ("hi", "max")])
+        return pa.table({group_col: g[group_col], "n": g["n_sum"],
+                         "lo": g["lo_min"], "hi": g["hi_max"]})
+
+    # combine tree, not groupby: the partials are one row per
+    # (batch, group) — statistics-sized — so a sort exchange here is
+    # pure fixed cost (~2 s/round at bench scale, see _collect_tree)
+    stats = _collect_tree(
+        ds.map_batches(stats_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        stats_combine,
+    ).to_pylist()  # one tiny row per group
 
     counts: dict[str, int] = {}
     # (group, qi) -> [lo, hi, rank, below]
@@ -145,12 +180,17 @@ def exact_group_quantiles(ds, group_col: str, key_col: str,
                     "cnt": pa.array(np.concatenate(cs_).astype(np.int64), pa.int64()),
                 })
 
-        return (
+        def hist_combine(t: pa.Table) -> pa.Table:
+            g = t.group_by([group_col, "qi", "bucket"]).aggregate(
+                [("cnt", "sum")])
+            return pa.table({group_col: g[group_col], "qi": g["qi"],
+                             "bucket": g["bucket"], "cnt": g["cnt_sum"]})
+
+        return _collect_tree(
             ds.map_batches(Hist(ranges),
-                           batch_format="pyarrow", zero_copy_batch=True)
-            .groupby([group_col, "qi", "bucket"])
-            .aggregate(Sum("cnt", alias_name="cnt"))
-        ).take_all()  # ≤ |groups|·|quantiles|·_BUCKETS tiny rows
+                           batch_format="pyarrow", zero_copy_batch=True),
+            hist_combine,
+        ).to_pylist()  # ≤ |groups|·|quantiles|·_BUCKETS tiny rows
 
     pending = {gq: (s[0], s[1], _width(s[0], s[1])) for gq, s in state.items()
                if counts[gq[0]] > _BOUNDARY_LIMIT and s[1] > s[0]}

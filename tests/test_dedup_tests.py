@@ -122,7 +122,9 @@ def test_lsh_no_collisions_returns_empty():
         "text": pa.array(texts, pa.string()),
     }))
     out = minhash_lsh_candidates(ds)
-    assert out.schema().names == ["id_a", "id_b"]
+    # schema is lazy since the single-exchange rewrite (typed-empty seed
+    # unioned ahead of the groupby) — fetch executes the tiny pipeline
+    assert out.schema(fetch_if_missing=True).names == ["id_a", "id_b"]
     assert out.count() == 0
 
 
