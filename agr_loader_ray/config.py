@@ -12,6 +12,8 @@ into with ``@register_derived``.
 
 from __future__ import annotations
 
+import inspect
+
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -153,7 +155,15 @@ def run_derived_groups(lake_root: str, out_root: str,
                 with open(mpath) as fh:
                     infos[name] = json.load(fh)
                 continue
-            ds = DERIVED_REGISTRY[name](lake_root, epoch=e)
+            fn = DERIVED_REGISTRY[name]
+            kwargs: dict = {"epoch": e}
+            # pipelines that consume upstream MATERIALIZED artifacts
+            # (declared depends_on) receive the scheduler's output root —
+            # the barrier guarantees the dependency's parquet + manifest
+            # already exist in it
+            if "derived_root" in inspect.signature(fn).parameters:
+                kwargs["derived_root"] = out_root
+            ds = fn(lake_root, **kwargs)
             data_dir = os.path.join(out_dir, f"epoch={e}")
             ds.write_parquet(data_dir)
             rows = sum(
@@ -168,8 +178,23 @@ def run_derived_groups(lake_root: str, out_root: str,
     return {"epoch": e, "groups": groups, "pipelines": infos}
 
 
-# built-ins
-from .pipelines.derived import conversation_stats  # noqa: E402
+# built-ins — the production second-pass pipelines, group-scheduled:
+# stats/text/topics read the lake directly (layer 0); descriptions
+# declares — and actually consumes — the materialized stats artifact
+# (layer 1), mirroring the reference's etl_groups "after" ordering
+# (/root/reference/src/aggregate_loader.py:122-159).
+from .pipelines.derived import (  # noqa: E402
+    conversation_descriptions,
+    conversation_stats,
+    conversation_text,
+    topic_descriptions,
+)
 
 DERIVED_REGISTRY["conversation_stats"] = conversation_stats
 DERIVED_DEPS["conversation_stats"] = ()
+DERIVED_REGISTRY["conversation_text"] = conversation_text
+DERIVED_DEPS["conversation_text"] = ()
+DERIVED_REGISTRY["topic_descriptions"] = topic_descriptions
+DERIVED_DEPS["topic_descriptions"] = ()
+DERIVED_REGISTRY["conversation_descriptions"] = conversation_descriptions
+DERIVED_DEPS["conversation_descriptions"] = ("conversation_stats",)

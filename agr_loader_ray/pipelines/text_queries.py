@@ -334,8 +334,13 @@ def minhash_verified_pairs(sf_dir: str):
     from ..stages.dedup import verify_pairs_jaccard
 
     docs = _docs_min_k(sf_dir)
-    cand = minhash_lsh_candidates(docs, num_perm=64, bands=16, k=5)
-    return verify_pairs_jaccard(cand, docs, threshold=0.5, k=5)
+    # dedup=False + distinct=False: the per-band duplicate pairs ride to
+    # the verify stage, which dedups them on the driver-pulled table —
+    # saves the candidate path's second (pair-dedup) exchange
+    cand = minhash_lsh_candidates(docs, num_perm=64, bands=16, k=5,
+                                  dedup=False)
+    return verify_pairs_jaccard(cand, docs, threshold=0.5, k=5,
+                                distinct=False)
 
 
 # ---------------------------------------------------------------------------
@@ -831,6 +836,47 @@ def derived_descriptions(sf_dir: str):
     from ..pipelines.derived import conversation_descriptions
 
     return conversation_descriptions(_replay_lake(sf_dir))
+
+
+@query(
+    "derived_topic_descriptions",
+    _lww_live_cte(_ENGINE_WAL) + """
+    , tok AS (SELECT conv_id,
+                     unnest(string_split(coalesce(text, ''), ' ')) AS token
+              FROM live),
+    tok2 AS (SELECT conv_id, token FROM tok WHERE token <> ''),
+    tf AS (SELECT conv_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM tok2 GROUP BY 1, 2),
+    df AS (SELECT token, CAST(count(DISTINCT conv_id) AS BIGINT) AS df
+           FROM tok2 GROUP BY 1),
+    sal AS (SELECT tf.conv_id, tf.token, tf.tf * 1000000 // df.df AS sal
+            FROM tf JOIN df USING (token)),
+    rk AS (SELECT conv_id, token,
+                  row_number() OVER (PARTITION BY conv_id
+                                     ORDER BY sal DESC, token) AS rk
+           FROM sal),
+    top AS (SELECT conv_id, array_agg(token ORDER BY rk) AS toks
+            FROM rk WHERE rk <= 3 GROUP BY conv_id)
+    SELECT conv_id,
+           'Conversation ' || conv_id || ' mainly discusses ' ||
+           CASE len(toks)
+             WHEN 1 THEN '''' || toks[1] || ''''
+             WHEN 2 THEN '''' || toks[1] || ''' and ''' || toks[2] || ''''
+             ELSE '''' || toks[1] || ''', ''' || toks[2] || ''', and '''
+                  || toks[3] || ''''
+           END || '.' AS description,
+           CAST(len(toks) AS BIGINT) AS n_terms
+    FROM top
+    """,
+)
+def derived_topic_descriptions(sf_dir: str):
+    """Salient-topic sentence per conversation over the replayed lake —
+    the deep gene-descriptions analogue (term selection against corpus
+    context + conjunction-rule assembly; see
+    ``pipelines/derived.topic_descriptions``)."""
+    from ..pipelines.derived import topic_descriptions
+
+    return topic_descriptions(_replay_lake(sf_dir))
 
 
 # ---------------------------------------------------------------------------

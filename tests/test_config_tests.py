@@ -131,3 +131,41 @@ def test_run_derived_groups_barrier_and_resume(tmp_path):
         for n in ("t_base", "t_down"):
             DERIVED_REGISTRY.pop(n, None)
             DERIVED_DEPS.pop(n, None)
+
+
+def test_production_registry_group_plan_and_artifact_dependency(tmp_path):
+    """The PRODUCTION derived pipelines are registry-wired: the plan
+    layers conversation_descriptions after conversation_stats, and the
+    scheduler-run descriptions consume the materialized stats artifact
+    (derived_root path) yielding the same rows as a direct recompute."""
+    import pandas as pd
+
+    from agr_loader_ray.config import plan_groups, run_derived_groups
+    from agr_loader_ray.pipelines.derived import conversation_descriptions
+    from agr_loader_ray.pipelines.engine import CdcEngine
+    from agr_loader_ray.wal.generator import T1_SMOKE, generate_wal
+
+    names = ["conversation_stats", "conversation_text",
+             "topic_descriptions", "conversation_descriptions"]
+    assert plan_groups(names) == [
+        ["conversation_stats", "conversation_text", "topic_descriptions"],
+        ["conversation_descriptions"],
+    ]
+
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "derived")
+    generate_wal(wal, T1_SMOKE)
+    CdcEngine(lake, n_partitions=4).replay(wal)
+
+    r = run_derived_groups(lake, out, names=names)
+    assert set(r["pipelines"]) == set(names)
+    assert all(info["rows"] > 0 for info in r["pipelines"].values())
+
+    import pyarrow.parquet as pq
+
+    got = (pq.read_table(r["pipelines"]["conversation_descriptions"]["path"])
+           .to_pandas().sort_values("conv_id").reset_index(drop=True))
+    want = (conversation_descriptions(lake).to_pandas()
+            .sort_values("conv_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
