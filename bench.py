@@ -197,23 +197,23 @@ def run_scaling() -> dict:
     # that one box's shared memory bus caps the 32-core leg (per-core
     # 342k ev/s @ 8 vs 192k @ 32), an artifact a real N→4N-NODE
     # cluster (one bus + NIC per node) does not have.
-    def legs(exchange: str) -> dict:
-        hi, lo = run_leg(32, exchange), run_leg(8, exchange)
+    def legs(exchange: str, lo_n: int = 8, hi_n: int = 32) -> dict:
+        hi, lo = run_leg(hi_n, exchange), run_leg(lo_n, exchange)
         eps_lo, eps_hi = lo["events_per_sec"], hi["events_per_sec"]
         return {
-            "sec_8": lo["value"],
-            "sec_32": hi["value"],
-            "events_per_sec_8": eps_lo,
-            "events_per_sec_32": eps_hi,
-            "scaling_efficiency": round((eps_hi / eps_lo) / (32 / 8), 3),
-            "loadavg_leg32": hi.get("loadavg_1m"),
-            "loadavg_leg8": lo.get("loadavg_1m"),
+            f"sec_{lo_n}": lo["value"],
+            f"sec_{hi_n}": hi["value"],
+            f"events_per_sec_{lo_n}": eps_lo,
+            f"events_per_sec_{hi_n}": eps_hi,
+            "scaling_efficiency": round((eps_hi / eps_lo) / (hi_n / lo_n), 3),
+            f"loadavg_leg{hi_n}": hi.get("loadavg_1m"),
+            f"loadavg_leg{lo_n}": lo.get("loadavg_1m"),
             "sf": lo["sf"],
             "wal_events": lo["wal_events"],
         }
 
     dataset, task = legs("dataset"), legs("task")
-    return {
+    out = {
         "metric": "scaling_efficiency (events/sec at 8 vs 32 CPUs, same input)",
         # headline = the unchanged sort-shuffle protocol surface
         # (comparable to the round-1/2 records); the task exchange's
@@ -223,6 +223,18 @@ def run_scaling() -> dict:
         "exchange": "dataset (protocol surface; see task_exchange)",
         "task_exchange": {**task, "exchange": "task (default engine path)"},
     }
+    if os.environ.get("GRAFT_SCALING_CONTROL"):
+        # bus-headroom CONTROL pair on the DEFAULT (task) path: same 4×
+        # CPU factor but 4→16 cores, so the high leg runs well under the
+        # one socket's DRAM-bandwidth ceiling that flattens the 32-core
+        # leg (per-core ev/s at 8 pinned cores measured ~1.8× the
+        # 32-core figure).  A ≥0.8 reading here with a <0.8 8→32 reading
+        # is the box's bus, not the exchange: N→4N NODES adds a memory
+        # bus + NIC per node, which the control pair models and the
+        # saturated top leg cannot.
+        out["control_4_16"] = {**legs("task", 4, 16),
+                               "exchange": "task (default engine path)"}
+    return out
 
 
 if __name__ == "__main__":
