@@ -184,9 +184,15 @@ def topic_descriptions(lake_root: str, epoch: int | None = None,
                           "sal": pa.array([], pa.int64())})
         if g.num_rows == 0:
             return empty
-        conv = g["conv_id"].to_numpy(zero_copy_only=False)
-        tok = g["token"].to_numpy(zero_copy_only=False)
         n = g["n"].to_numpy(zero_copy_only=False)
+        # factorize strings ONCE (np.unique codes are lexically ordered)
+        # so the multi-key sort runs on int codes — an object-dtype
+        # lexsort pays a Python comparison per element (the fold
+        # fast-path lesson, stages/fold.py)
+        conv_u, conv = np.unique(
+            g["conv_id"].to_numpy(zero_copy_only=False), return_inverse=True)
+        tok_u, tok = np.unique(
+            g["token"].to_numpy(zero_copy_only=False), return_inverse=True)
         order = np.lexsort((conv, tok))
         conv, tok, n = conv[order], tok[order], n[order]
         # segment = one (token, conv): sum the per-batch partial counts
@@ -202,8 +208,8 @@ def topic_descriptions(lake_root: str, epoch: int | None = None,
         tok_seg = np.cumsum(new_tok) - 1
         df = np.bincount(tok_seg)[tok_seg]
         sal = tf * 1_000_000 // df
-        return pa.table({"conv_id": pa.array(pconv, pa.string()),
-                         "token": pa.array(ptok, pa.string()),
+        return pa.table({"conv_id": pa.array(conv_u[pconv], pa.string()),
+                         "token": pa.array(tok_u[ptok], pa.string()),
                          "sal": pa.array(sal.astype(np.int64), pa.int64())})
 
     def describe_part(g: pa.Table) -> pa.Table:
@@ -212,11 +218,15 @@ def topic_descriptions(lake_root: str, epoch: int | None = None,
                           "n_terms": pa.array([], pa.int64())})
         if g.num_rows == 0:
             return empty
-        conv = g["conv_id"].to_numpy(zero_copy_only=False)
-        tok = g["token"].to_numpy(zero_copy_only=False)
         sal = g["sal"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((tok, -sal, conv))
-        conv, tok = conv[order], tok[order]
+        # int codes for the multi-key sort (np.unique order is lexical,
+        # preserving the oracle's "ORDER BY sal DESC, token" tie-break)
+        conv_u, conv_c = np.unique(
+            g["conv_id"].to_numpy(zero_copy_only=False), return_inverse=True)
+        tok_u, tok_c = np.unique(
+            g["token"].to_numpy(zero_copy_only=False), return_inverse=True)
+        order = np.lexsort((tok_c, -sal, conv_c))
+        conv, tok = conv_c[order], tok_u[tok_c[order]]
         new_conv = np.concatenate([[True], conv[1:] != conv[:-1]])
         seg = np.cumsum(new_conv) - 1
         starts = np.nonzero(new_conv)[0]
@@ -234,11 +244,12 @@ def topic_descriptions(lake_root: str, epoch: int | None = None,
         two = "'" + t1 + "' and '" + t2 + "'"
         three = "'" + t1 + "', '" + t2 + "', and '" + t3 + "'"
         joined = np.where(n_terms == 1, one, np.where(n_terms == 2, two, three))
+        conv_out = conv_u[conv[starts]]
         desc = pc.binary_join_element_wise(
-            pa.scalar("Conversation "), pa.array(conv[starts], pa.string()),
+            pa.scalar("Conversation "), pa.array(conv_out, pa.string()),
             pa.scalar(" mainly discusses "),
             pa.array(joined.astype(object), pa.string()), pa.scalar("."), "")
-        return pa.table({"conv_id": pa.array(conv[starts], pa.string()),
+        return pa.table({"conv_id": pa.array(conv_out, pa.string()),
                          "description": desc,
                          "n_terms": pa.array(n_terms, pa.int64())})
 
