@@ -68,6 +68,46 @@ class EngineConfig:
         )
 
 
+def _settle_fsspec_http_probe() -> None:
+    """Make Ray Data's per-path fsspec-HTTP probe deterministic before
+    launching concurrent driver threads.
+
+    ``ray.data.datasource.path_util._is_http_filesystem`` does
+    ``from fsspec.implementations.http import HTTPFileSystem`` on every
+    path resolution, catching only ``ModuleNotFoundError``.  Without
+    aiohttp that module fails MID-BODY each time (failed imports aren't
+    cached), and two threads racing the first import can observe a
+    partially-torn module and raise plain ``ImportError`` ("cannot
+    import name 'HTTPFileSystem'"), which escapes Ray's handler and
+    kills the read/write.  When the real import fails (http filesystem
+    unusable regardless — no aiohttp, and this engine never reads
+    http:// paths), install an inert stub so every later probe import
+    succeeds and ``isinstance(..., HTTPFileSystem)`` is simply False.
+    """
+    import sys as _sys
+    import types as _types
+
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+        return
+    except ModuleNotFoundError:
+        return  # Ray's own except handles this shape consistently
+    except ImportError:
+        pass
+    try:
+        import fsspec.implementations as _impl
+    except ImportError:
+        return
+    stub = _types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # noqa: N801 - probe isinstance target only
+        pass
+
+    stub.HTTPFileSystem = HTTPFileSystem
+    _sys.modules["fsspec.implementations.http"] = stub
+    _impl.http = stub
+
+
 #: derived-pipeline registry: name → fn(lake_root, epoch=None) -> Dataset
 DERIVED_REGISTRY: dict[str, Callable] = {}
 #: declared upstream pipelines per name (drives the group schedule)
@@ -145,36 +185,52 @@ def run_derived_groups(lake_root: str, out_root: str,
         raise FileNotFoundError(f"no committed epoch in {lake_root}")
     groups = plan_groups(names)
     infos: dict[str, dict] = {}
+
+    def build_one(name: str, gi: int) -> dict:
+        out_dir = os.path.join(out_root, name)
+        mpath = os.path.join(out_dir, "_manifests", f"epoch={e}.json")
+        if os.path.exists(mpath):
+            with open(mpath) as fh:
+                return json.load(fh)
+        fn = DERIVED_REGISTRY[name]
+        kwargs: dict = {"epoch": e}
+        # pipelines that consume upstream MATERIALIZED artifacts
+        # (declared depends_on) receive the scheduler's output root —
+        # the barrier guarantees the dependency's parquet + manifest
+        # already exist in it
+        if "derived_root" in inspect.signature(fn).parameters:
+            kwargs["derived_root"] = out_root
+        ds = fn(lake_root, **kwargs)
+        data_dir = os.path.join(out_dir, f"epoch={e}")
+        ds.write_parquet(data_dir)
+        rows = sum(
+            pq.read_metadata(os.path.join(data_dir, f)).num_rows
+            for f in os.listdir(data_dir) if f.endswith(".parquet")
+        )
+        info = {"name": name, "source_epoch": e, "rows": rows,
+                "path": data_dir, "group": gi,
+                "depends_on": list(DERIVED_DEPS.get(name, ()))}
+        _atomic_write_json(mpath, info)
+        return info
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    _settle_fsspec_http_probe()
+
     for gi, group in enumerate(groups):
-        # barrier: the loop body materializes every pipeline of this
-        # group before the next group's first build starts
-        for name in group:
-            out_dir = os.path.join(out_root, name)
-            mpath = os.path.join(out_dir, "_manifests", f"epoch={e}.json")
-            if os.path.exists(mpath):
-                with open(mpath) as fh:
-                    infos[name] = json.load(fh)
-                continue
-            fn = DERIVED_REGISTRY[name]
-            kwargs: dict = {"epoch": e}
-            # pipelines that consume upstream MATERIALIZED artifacts
-            # (declared depends_on) receive the scheduler's output root —
-            # the barrier guarantees the dependency's parquet + manifest
-            # already exist in it
-            if "derived_root" in inspect.signature(fn).parameters:
-                kwargs["derived_root"] = out_root
-            ds = fn(lake_root, **kwargs)
-            data_dir = os.path.join(out_dir, f"epoch={e}")
-            ds.write_parquet(data_dir)
-            rows = sum(
-                pq.read_metadata(os.path.join(data_dir, f)).num_rows
-                for f in os.listdir(data_dir) if f.endswith(".parquet")
-            )
-            info = {"name": name, "source_epoch": e, "rows": rows,
-                    "path": data_dir, "group": gi,
-                    "depends_on": list(DERIVED_DEPS.get(name, ()))}
-            _atomic_write_json(mpath, info)
-            infos[name] = info
+        # members of one group are independent (no declared edges), so
+        # they run CONCURRENTLY — each dataset has its own streaming
+        # executor and Ray interleaves their stages on the cluster (the
+        # reference runs each etl_group's ETLs in a thread pool,
+        # /root/reference/src/aggregate_loader.py:185-205).  The loop
+        # joins every build before the next group starts — the barrier.
+        if len(group) == 1:
+            infos[group[0]] = build_one(group[0], gi)
+            continue
+        with ThreadPoolExecutor(max_workers=min(4, len(group))) as ex:
+            for name, info in zip(group, ex.map(
+                    lambda n, g=gi: build_one(n, g), group)):
+                infos[name] = info
     return {"epoch": e, "groups": groups, "pipelines": infos}
 
 
