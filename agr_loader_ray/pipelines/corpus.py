@@ -123,8 +123,8 @@ def build_clean_corpus(sf_dir: str, out_dir: str, min_tokens: int = 10,
     n_exact = exact_unique.count()
 
     # 4. near-dup removal: LSH candidates → duplicate-group resolution →
-    #    drop non-minimal members.  Hybrid resolution (same contract as the
-    #    hot-bucket prefilter): a pair list under _PAIR_DRIVER_LIMIT is
+    #    drop non-minimal members.  Hybrid resolution (bounded-broadcast
+    #    contract): a pair list under _PAIR_DRIVER_LIMIT is
     #    union-found on the driver (bounded memory, no per-round
     #    exchanges); above it the distributed min-label propagation runs
     #    and the drop side becomes a hash-partitioned left_anti join.

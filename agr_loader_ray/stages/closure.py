@@ -204,8 +204,8 @@ def _tagged_min_merge(r: ray.data.Dataset, stepped: ray.data.Dataset,
 #: delta broadcasts (~16 B/pair → ≤ 80 MB object) and the D∘R ∪ R∘D step
 #: runs as vectorized searchsorted lookups inside map_batches over R — the
 #: round then costs ONE exchange (the min-tag groupby).  Above it the
-#: distributed tagged join runs.  Same hybrid contract as the LSH hot-bucket
-#: prefilter: bounded broadcast state, never unbounded driver memory.
+#: distributed tagged join runs.  Same hybrid contract as the decontam
+#: membership stage: bounded broadcast state, never unbounded driver memory.
 BROADCAST_DELTA_LIMIT = 5_000_000
 
 
@@ -307,8 +307,7 @@ def closure_path_doubling(
     (2^i, 2^{i+1}]) splits at its midpoint into two halves of length ≤ 2^i,
     of which at least one has length > 2^{i-1} — i.e. is in last round's
     delta D.  So the step is D∘R ∪ R∘D — and each round's compose is
-    dispatched on |D| (hybrid, same contract as the LSH hot-bucket
-    prefilter):
+    dispatched on |D| (hybrid, bounded-broadcast contract):
 
     - |D| ≤ ``broadcast_delta_limit``: D broadcasts (``ray.put`` once,
       fetched once per actor) and the compose runs map-side inside

@@ -34,9 +34,6 @@ from .partition import stable_hash_strings
 
 _PRIME = np.uint64((1 << 61) - 1)
 
-#: hybrid prefilter threshold: hot (colliding) bucket keys up to this count
-#: are broadcast for an is_in filter (8 B/key → ≤ 16 MiB driver+object
-#: state); above it the filter runs as a distributed left_semi join.
 _MULT64 = np.uint64(0x9E3779B97F4A7C15)
 
 _POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
@@ -310,7 +307,8 @@ def verify_pairs_jaccard(
     false-positive filter).  Returns {id_a, id_b, jaccard} with
     jaccard ≥ threshold.
 
-    HYBRID text attachment (same contract as the hot-bucket prefilter):
+    HYBRID text attachment (bounded broadcast state, never
+    unbounded driver memory — the decontam/closure hybrid contract):
     a candidate set under ``VERIFY_BROADCAST_PAIR_LIMIT`` pulls only the
     REFERENCED texts in one streaming filter pass over docs and
     broadcasts the id→text map (``ray.put`` once, fetched once per
