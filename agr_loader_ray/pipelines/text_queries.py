@@ -863,6 +863,31 @@ def ivm_inverted_index(sf_dir: str):
     return read_index(out).sort(["token", "conv_id", "turn_idx"])
 
 
+@query(
+    "ivm_vector_index",
+    _lww_live_cte(_ENGINE_WAL) + """
+    SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx FROM live
+    """,
+)
+def ivm_vector_index(sf_dir: str):
+    """CDF-maintained IVF vector index (pipelines/vector_ivm.py — one
+    embed+assign segment per epoch, tombstones for pre-images/deletes,
+    LSM compaction) at the lake's final epoch.  Returns the index's
+    ALIVE membership after the segment+tombstone fold — exactly one row
+    per live lake key, the SQL-checkable surface of the maintenance
+    bookkeeping.  Embedding/scoring correctness (ANN top-k equals a
+    brute-force rebuild at EVERY epoch, compaction equivalence, cell
+    pruning) is asserted in tests/test_vector_ivm_tests.py."""
+    from ..pipelines.vector_ivm import maintain_vector_index, read_alive
+
+    lake_root = _replay_lake(sf_dir)
+    out = _os.path.join(_tempfile.gettempdir(),
+                        f"agr_vecidx_{_os.path.basename(lake_root)}")
+    maintain_vector_index(lake_root, out)
+    return (read_alive(out).select_columns(["conv_id", "turn_idx"])
+            .sort(["conv_id", "turn_idx"]))
+
+
 @query("derived_conversation_stats", _CONV_STATS_ORACLE)
 def derived_conversation_stats(sf_dir: str):
     from ..pipelines.derived import conversation_stats

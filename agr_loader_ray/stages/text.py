@@ -175,3 +175,46 @@ def greedy_pack_bins(tok: np.ndarray, budget: int) -> np.ndarray:
         base = int(cum[j - 1])
         start = j
     return bins
+
+
+def hash_embed_texts(texts: list, dim: int = 16) -> np.ndarray:
+    """Deterministic feature-hashing text embedding: signed character-
+    trigram counts hashed into ``dim`` buckets, L2-normalized float64.
+
+    A stand-in for a model embedder (the image-decode precedent,
+    stages/multimodal.py: no ML libs in this container, so the FEATURE
+    step is a deterministic fake while the Ray plumbing — batch shape,
+    actor signature, output layout — is real); deterministic across
+    processes, which is what makes incremental-index-vs-rebuild
+    equality testable.  Fully vectorized: one UTF-32 decode per row,
+    trigram hashes / bucket scatter via numpy on the concatenated
+    code-point buffer — no per-document loop.  Empty/None docs embed to
+    the zero vector.
+    """
+    bufs = [s.encode("utf-32-le") if s else b"" for s in texts]
+    lens = np.array([len(b) // 4 for b in bufs], dtype=np.int64)
+    n = len(texts)
+    out = np.zeros((n, dim), dtype=np.float64)
+    cps = np.frombuffer(b"".join(bufs), dtype=np.uint32).astype(np.uint64)
+    if len(cps):
+        with np.errstate(over="ignore"):
+            B = np.uint64(1000003)
+            tri = np.zeros(len(cps), dtype=np.uint64)
+            if len(cps) >= 3:
+                tri[:-2] = (cps[:-2] * B + cps[1:-1]) * B + cps[2:]
+            # splitmix64-style finalizer for bucket/sign dispersion
+            h = tri + np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(30); h *= np.uint64(0xBF58476D1CE4E5B9)
+            h ^= h >> np.uint64(27); h *= np.uint64(0x94D049BB133111EB)
+            h ^= h >> np.uint64(31)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        row_idx = np.repeat(np.arange(n), lens)
+        local = np.arange(len(cps), dtype=np.int64) - starts[row_idx]
+        valid = local <= lens[row_idx] - 3  # trigram fits inside its doc
+        bucket = (h[valid] % np.uint64(dim)).astype(np.int64)
+        sign = 1.0 - 2.0 * ((h[valid] >> np.uint64(32)) & np.uint64(1)).astype(np.float64)
+        np.add.at(out.reshape(-1), row_idx[valid] * dim + bucket, sign)
+    norms = np.linalg.norm(out, axis=1)
+    nz = norms > 0
+    out[nz] /= norms[nz, None]
+    return out
