@@ -254,3 +254,34 @@ DERIVED_REGISTRY["topic_descriptions"] = topic_descriptions
 DERIVED_DEPS["topic_descriptions"] = ()
 DERIVED_REGISTRY["conversation_descriptions"] = conversation_descriptions
 DERIVED_DEPS["conversation_descriptions"] = ("conversation_stats",)
+
+
+def _vector_index_members(lake_root: str, epoch: int | None = None,
+                          derived_root: str | None = None):
+    """Scheduler adapter for the incrementally-maintained vector index
+    (pipelines/vector_ivm.py): catches the index store up to ``epoch``
+    (segments/tombstones live beside the scheduler's outputs and resume
+    across runs — later epochs maintain, never rebuild) and returns the
+    alive-membership view the scheduler materializes for this epoch."""
+    import os
+    import tempfile
+
+    from .pipelines.vector_ivm import maintain_vector_index, read_alive
+
+    from .pipelines.vector_ivm import STATE_NAME, _read_state
+
+    store = os.path.join(derived_root or tempfile.gettempdir(),
+                         "_vector_index_store")
+    if (epoch is not None and os.path.exists(os.path.join(store, STATE_NAME))
+            and _read_state(store)["last_epoch"] > epoch):
+        # the store only moves forward; a time-travel read below its
+        # watermark must fail loudly, not return the newer alive set
+        raise ValueError(
+            f"vector index store at epoch {_read_state(store)['last_epoch']} "
+            f"is ahead of requested epoch {epoch}")
+    maintain_vector_index(lake_root, store, upto=epoch)
+    return read_alive(store)
+
+
+DERIVED_REGISTRY["vector_index"] = _vector_index_members
+DERIVED_DEPS["vector_index"] = ()

@@ -194,15 +194,18 @@ def maintain_epoch(lake_root: str, out_dir: str, epoch: int) -> dict:
 
 
 def maintain_vector_index(lake_root: str, out_dir: str, dim: int = 16,
-                          n_cells: int = 8, seed: int = 42) -> list[dict]:
+                          n_cells: int = 8, seed: int = 42,
+                          upto: int | None = None) -> list[dict]:
     """Bring the index current with the lake: init if absent, then apply
     every committed epoch above ``last_epoch`` in order (epoch 0's feed
-    is all inserts — bootstrap is not a special case)."""
+    is all inserts — bootstrap is not a special case).  ``upto`` pins
+    the target epoch (time-travel for the group scheduler); default is
+    the lake's last commit."""
     from ..state.manifest import LakeManifest
 
     if not os.path.exists(os.path.join(out_dir, STATE_NAME)):
         init_vector_index(out_dir, dim=dim, n_cells=n_cells, seed=seed)
-    last = LakeManifest(lake_root).last_committed_epoch()
+    last = LakeManifest(lake_root).last_committed_epoch() if upto is None else upto
     state = _read_state(out_dir)
     return [maintain_epoch(lake_root, out_dir, e)
             for e in range(state["last_epoch"] + 1, last + 1)]

@@ -169,3 +169,40 @@ def test_production_registry_group_plan_and_artifact_dependency(tmp_path):
     want = (conversation_descriptions(lake).to_pandas()
             .sort_values("conv_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_vector_index_is_scheduler_wired(tmp_path):
+    """The incrementally-maintained vector index is a registered derived
+    pipeline: the scheduler materializes its alive-membership view
+    (rows == the lake's live set), the store resumes across runs, and a
+    time-travel request below the store's watermark fails loudly."""
+    import pytest as _pytest
+
+    from agr_loader_ray.config import run_derived_groups
+    from agr_loader_ray.pipelines.engine import CdcEngine
+    from agr_loader_ray.pipelines.export import read_lake
+    from agr_loader_ray.pipelines.vector_ivm import _read_state
+    from agr_loader_ray.wal.generator import T2_CORRECTNESS, WalSpec, generate_wal
+
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "derived")
+    spec = WalSpec(**{**T2_CORRECTNESS.__dict__, "n_events": 6_000,
+                      "n_convs": 200, "n_epochs": 3})
+    generate_wal(wal, spec)
+    CdcEngine(lake, n_partitions=4).replay(wal)
+
+    r = run_derived_groups(lake, out, names=["vector_index"])
+    alive = len(read_lake(lake).to_pandas())
+    assert r["pipelines"]["vector_index"]["rows"] == alive > 0
+    store = os.path.join(out, "_vector_index_store")
+    assert _read_state(store)["last_epoch"] == spec.n_epochs - 1
+
+    # resume: a second run at the same epoch re-executes nothing
+    r2 = run_derived_groups(lake, out, names=["vector_index"])
+    assert r2["pipelines"]["vector_index"]["rows"] == alive
+
+    # the store only moves forward: a time-travel request below the SAME
+    # store's watermark raises instead of returning the newer alive set
+    with _pytest.raises(ValueError, match="ahead of requested epoch"):
+        run_derived_groups(lake, out, names=["vector_index"], epoch=0)
