@@ -314,6 +314,103 @@ def ann_ivf_topk(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# ann_multi_query_topk — batched ANN serving shape: Q query vectors
+# scored in ONE corpus scan (a single B×d @ d×Q matmul per batch)
+# instead of Q scans; per-query local top-k prune, bounded global merge.
+# ---------------------------------------------------------------------------
+@query(
+    "ann_multi_query_topk",
+    """
+    WITH qs AS MATERIALIZED (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+    ), base AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), scored AS (
+      SELECT q.query_id, b.vec_id,
+             round(list_cosine_similarity(b.v, q.qv), 6) AS sim
+      FROM base b CROSS JOIN qs q
+      WHERE b.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, sim FROM (
+      SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id) AS rn
+      FROM scored) t
+    WHERE rn <= 5
+    """,
+)
+def ann_multi_query_topk(sf_dir: str):
+    from ..stages.similarity import multi_query_topk
+
+    q_tbl = read_small(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sel = q_tbl.filter(pc.and_(pc.greater_equal(q_tbl["vec_id"], 1),
+                               pc.less_equal(q_tbl["vec_id"], 8))).sort_by("vec_id")
+    qids = sel["vec_id"].to_numpy(zero_copy_only=False)
+    qmat = np.array(sel["embedding"].to_pylist(), dtype=np.float64)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return multi_query_topk(ds, qids, qmat, k=5)
+
+
+# ---------------------------------------------------------------------------
+# ann_quantized_rerank — two-stage retrieval on the quantized-storage
+# scale path: the ONLY full scan scores int8-dequantized vectors (4-8x
+# cheaper to move at 100 TB), exact float cosine re-ranks just the
+# bounded shortlist.  Quantization is the quantize_embeddings scheme,
+# so the whole path is SQL-mirrored op-for-op (dequant = (code*m)/127).
+# ---------------------------------------------------------------------------
+@query(
+    "ann_quantized_rerank",
+    """
+    WITH qv AS MATERIALIZED (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ), base AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id <> 0
+    ), wm AS (
+      SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m0 FROM base
+    ), s2 AS (
+      SELECT vec_id, v, CASE WHEN m0 = 0 THEN 1.0 ELSE m0 END AS m FROM wm
+    ), dq AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> (CASE WHEN x >= 0
+                                          THEN floor(x / m * 127 + 0.5)
+                                          ELSE ceil(x / m * 127 - 0.5)
+                                     END * m) / 127) AS dqv
+      FROM s2
+    ), approx AS (
+      SELECT d.vec_id, d.v,
+             round(list_cosine_similarity(d.dqv, qv.qv), 6) AS asim
+      FROM dq d, qv
+    ), short AS (
+      SELECT vec_id, v, asim FROM (
+        SELECT vec_id, v, asim,
+               row_number() OVER (ORDER BY asim DESC, vec_id) AS rn
+        FROM approx) t
+      WHERE rn <= 50
+    )
+    SELECT s.vec_id, round(list_cosine_similarity(s.v, qv.qv), 6) AS sim,
+           s.asim
+    FROM short s, qv
+    ORDER BY sim DESC, s.vec_id
+    LIMIT 10
+    """,
+)
+def ann_quantized_rerank(sf_dir: str):
+    from ..stages.similarity import quantized_rerank_topk
+
+    q_tbl = read_small(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qvec = np.asarray(
+        q_tbl.filter(pc.equal(q_tbl["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64
+    )
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        lambda t: t.filter(pc.not_equal(t["vec_id"], 0)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return quantized_rerank_topk(ds, qvec, k=10, shortlist=50)
+
+
+# ---------------------------------------------------------------------------
 # quantize_embeddings — symmetric max-abs int8 quantization per vector
 # (the storage-side embedding op).  Scalar outputs (scale, order-weighted
 # checksum, max reconstruction error) so the compare is hashable; the

@@ -392,3 +392,111 @@ def knn_edges_blocked(
                          batch_format="pyarrow", zero_copy_batch=True)
     cand = rep.groupby("pt").map_groups(pair_kernel, batch_format="pandas")
     return cand.groupby("src").map_groups(merge_topk, batch_format="pandas")
+
+
+def multi_query_topk(ds: "ray.data.Dataset", query_ids: np.ndarray,
+                     query_mat: np.ndarray, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> "ray.data.Dataset":
+    """Batched exact cosine top-k for Q queries in ONE scan: each Arrow
+    batch does a single (B×d)@(d×Q) matmul scoring every query at once —
+    the serving shape (Q queries amortize one pass over the corpus
+    instead of Q scans).  Self-matches (row id == query id) are
+    excluded; per-query local top-k prunes each batch to Q·k rows before
+    the tiny global per-query merge.  Ties break on (sim desc, id asc)."""
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qm = np.asarray(query_mat, dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1)[:, None]
+    qref = ray.put((qids, qn))
+
+    class Score:
+        def __init__(self, qref, k):
+            self.qids, self.qn = ray.get(qref)  # broadcast once per actor
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _batch_matrix(batch, vec_col)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = round_half_away((mat @ self.qn.T) / norms[:, None], 6)  # B×Q
+            sims[ids[:, None] == self.qids[None, :]] = -np.inf  # self-match
+            out_q, out_i, out_s = [], [], []
+            for j in range(len(self.qids)):  # Q-bounded loop, not data-bounded
+                order = np.lexsort((ids, -sims[:, j]))[: self.k]
+                order = order[np.isfinite(sims[order, j])]
+                out_q.append(np.full(len(order), self.qids[j], dtype=np.int64))
+                out_i.append(ids[order])
+                out_s.append(sims[order, j])
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q) if out_q else
+                                     np.array([], np.int64)),
+                id_col: pa.array(np.concatenate(out_i).astype(np.int64)),
+                "sim": pa.array(np.concatenate(out_s), pa.float64()),
+            })
+
+    scored = ds.map_batches(Score, fn_constructor_args=(qref, k),
+                            batch_format="pyarrow", zero_copy_batch=True,
+                            concurrency=pool())
+
+    def head_k(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["sim", id_col], ascending=[False, True],
+                               kind="mergesort").head(k))
+
+    # candidates per query are bounded (n_batches × k) → Q tiny groups
+    return (scored.groupby("query_id").map_groups(head_k, batch_format="pandas")
+            .sort(["query_id", "sim", id_col], descending=[False, True, False]))
+
+
+def quantized_rerank_topk(ds: "ray.data.Dataset", query_vec: np.ndarray,
+                          k: int = 10, shortlist: int = 50,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> pd.DataFrame:
+    """Two-stage retrieval on the quantized-storage scale path: stage 1
+    scores the int8-quantized (max-abs, round-half-away — the
+    quantize_embeddings scheme) DEQUANTIZED vectors and keeps a global
+    ``shortlist`` by approximate score; stage 2 re-ranks only the
+    shortlist with exact float cosine.  At 100 TB stage 1 is the only
+    full scan (int8 vectors are 4–8× cheaper to move) and stage 2
+    touches ``shortlist`` rows.  The shortlist rows carry their float
+    vectors forward, so the re-rank is a driver-side exact pass over a
+    bounded set.  Dequantization is (q · m) / 127 per element — the
+    exact op order the SQL mirror uses."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qref = ray.put(q)
+
+    class Stage1:
+        def __init__(self, qref, shortlist):
+            self.q = ray.get(qref)
+            self.n = shortlist
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _batch_matrix(batch, vec_col)
+            m = np.abs(mat).max(axis=1)
+            ms = np.where(m == 0, 1.0, m)
+            scaled = mat / ms[:, None] * 127.0
+            qi = np.trunc(scaled + np.sign(scaled) * 0.5)  # int8 codes
+            dq = (qi * ms[:, None]) / 127.0
+            asim = round_half_away(cosine_scores(dq, self.q), 6)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, -asim))[: self.n]  # local prune
+            idx = pa.array(order)
+            return pa.table({
+                id_col: batch[id_col].take(idx),
+                "asim": pa.array(asim[order], pa.float64()),
+                vec_col: batch[vec_col].combine_chunks().take(idx),
+            })
+
+    cands = ds.map_batches(Stage1, fn_constructor_args=(qref, shortlist),
+                           batch_format="pyarrow", zero_copy_batch=True,
+                           concurrency=pool())
+    short = (cands.sort(["asim", id_col], descending=[True, False])
+             .limit(shortlist).to_pandas())  # bounded: `shortlist` rows
+    if not len(short):
+        return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                             "sim": pd.Series([], dtype=np.float64),
+                             "asim": pd.Series([], dtype=np.float64)})
+    mat = np.array(short[vec_col].tolist(), dtype=np.float64)
+    short["sim"] = round_half_away(cosine_scores(mat, q), 6)
+    return (short.sort_values(["sim", id_col], ascending=[False, True],
+                              kind="mergesort").head(k)
+            [[id_col, "sim", "asim"]].reset_index(drop=True))

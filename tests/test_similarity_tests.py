@@ -69,3 +69,53 @@ def test_ivf_index_assign_consistency():
     cells = idx.probe_cells(q, 3)
     d2 = ((idx.centroids - q[None, :]) ** 2).sum(axis=1)
     assert d2[cells[0]] == d2.min()
+
+
+def test_multi_query_topk_matches_per_query_brute_force():
+    """One-scan batched scoring must equal Q independent brute-force
+    top-k runs (self-match excluded on both sides)."""
+    from agr_loader_ray.stages.similarity import multi_query_topk, round_half_away
+
+    tbl, mat = _embeddings(n=150, d=8, seed=9)
+    qids = np.array([3, 7, 11], dtype=np.int64)
+    qmat = mat[qids].astype(np.float64)
+    got = (multi_query_topk(ray.data.from_arrow(tbl), qids, qmat, k=5)
+           .to_pandas().reset_index(drop=True))
+    m64 = mat.astype(np.float64)
+    for qi, qv in zip(qids, qmat):
+        sims = round_half_away(cosine_scores(m64, qv), 6)
+        ids = np.arange(len(m64))
+        mask = ids != qi
+        order = np.lexsort((ids[mask], -sims[mask]))[:5]
+        want_ids = ids[mask][order]
+        want_sims = sims[mask][order]
+        sub = got[got["query_id"] == qi].reset_index(drop=True)
+        assert sub["vec_id"].tolist() == want_ids.tolist()
+        np.testing.assert_allclose(sub["sim"].to_numpy(), want_sims)
+
+
+def test_quantized_rerank_shortlist_and_exactness():
+    """Stage-2 re-rank must equal exact brute-force top-k whenever the
+    quantized shortlist contains the true top-k (it does here: int8
+    max-abs error is far below this corpus's score gaps), and the
+    approximate score must be the dequantized cosine."""
+    from agr_loader_ray.stages.similarity import quantized_rerank_topk, round_half_away
+
+    tbl, mat = _embeddings(n=150, d=8, seed=5)
+    q = mat[0].astype(np.float64)
+    got = quantized_rerank_topk(ray.data.from_arrow(tbl), q, k=10, shortlist=50)
+    m64 = mat.astype(np.float64)
+    sims = round_half_away(cosine_scores(m64, q), 6)
+    ids = np.arange(len(m64))
+    order = np.lexsort((ids, -sims))[:10]
+    assert got["vec_id"].tolist() == ids[order].tolist()
+    np.testing.assert_allclose(got["sim"].to_numpy(), sims[order])
+    # asim is the dequantized-cosine (mirrored op order (code*m)/127)
+    mm = np.abs(m64).max(axis=1)
+    ms = np.where(mm == 0, 1.0, mm)
+    scaled = m64 / ms[:, None] * 127.0
+    dq = (np.trunc(scaled + np.sign(scaled) * 0.5) * ms[:, None]) / 127.0
+    asims = round_half_away(cosine_scores(dq, q), 6)
+    lookup = dict(zip(ids.tolist(), asims.tolist()))
+    np.testing.assert_allclose(
+        got["asim"].to_numpy(), [lookup[i] for i in got["vec_id"]])
