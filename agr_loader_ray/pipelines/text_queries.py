@@ -864,13 +864,55 @@ def cdc_txn_replay(sf_dir: str):
             .reset_index(drop=True))
 
 
-@query("cdc_engine_change_feed")
+@query(
+    "cdc_engine_change_feed",
+    f"""
+    WITH ev AS (
+      SELECT * FROM read_parquet('{_ENGINE_WAL}') WHERE op <> 'S'
+    ), eps AS (SELECT DISTINCT epoch FROM ev),
+    w AS (
+      SELECT e.epoch AS as_of, ev.conv_id, ev.turn_idx, ev.role, ev.text,
+             ev.tool, ev.ts, ev.op, ev."offset" AS off,
+             row_number() OVER (PARTITION BY e.epoch, ev.conv_id, ev.turn_idx
+                                ORDER BY ev.ts DESC, ev."offset" DESC) AS rn
+      FROM ev JOIN eps e ON ev.epoch <= e.epoch
+    ), live AS (
+      SELECT as_of, conv_id, turn_idx, role, text, tool, ts, off
+      FROM w WHERE rn = 1 AND op <> 'D'
+    ), prev AS (
+      SELECT as_of + 1 AS as_of, conv_id, turn_idx, role, text, tool, ts, off
+      FROM live
+    )
+    SELECT CAST(coalesce(l.as_of, p.as_of) AS BIGINT) AS epoch,
+           CASE WHEN p.off IS NULL THEN 'insert'
+                WHEN l.off IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           coalesce(l.conv_id, p.conv_id) AS conv_id,
+           coalesce(l.turn_idx, p.turn_idx) AS turn_idx,
+           CASE WHEN l.off IS NULL THEN p.role ELSE l.role END AS role,
+           CASE WHEN l.off IS NULL THEN p.text ELSE l.text END AS text,
+           CASE WHEN l.off IS NULL THEN p.tool ELSE l.tool END AS tool,
+           CASE WHEN l.off IS NULL THEN p.ts ELSE l.ts END AS ts,
+           CAST(NULL AS VARCHAR) AS lang
+    FROM live l
+    FULL OUTER JOIN prev p
+      ON l.as_of = p.as_of AND l.conv_id = p.conv_id AND l.turn_idx = p.turn_idx
+    WHERE coalesce(l.as_of, p.as_of) <= (SELECT max(epoch) FROM eps)
+      AND (p.off IS NULL OR l.off IS NULL OR l.off <> p.off)
+    """,
+)
 def cdc_engine_change_feed(sf_dir: str):
-    """Lake-side change-data-feed of every committed epoch (rows-only
-    gate: lake input, not a view; oracle equality per epoch — including
-    under schema evolution — is asserted in tests/test_engine_tests.py::
-    test_change_feed_matches_oracle_every_epoch).  The SQL-checkable
-    formulation of the same semantics is ``cdc_change_feed``."""
+    """Lake-side change-data-feed of every committed epoch, now inside
+    the typed-hash gate: the oracle recomputes the live state AS OF
+    every epoch from the published WAL (QUALIFY-LWW windows over events
+    with epoch <= e) and diffs adjacent states on the WINNING OFFSET —
+    the exact classifier ``export.change_feed`` uses (same key + same
+    winning offset ⇔ identical state; offsets are unique per event).
+    Deletes carry the pre-image payload, updates the post-image, and
+    the mid-stream add_column 'lang' projects as a typed NULL on both
+    sides.  Per-epoch oracle equality under schema evolution is
+    additionally asserted in tests/test_engine_tests.py::
+    test_change_feed_matches_oracle_every_epoch."""
     import pyarrow as _pa
 
     from ..pipelines.export import change_feed
