@@ -94,16 +94,23 @@ def init_vector_index(out_dir: str, dim: int = 16, n_cells: int = 8,
     with open(os.path.join(out_dir, META_NAME), "w") as f:
         json.dump(meta, f)
     _write_state(out_dir, {"segments": [], "tombs": [], "last_epoch": -1,
-                           "compactions": 0})
+                           "compactions": 0, "centroids": CENTROIDS_NAME})
     return meta
 
 
-def _load_quantizer(out_dir: str) -> tuple[dict, IVFIndex]:
+def _load_quantizer(out_dir: str, state: dict | None = None) -> tuple[dict, IVFIndex]:
+    """Meta + coarse quantizer.  The centroids FILE is named by the
+    state json (single atomic read point), so a retrain can swap
+    geometry and segments together — a reader can never pair new
+    centroids with old segments or vice versa."""
+    if state is None:
+        state = _read_state(out_dir)
     with open(os.path.join(out_dir, META_NAME)) as f:
         meta = json.load(f)
     cents = np.array(
-        pq.read_table(os.path.join(out_dir, CENTROIDS_NAME))
+        pq.read_table(os.path.join(out_dir, state.get("centroids", CENTROIDS_NAME)))
         .sort_by("cell")["centroid"].to_pylist(), dtype=np.float64)
+    meta["n_cells"] = len(cents)  # centroids file is authoritative post-retrain
     return meta, IVFIndex.from_centroids(cents)
 
 
@@ -143,7 +150,7 @@ def maintain_epoch(lake_root: str, out_dir: str, epoch: int) -> dict:
         return {"epoch": epoch, "skipped": True}
     if epoch != state["last_epoch"] + 1:
         raise ValueError(f"epoch {epoch} out of order (last={state['last_epoch']})")
-    meta, index = _load_quantizer(out_dir)
+    meta, index = _load_quantizer(out_dir, state)
 
     cdf = change_feed(lake_root, epoch, images="both").materialize()  # churn-bounded
     add_types = pa.array(list(_ADD_TYPES))
@@ -248,8 +255,8 @@ def query_topk(out_dir: str, query_text: str, k: int = 10,
     cells, read ONLY those cells' files across live segments, drop dead
     rows, exact cosine top-k.  Ties broken on (sim desc, conv_id,
     turn_idx) for determinism."""
-    meta, index = _load_quantizer(out_dir)
     state = _read_state(out_dir)
+    meta, index = _load_quantizer(out_dir, state)
     q = hash_embed_texts([query_text], meta["dim"])[0]
     files = _segment_files(out_dir, state, index.probe_cells(q, n_probe))
     empty = pd.DataFrame({"conv_id": pd.Series([], dtype=object),
@@ -297,8 +304,8 @@ def read_alive(out_dir: str) -> "ray.data.Dataset":
     (exactly one row per live lake key; the gate query checks it against
     the WAL's LWW live set).  ANN queries use ``query_topk``'s
     cell-pruned path instead."""
-    meta, _ = _load_quantizer(out_dir)
     state = _read_state(out_dir)
+    meta, _ = _load_quantizer(out_dir, state)
     files = _segment_files(out_dir, state, np.arange(meta["n_cells"]))
     if not files:
         return ray.data.from_arrow(pa.table({
@@ -322,7 +329,7 @@ def compact_index(out_dir: str) -> dict:
     removed best-effort AFTER the swap — a crash in between leaves
     garbage, never duplicates, because readers follow _SEGMENTS.json)."""
     state = _read_state(out_dir)
-    meta, _ = _load_quantizer(out_dir)
+    meta, _ = _load_quantizer(out_dir, state)
     tomb = _tomb_frame(out_dir, state)
     new_seg = f"seg-c{state['compactions']:04d}-e{state['last_epoch']:06d}"
     tmp = tempfile.mkdtemp(prefix=".tmp-compact-", dir=out_dir)
@@ -358,10 +365,84 @@ def compact_index(out_dir: str) -> dict:
     os.replace(tmp, os.path.join(out_dir, new_seg))
 
     old_segs, old_tombs = state["segments"], state["tombs"]
-    _write_state(out_dir, {"segments": [new_seg], "tombs": [],
-                           "last_epoch": state["last_epoch"],
+    _write_state(out_dir, {**state, "segments": [new_seg], "tombs": [],
                            "compactions": state["compactions"] + 1})
     for rel in old_segs + old_tombs:
         shutil.rmtree(os.path.join(out_dir, rel), ignore_errors=True)
     return {"segment": new_seg, "rows": kept,
             "folded_segments": len(old_segs), "folded_tombs": len(old_tombs)}
+
+
+# -- retrain / rebalance -------------------------------------------------------
+
+def retrain_index(out_dir: str, new_centroids: np.ndarray) -> dict:
+    """Swap the coarse quantizer: reassign every ALIVE row to its cell
+    under ``new_centroids`` (the rows already carry their embeddings —
+    no re-embed) and publish ONE rebalanced segment + the new centroids
+    file with a single atomic state swap.  Because readers resolve the
+    centroids FILE through ``_SEGMENTS.json``, no reader can pair the
+    new geometry with the old segments or vice versa — the failure that
+    would silently prune the wrong cells.  The admin answer to cell
+    skew after the corpus drifts away from the bootstrap centroids
+    (``engine.compact(cluster=...)`` is the lake-side precedent)."""
+    state = _read_state(out_dir)
+    meta, _ = _load_quantizer(out_dir, state)
+    cents = np.asarray(new_centroids, dtype=np.float64)
+    if cents.shape[1] != meta["dim"]:
+        raise ValueError(f"centroid dim {cents.shape[1]} != index dim {meta['dim']}")
+    new_index = IVFIndex.from_centroids(cents)
+    old_cells = np.arange(meta["n_cells"])
+    files = _segment_files(out_dir, state, old_cells)
+    n_retrains = state.get("retrains", 0)
+    new_seg = f"seg-r{n_retrains:04d}-e{state['last_epoch']:06d}"
+    cent_name = f"centroids-r{n_retrains + 1:04d}.parquet"
+    rows = 0
+    if files:
+        tref = ray.put(_tomb_frame(out_dir, state))
+        iref = ray.put(new_index)
+
+        def reassign(batch: pa.Table) -> pa.Table:
+            live = _alive(batch, ray.get(tref))
+            if "cell" in live.column_names:  # stray hive column, if any
+                live = live.drop_columns(["cell"])
+            if not live.num_rows:  # fully-tombstoned batch
+                return live.append_column("cell", pa.array([], pa.int64()))
+            cells = ray.get(iref).assign(_batch_matrix(live, "embedding"))
+            return live.append_column("cell", pa.array(cells))
+
+        tmp = tempfile.mkdtemp(prefix=".tmp-retrain-", dir=out_dir)
+        ds = ray.data.read_parquet(files).map_batches(
+            reassign, batch_format="pyarrow", zero_copy_batch=True)
+        ds.write_parquet(tmp, partition_cols=["cell"])
+        rows = sum(pq.read_metadata(f).num_rows for f in
+                   glob.glob(os.path.join(tmp, "**", "*.parquet"), recursive=True))
+        os.replace(tmp, os.path.join(out_dir, new_seg))
+    pq.write_table(
+        pa.table({"cell": pa.array(np.arange(len(cents), dtype=np.int64)),
+                  "centroid": pa.array(list(cents), pa.list_(pa.float64()))}),
+        os.path.join(out_dir, cent_name))
+
+    old_segs, old_tombs = state["segments"], state["tombs"]
+    _write_state(out_dir, {**state,
+                           "segments": [new_seg] if files else [],
+                           "tombs": [], "centroids": cent_name,
+                           "retrains": n_retrains + 1})
+    for rel in old_segs + old_tombs:
+        shutil.rmtree(os.path.join(out_dir, rel), ignore_errors=True)
+    return {"segment": new_seg if files else None, "rows": int(rows),
+            "n_cells": int(len(cents)), "centroids": cent_name}
+
+
+def cell_sizes(out_dir: str) -> dict[int, int]:
+    """Alive-row count per cell (skew diagnostic feeding retrain)."""
+    state = _read_state(out_dir)
+    meta, _ = _load_quantizer(out_dir, state)
+    tomb = _tomb_frame(out_dir, state)
+    sizes: dict[int, int] = {}
+    for c in range(meta["n_cells"]):
+        n = 0
+        for f in _segment_files(out_dir, state, np.array([c])):
+            n += _alive(pq.read_table(f, columns=[*KEY_COLS, "vseq"]), tomb).num_rows
+        if n:
+            sizes[int(c)] = n
+    return sizes

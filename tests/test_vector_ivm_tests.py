@@ -128,3 +128,62 @@ def test_query_reads_only_probed_cells(lake, tmp_path):
     probed = _segment_files(out, state, index.probe_cells(q, N_PROBE))
     all_files = _segment_files(out, state, np.arange(N_CELLS))
     assert 0 < len(probed) < len(all_files)
+
+
+def test_retrain_swaps_geometry_atomically(lake, tmp_path):
+    """Retrain reassigns every alive row under the new centroids (no
+    re-embed), clears tombstones, changes n_cells, and — because the
+    centroids file is resolved THROUGH the state json — queries after a
+    subsequent compaction still use the new geometry."""
+    from agr_loader_ray.pipelines.vector_ivm import (
+        cell_sizes,
+        read_alive,
+        retrain_index,
+    )
+    from agr_loader_ray.stages.similarity import IVFIndex
+
+    lake_root, spec = lake
+    out = str(tmp_path / "vidx")
+    maintain_vector_index(lake_root, out, dim=DIM, n_cells=N_CELLS)
+    before_alive = (read_alive(out).to_pandas()
+                    .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+                    .reset_index(drop=True))
+
+    # data-trained quantizer with a DIFFERENT cell count
+    df = read_lake(lake_root).to_pandas().head(256)
+    sample = hash_embed_texts(df["text"].tolist(), DIM)
+    new_cents = IVFIndex(sample, n_cells=4, seed=1).centroids
+    info = retrain_index(out, new_cents)
+    assert info["n_cells"] == 4 and info["rows"] == len(before_alive)
+
+    state = _read_state(out)
+    assert state["tombs"] == [] and state["segments"] == [info["segment"]]
+    assert state["centroids"] == info["centroids"]
+    meta, idx = _load_quantizer(out)
+    assert meta["n_cells"] == 4
+    np.testing.assert_allclose(idx.centroids, new_cents)
+
+    # alive membership unchanged; every row lives in its NEW cell
+    after_alive = (read_alive(out).to_pandas()
+                   .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+                   .reset_index(drop=True))
+    pd.testing.assert_frame_equal(after_alive, before_alive)
+    assert sum(cell_sizes(out).values()) == len(before_alive)
+
+    # query equals the brute-force oracle under the NEW quantizer, and
+    # survives a compaction (the state json carries the centroids file)
+    _assert_same(_got(out), _expected(lake_root, spec.n_epochs - 1, out))
+    compact_index(out)
+    assert _read_state(out)["centroids"] == info["centroids"]
+    _assert_same(_got(out), _expected(lake_root, spec.n_epochs - 1, out))
+
+
+def test_retrain_dim_guard(lake, tmp_path):
+    from agr_loader_ray.pipelines.vector_ivm import retrain_index
+
+    lake_root, _ = lake
+    out = str(tmp_path / "vidx")
+    init_vector_index(out, dim=DIM, n_cells=N_CELLS)
+    maintain_epoch(lake_root, out, 0)
+    with pytest.raises(ValueError, match="dim"):
+        retrain_index(out, np.zeros((4, DIM + 1)))
