@@ -548,9 +548,16 @@ def ppjoin_pairs(sf_dir: str, threshold: float = 0.8, k: int = 5,
 
         attached = sh.map_batches(attach_df, batch_format="pyarrow",
                                   zero_copy_batch=True)
-    else:  # scale path: distributed attach, no driver state
-        attached = sh.join(df_ds, join_type="inner",
-                           num_partitions=nparts, on=("h",))
+    else:
+        # scale path: distributed attach with NO driver state — ONE
+        # h-keyed exchange (stages/attach.py; Ray's Dataset.join
+        # hash-partitions with a per-row Python hash loop and crawls at
+        # sf0.1's ~6M distinct shingles).  Every h in `sh` exists in
+        # `df_ds` by construction (df was computed FROM sh), so the
+        # inner attach drops nothing.
+        from ..stages.attach import exchange_attach
+
+        attached = exchange_attach(sh, df_ds, "h", nparts=nparts)
 
     def prefix_part(g: pd.DataFrame) -> pa.Table:
         did = g["doc_id"].to_numpy().astype(np.int64)

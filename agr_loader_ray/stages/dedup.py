@@ -410,25 +410,56 @@ def verify_pairs_jaccard(
                                  zero_copy_batch=True, batch_size=8192)
 
     if not distinct:
-        # join path (pair set past the broadcast bound): distributed
-        # pair dedup before the text-attach joins
+        # exchange path (pair set past the broadcast bound): distributed
+        # pair dedup before the text attaches
         pairs = _dedup_pairs(pairs)
+    # two single-exchange attaches (stages/attach.py) instead of
+    # Dataset.join: the join's per-row Python hash partitioning crawls
+    # at the >2M-pair cardinality that routes candidates here (measured:
+    # ppjoin at sf0.1 never finished the first join)
+    from .attach import exchange_attach
+
     a_side = docs.map_batches(
-        lambda t: pa.table({"a_id": t[id_col], "a_text": t[text_col]}),
+        lambda t: pa.table({"id_a": t[id_col], "a_text": t[text_col]}),
         batch_format="pyarrow", zero_copy_batch=True,
     )
     b_side = docs.map_batches(
-        lambda t: pa.table({"b_id": t[id_col], "b_text": t[text_col]}),
+        lambda t: pa.table({"id_b": t[id_col], "b_text": t[text_col]}),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    witha = pairs.join(a_side, join_type="inner", num_partitions=join_parts(),
-                       on=("id_a",), right_on=("a_id",))
-    withb = witha.join(b_side, join_type="inner", num_partitions=join_parts(),
-                       on=("id_b",), right_on=("b_id",))
+    witha = exchange_attach(pairs, a_side, "id_a", nparts=join_parts())
+    withb = exchange_attach(witha, b_side, "id_b", nparts=join_parts())
 
     def score(t: pa.Table) -> pa.Table:
-        ja = np.array([jaccard_ngram(a, b, k) for a, b in
-                       zip(t["a_text"].to_pylist(), t["b_text"].to_pylist())])
+        # per-batch shingle-set memo: a doc repeated across this batch's
+        # pairs (the common case — a hot doc collides with many) is
+        # shingled ONCE, intersections are searchsorted on sorted-unique
+        # hashes — the same discipline as score_broadcast; recomputing
+        # jaccard_ngram per PAIR would re-shingle hot docs thousands of
+        # times at the >2M-pair cardinality that routes here
+        sets: dict[int, np.ndarray] = {}
+        ia = t["id_a"].to_numpy(zero_copy_only=False)
+        ib = t["id_b"].to_numpy(zero_copy_only=False)
+        ta = t["a_text"].to_pylist()
+        tb = t["b_text"].to_pylist()
+        ja = np.empty(len(ia), dtype=np.float64)
+        for i in range(len(ia)):
+            sa = sets.get(ia[i])
+            if sa is None:
+                sa = sets[ia[i]] = np.unique(_shingle_hashes(ta[i] or "", k))
+            sb = sets.get(ib[i])
+            if sb is None:
+                sb = sets[ib[i]] = np.unique(_shingle_hashes(tb[i] or "", k))
+            if len(sa) > len(sb):
+                sa, sb = sb, sa
+            if len(sb):
+                loc = np.searchsorted(sb, sa)
+                loc[loc == len(sb)] = len(sb) - 1
+                inter = int((sb[loc] == sa).sum())
+            else:
+                inter = 0
+            union = len(sa) + len(sb) - inter
+            ja[i] = inter / union if union else 0.0
         keep = ja >= threshold
         return pa.table({
             "id_a": t["id_a"].combine_chunks().filter(pa.array(keep)),

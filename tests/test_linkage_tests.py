@@ -98,3 +98,20 @@ def test_ppjoin_equals_brute_force(ray_session):
     assert got_map.keys() == want.keys()
     for p, jac in want.items():
         assert got_map[p] == jac
+
+
+def test_ppjoin_exchange_attach_path_equals_broadcast():
+    """The >2M-distinct-shingle scale path (tagged-union + one h-keyed
+    exchange attach; replaced Dataset.join, which crawls on per-row
+    Python hashing at sf0.1 cardinality) must produce the identical
+    pair set as the broadcast attach."""
+    import pandas as pd
+
+    from agr_loader_ray.pipelines.linkage_queries import ppjoin_pairs
+
+    a = (ppjoin_pairs(SF).to_pandas()
+         .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    b = (ppjoin_pairs(SF, broadcast_limit=0).to_pandas()
+         .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
