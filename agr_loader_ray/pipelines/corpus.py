@@ -155,10 +155,10 @@ def build_clean_corpus(sf_dir: str, out_dir: str, min_tokens: int = 10,
                 pc.not_equal(t["doc_id"], t["group"]))["doc_id"]}),
             batch_format="pyarrow",
         )
-        final = stream.join(
-            drop_ds, join_type="left_anti", num_partitions=join_parts(),
-            on=("doc_id",), right_on=("drop_id",),
-        )
+        from ..stages.attach import exchange_semi
+
+        final = exchange_semi(stream, drop_ds, "doc_id", keys_key="drop_id",
+                              anti=True, nparts=join_parts())
     final = final.map_batches(
         lambda t: t.select(["doc_id", "text", "source", "n_tokens", "stop_ratio", "en_ratio"]),
         batch_format="pyarrow",
@@ -201,10 +201,10 @@ def build_clean_corpus(sf_dir: str, out_dir: str, min_tokens: int = 10,
                 batch_format="pyarrow",
             )
         else:
-            final = train.join(
-                hits, join_type="left_anti", num_partitions=join_parts(),
-                on=("doc_id",),
-            )
+            from ..stages.attach import exchange_semi
+
+            final = exchange_semi(train, hits, "doc_id", anti=True,
+                                  nparts=join_parts())
 
     data_dir = os.path.join(out_dir, "data")
     final.write_parquet(data_dir)

@@ -163,8 +163,10 @@ def _repair_stream(lake_root: str, epoch: int, cdf: ray.data.Dataset,
         scoped = lake.map_batches(member_filter, batch_format="pyarrow",
                                   zero_copy_batch=True)
     else:
+        from ..stages.attach import exchange_semi
+
         keys = ray.data.from_arrow(pa.table({"conv_id": pa.array(removal, pa.string())}))
-        scoped = lake.join(keys, join_type="left_semi", on=("conv_id",))
+        scoped = exchange_semi(lake, keys, "conv_id")
 
     def partial_max(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

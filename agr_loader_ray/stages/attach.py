@@ -3,7 +3,8 @@ key-equality attaches.
 
 ``exchange_attach(rows, attach, ...)`` unions the two sides tagged,
 hash-partitions ONCE on the key, and merges inside each partition with
-a pandas hash join (C-speed) — where ``ray.data.Dataset.join``
+a sorted-gather on the native key dtype (pure Arrow/numpy — pandas
+would promote uint64 keys to lossy float64) — where ``ray.data.Dataset.join``
 hash-partitions with a per-row Python ``hash(tuple)`` loop
 (ray/data/_internal/arrow_ops/transform_pyarrow.py hash_partition),
 measured unusable at ~10⁷ rows (the ppjoin sf0.1 hang this replaced).
@@ -130,3 +131,55 @@ def exchange_attach(rows: "ray.data.Dataset", attach: "ray.data.Dataset",
         attach.map_batches(tag_attach, batch_format="pyarrow",
                            zero_copy_batch=True))
     return tagged.groupby("part").map_groups(merge_part, batch_format="pyarrow")
+
+
+def exchange_semi(rows: "ray.data.Dataset", keys: "ray.data.Dataset",
+                  key_col: str, keys_key: str | None = None,
+                  anti: bool = False, nparts: int = 32) -> "ray.data.Dataset":
+    """Distributed semi (``anti=False``) / anti (``anti=True``) join via
+    the same single tagged exchange as ``exchange_attach``: keep rows
+    whose key is (not) present in ``keys``.  The key side may contain
+    duplicates.  Replaces ``Dataset.join(join_type='left_semi'/'left_anti')``
+    on the >broadcast-bound scale paths (same per-row-Python-hash crawl
+    and empty-side crash as the inner join)."""
+    keys_key = key_col if keys_key is None else keys_key
+    rows_schema = rows.schema()
+    row_cols = list(rows_schema.names)
+    row_types = {n: _arrow_type(t) for n, t in zip(rows_schema.names, rows_schema.types)}
+    empty_schema = pa.schema([pa.field(c, row_types[c]) for c in row_cols])
+
+    def tag_rows(t: pa.Table) -> pa.Table:
+        cols = {c: t[c].cast(row_types[c]) for c in row_cols}
+        cols[_SIDE] = pa.array(np.zeros(t.num_rows, np.int8))
+        cols["part"] = pa.array(_part_of(t[key_col].combine_chunks(), nparts))
+        return pa.table(cols)
+
+    def tag_keys(t: pa.Table) -> pa.Table:
+        cols = {c: (t[keys_key].cast(row_types[c]) if c == key_col
+                    else pa.nulls(t.num_rows, row_types[c]))
+                for c in row_cols}
+        cols[_SIDE] = pa.array(np.ones(t.num_rows, np.int8))
+        cols["part"] = pa.array(_part_of(t[keys_key].combine_chunks(), nparts))
+        return pa.table(cols)
+
+    def filter_part(g: pa.Table) -> pa.Table:
+        side = g[_SIDE].to_numpy(zero_copy_only=False)
+        base = g.filter(pa.array(side == 0))
+        if not base.num_rows:
+            return empty_schema.empty_table()
+        ks = np.unique(g.filter(pa.array(side == 1))[key_col]
+                       .to_numpy(zero_copy_only=False))
+        kb = base[key_col].to_numpy(zero_copy_only=False)
+        if len(ks):
+            pos = np.minimum(np.searchsorted(ks, kb), len(ks) - 1)
+            member = ks[pos] == kb
+        else:
+            member = np.zeros(len(kb), bool)
+        keep = ~member if anti else member
+        return base.filter(pa.array(keep)).select(row_cols).cast(empty_schema)
+
+    tagged = rows.map_batches(tag_rows, batch_format="pyarrow",
+                              zero_copy_batch=True).union(
+        keys.map_batches(tag_keys, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    return tagged.groupby("part").map_groups(filter_part, batch_format="pyarrow")

@@ -144,7 +144,7 @@ def contaminated_docs(train_ds, bench_ds, k: int = 4,
         batch_format="pyarrow", zero_copy_batch=True,
     )
     from ..functions.pools import join_parts
+    from .attach import exchange_semi
 
-    hits = train_sh.join(bench_sh, join_type="left_semi", on=("h",),
-                         num_partitions=join_parts())
+    hits = exchange_semi(train_sh, bench_sh, "h", nparts=join_parts())
     return hits.groupby("doc_id").aggregate(Count(alias_name="n_contaminated"))

@@ -641,6 +641,11 @@ def resolve_duplicate_groups_distributed(
             lambda t: pa.table({"v2": t["u"], "vlabel": t["label"]}),
             batch_format="pyarrow", zero_copy_batch=True,
         )
+        # NOTE: this per-round propagate stays on Dataset.join — the
+        # label table is bounded by distinct near-dup doc ids (not the
+        # fact stream), and swapping the in-LOOP join for the
+        # union+groupby exchange wedged Ray 2.49's streaming executor
+        # (tested; single-shot exchange_attach call sites are fine)
         prop = edges.join(lab_v, join_type="inner", num_partitions=join_parts(),
                           on=("v",), right_on=("v2",)).map_batches(
             lambda t: pa.table({"u": t["u"], "label": t["vlabel"]}),
