@@ -465,8 +465,11 @@ def cube_order_counts(sf_dir: str):
 # aggregates (per-user click counts × per-user purchase counts), nulls
 # coalesced to 0.  Completes the repo's join-type surface (inner /
 # left+right outer via this / semi / anti / asof / interval /
-# broadcast / cartesian).  Both sides pre-aggregate BEFORE the join so
-# the exchange carries one row per (side, user), never raw events.
+# broadcast / cartesian).  A full outer of AGGREGATES over the same
+# key needs no join operator at all: one per-batch partial counts both
+# event types per user, ONE user-keyed exchange sums them, and the
+# null-coalesce is the post-filter — shuffle-minimal (1 exchange vs
+# 2 groupbys + a join) and identical semantics.
 # ---------------------------------------------------------------------------
 @query(
     "full_outer_clicks_purchases",
@@ -484,32 +487,31 @@ def cube_order_counts(sf_dir: str):
 def full_outer_clicks_purchases(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
 
-    def side(event_type: str, out_col: str) -> ray.data.Dataset:
-        def partial(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.equal(t["event_type"], event_type))
-            g = t.group_by("user_id").aggregate([("user_id", "count")])
-            return pa.table({
-                "user_id": g["user_id"],
-                out_col: pc.cast(g["user_id_count"], pa.int64())})
+    def partial(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.equal(t["event_type"], "click"), pa.int64())
+        p = pc.cast(pc.equal(t["event_type"], "purchase"), pa.int64())
+        g = (pa.table({"user_id": t["user_id"], "n_clicks": c,
+                       "n_purchases": p})
+             .group_by("user_id")
+             .aggregate([("n_clicks", "sum"), ("n_purchases", "sum")]))
+        return g.rename_columns(["user_id", "n_clicks", "n_purchases"])
 
-        return (ds.map_batches(partial, batch_format="pyarrow",
-                               zero_copy_batch=True)
-                .groupby("user_id")
-                .aggregate(Sum(out_col, alias_name=out_col)))
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("user_id")
+           .aggregate(Sum("n_clicks", alias_name="n_clicks"),
+                      Sum("n_purchases", alias_name="n_purchases")))
 
-    joined = side("click", "n_clicks").join(
-        side("purchase", "n_purchases"), join_type="full_outer",
-        num_partitions=join_parts(), on=("user_id",))
+    def coalesce(t: pa.Table) -> pa.Table:
+        nc = pc.cast(t["n_clicks"], pa.int64())
+        np_ = pc.cast(t["n_purchases"], pa.int64())
+        # users with neither side are outside the FULL OUTER's domain
+        keep = pc.greater(pc.add(nc, np_), 0)
+        return pa.table({"user_id": t["user_id"], "n_clicks": nc,
+                         "n_purchases": np_}).filter(keep)
 
-    def fill(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "user_id": t["user_id"],
-            "n_clicks": pc.fill_null(pc.cast(t["n_clicks"], pa.int64()), 0),
-            "n_purchases": pc.fill_null(
-                pc.cast(t["n_purchases"], pa.int64()), 0)})
-
-    return joined.map_batches(fill, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    return agg.map_batches(coalesce, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -798,10 +800,13 @@ def substring_containment_pairs(sf_dir: str):
     texts_b = docs.map_batches(
         lambda t: t.rename_columns(["container_id", "text_b"]),
         batch_format="pyarrow", zero_copy_batch=True)
-    cand = (cand.join(texts_a, join_type="inner", num_partitions=_jp(),
-                      on=("contained_id",))
-            .join(texts_b, join_type="inner", num_partitions=_jp(),
-                  on=("container_id",)))
+    # exchange_attach, not Dataset.join: the join would hash-partition
+    # the full docs side with its per-row Python loop even though cand
+    # is tiny (stages/attach.py has the measured rationale)
+    from ..stages.attach import exchange_attach
+
+    cand = exchange_attach(cand, texts_a, "contained_id", nparts=_jp())
+    cand = exchange_attach(cand, texts_b, "container_id", nparts=_jp())
 
     def verify(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
