@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     import agr_loader_ray.pipelines.curation_queries  # noqa: F401 (registers)
     import agr_loader_ray.pipelines.allocation_queries  # noqa: F401 (registers)
     import agr_loader_ray.pipelines.resample_queries  # noqa: F401 (registers)
+    import agr_loader_ray.pipelines.ml_queries  # noqa: F401 (registers)
     from agr_loader_ray.pipelines.queries import QUERIES
 
     return dict(QUERIES)
@@ -70,6 +71,7 @@ def oracle_sql() -> dict[str, str]:
     import agr_loader_ray.pipelines.curation_queries  # noqa: F401 (registers)
     import agr_loader_ray.pipelines.allocation_queries  # noqa: F401 (registers)
     import agr_loader_ray.pipelines.resample_queries  # noqa: F401 (registers)
+    import agr_loader_ray.pipelines.ml_queries  # noqa: F401 (registers)
     from agr_loader_ray.pipelines.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)

@@ -1,0 +1,559 @@
+"""ML-pipeline operator batch (round 4): semantic dedup, streaming PCA,
+SymSpell edit-distance blocking, item-item collaborative filtering.
+
+Same contract as ``queries.py``: every entry pairs a Ray-Data-first
+pipeline with a DuckDB oracle mirrored operation-for-operation (exact
+int64 partial sums wherever a quantity is distributable; every float
+that feeds the typed hash is a mirrored IEEE op chain ending in a
+half-away 6-dp round).
+
+Reference provenance: the reference resolves near-duplicate identifiers
+through blocked fallback chains (helpers/resolver_helper.py — the
+SymSpell deletion-neighborhood here is the distributed generalization,
+SURVEY J6/M5) and ships per-entity "similar entities" panels derived
+from shared-annotation overlap (gene_descriptions_etl.py's ontology
+overlap — the cosine CF here is that shape over baskets, SURVEY A2/J4).
+SemDeDup (Abbas et al. 2023) and single-pass covariance PCA are public
+training-data-pipeline staples the brief asks for beyond the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data.aggregate import Sum
+
+from ..functions.pools import join_parts as _join_parts
+from ..functions.tables import read_small, read_table
+from ..stages.partition import int_key_part_col, stable_hash_strings
+from ..stages.similarity import round_half_away
+from .queries import query
+
+_EMB_DIM, _EMB_SCALE = 64, 1000
+
+
+def _int_grid(t: pa.Table) -> pa.Table:
+    """vec_id + round-half-away int64 grid of the embedding (the
+    kmeans_int_clusters grid: x -> round(x*1000), exact on both sides)."""
+    flat = pc.list_flatten(t["embedding"].combine_chunks()) \
+        .to_numpy(zero_copy_only=False).astype(np.float64) * _EMB_SCALE
+    x = np.trunc(flat + np.sign(flat) * 0.5).astype(np.int64)
+    return pa.table({
+        "vec_id": t["vec_id"],
+        "xs": pa.FixedSizeListArray.from_arrays(pa.array(x, pa.int64()),
+                                                _EMB_DIM),
+    })
+
+
+def _grid_matrix(t: pa.Table) -> np.ndarray:
+    return pc.list_flatten(t["xs"].combine_chunks()) \
+        .to_numpy(zero_copy_only=False).reshape(-1, _EMB_DIM)
+
+
+# ---------------------------------------------------------------------------
+# semdedup_prune — SemDeDup-style semantic deduplication (Abbas et al.
+# 2023): partition the embedding space into k cells around fixed seed
+# vectors, then WITHIN each cell prune every vector that has a
+# lower-id neighbor with cosine similarity >= theta.  Pair work is
+# cluster-bounded by construction — at 100 TB k scales with n so the
+# per-cell population (and the only O(m^2) term) stays capped; the
+# cells are the exchange key, so no all-pairs shuffle ever forms.
+# Exactness: int-grid dots are exact int64 carried in float64 (<2^53);
+# sim = dot / (sqrt(n2_a)*sqrt(n2_b)) is the same 4-op IEEE chain the
+# oracle runs, then a half-away 6-dp round on both sides.
+# ---------------------------------------------------------------------------
+_SEM_K, _SEM_THETA = 8, 0.35
+
+
+def _semdedup_sql() -> str:
+    k, dim, sc, th = _SEM_K, _EMB_DIM, _EMB_SCALE, _SEM_THETA
+    return f"""
+    WITH vd AS (
+      SELECT vec_id, i,
+             CAST(round(CAST(CAST(embedding AS DOUBLE[])[i] AS DOUBLE)
+                        * {sc}) AS BIGINT) AS x
+      FROM embeddings, unnest(generate_series(1, {dim})) AS t(i)),
+    seeds AS (SELECT vec_id AS c, i, x AS m FROM vd WHERE vec_id < {k}),
+    d AS (
+      SELECT vd.vec_id, s.c, sum((vd.x - s.m) * (vd.x - s.m)) AS d
+      FROM vd JOIN seeds s ON vd.i = s.i GROUP BY vd.vec_id, s.c),
+    a AS (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM d) WHERE rn = 1),
+    nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM vd GROUP BY vec_id),
+    sims AS (
+      SELECT a2.vec_id AS vb,
+             round(CAST(sum(v1.x * v2.x) AS DOUBLE)
+                   / (sqrt(CAST(n1.n2 AS DOUBLE))
+                      * sqrt(CAST(n2.n2 AS DOUBLE))), 6) AS sim
+      FROM a a1 JOIN a a2 ON a1.c = a2.c AND a1.vec_id < a2.vec_id
+      JOIN vd v1 ON v1.vec_id = a1.vec_id
+      JOIN vd v2 ON v2.vec_id = a2.vec_id AND v2.i = v1.i
+      JOIN nrm n1 ON n1.vec_id = a1.vec_id
+      JOIN nrm n2 ON n2.vec_id = a2.vec_id
+      GROUP BY a1.vec_id, a2.vec_id, n1.n2, n2.n2),
+    pruned AS (SELECT DISTINCT vb FROM sims WHERE sim >= {th}),
+    fin AS (
+      SELECT a.c, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(count(p.vb) AS BIGINT) AS n_pruned
+      FROM a LEFT JOIN pruned p ON a.vec_id = p.vb
+      GROUP BY a.c)
+    SELECT c, n_vecs, n_pruned FROM fin ORDER BY c
+    """
+
+
+@query("semdedup_prune", _semdedup_sql())
+def semdedup_prune(sf_dir: str):
+    k, th = _SEM_K, _SEM_THETA
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
+        .map_batches(_int_grid, batch_format="pyarrow", zero_copy_batch=True) \
+        .materialize()
+
+    # seeds: the k lowest vec_ids — a metadata-scale pull of k rows
+    seed_t = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], k)),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas() \
+        .sort_values("vec_id")
+    seeds = np.vstack(seed_t["xs"].to_numpy()).astype(np.int64)
+    seeds_ref = ray.put(seeds)
+
+    def assign(t: pa.Table) -> pa.Table:
+        S = ray.get(seeds_ref)
+        X = _grid_matrix(t)
+        diff = X[:, None, :] - S[None, :, :]
+        d = np.einsum("nkd,nkd->nk", diff, diff)
+        c = np.argmin(d, axis=1)  # first min == smallest c (tie rule)
+        return pa.table({
+            "c": pa.array(c.astype(np.int64)),
+            "vec_id": t["vec_id"],
+            "n2": pa.array((X * X).sum(axis=1)),
+            "xs": t["xs"],
+        })
+
+    def prune_cell(g: pa.Table) -> pa.Table:
+        order = np.argsort(g["vec_id"].to_numpy(zero_copy_only=False),
+                           kind="stable")
+        X = _grid_matrix(g)[order].astype(np.float64)  # dots exact (<2^53)
+        n2 = g["n2"].to_numpy(zero_copy_only=False)[order].astype(np.float64)
+        s = np.sqrt(n2)
+        s = np.where(s == 0.0, 1.0, s)  # zero-norm guard (mirrors oracle: none)
+        n = len(s)
+        pruned = np.zeros(n, bool)
+        # column-blocked so a hot cell never allocates an n×n matrix
+        blk = 4096
+        for lo in range(0, n, blk):
+            hi = min(lo + blk, n)
+            sims = round_half_away((X @ X[lo:hi].T)
+                                   / (s[:, None] * s[lo:hi][None, :]), 6)
+            mask = sims >= th
+            # only strictly-earlier rows (vec_id asc) may prune a column
+            rows = np.arange(n)[:, None]
+            cols = np.arange(lo, hi)[None, :]
+            pruned[lo:hi] |= (mask & (rows < cols)).any(axis=0)
+        c = int(g["c"][0].as_py())
+        return pa.table({
+            "c": pa.array([c], pa.int64()),
+            "n_vecs": pa.array([n], pa.int64()),
+            "n_pruned": pa.array([int(pruned.sum())], pa.int64()),
+        })
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c")
+        .map_groups(prune_cell, batch_format="pyarrow")
+        .sort("c")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pca_power_component — single-pass distributed PCA (top principal
+# component by power iteration).  One streaming pass emits the exact
+# int64 second-moment partials (X^T X, column sums, count); the 64×64
+# scatter matrix B = n·Sij − si·sj lives on the driver (dim-bounded,
+# never data-scaled) and two power-iteration steps run on a 6-dp
+# integer-quantized copy so every matvec is exact int64 arithmetic the
+# oracle replays verbatim.  Int64 envelope: |x|<=2·10^3·scale, so
+# n·Sij fits while n < ~10^12 rows (documented bound).
+# ---------------------------------------------------------------------------
+_PCA_Q = 1_000_000
+
+
+def _pca_sql() -> str:
+    dim, sc, q = _EMB_DIM, _EMB_SCALE, _PCA_Q
+    return f"""
+    WITH vd AS (
+      SELECT vec_id, i,
+             CAST(round(CAST(CAST(embedding AS DOUBLE[])[i] AS DOUBLE)
+                        * {sc}) AS BIGINT) AS x
+      FROM embeddings, unnest(generate_series(1, {dim})) AS t(i)),
+    nn AS (SELECT count(*) AS n FROM embeddings),
+    s AS (SELECT i, sum(x) AS si FROM vd GROUP BY i),
+    m2 AS (
+      SELECT v1.i AS i, v2.i AS j, sum(v1.x * v2.x) AS sij
+      FROM vd v1 JOIN vd v2 ON v1.vec_id = v2.vec_id
+      GROUP BY v1.i, v2.i),
+    b AS (
+      SELECT m2.i, m2.j,
+             (SELECT n FROM nn) * m2.sij - s1.si * s2.si AS b
+      FROM m2 JOIN s s1 ON s1.i = m2.i JOIN s s2 ON s2.i = m2.j),
+    mb AS (SELECT max(abs(b)) AS m FROM b),
+    c AS (
+      SELECT i, j,
+             CAST(round(CAST(b AS DOUBLE) * {q}
+                        / (SELECT m FROM mb)) AS BIGINT) AS x
+      FROM b),
+    w1 AS (SELECT i, sum(x) AS w FROM c GROUP BY i),
+    m1 AS (SELECT max(abs(w)) AS m FROM w1),
+    v1 AS (
+      SELECT i, CAST(round(CAST(w AS DOUBLE) * {q}
+                           / (SELECT m FROM m1)) AS BIGINT) AS v
+      FROM w1),
+    w2 AS (
+      SELECT c.i, sum(c.x * v1.v) AS w FROM c JOIN v1 ON v1.i = c.j
+      GROUP BY c.i),
+    m2x AS (SELECT max(abs(w)) AS m FROM w2),
+    v2 AS (
+      SELECT i, CAST(round(CAST(w AS DOUBLE) * {q}
+                           / (SELECT m FROM m2x)) AS BIGINT) AS v
+      FROM w2)
+    SELECT i, v FROM v2 ORDER BY i
+    """
+
+
+def _half_away_int(x: np.ndarray) -> np.ndarray:
+    return np.trunc(x + np.sign(x) * 0.5).astype(np.int64)
+
+
+@query("pca_power_component", _pca_sql())
+def pca_power_component(sf_dir: str):
+    dim, q = _EMB_DIM, _PCA_Q
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
+        .map_batches(_int_grid, batch_format="pyarrow", zero_copy_batch=True)
+
+    ii, jj = np.meshgrid(np.arange(1, dim + 1, dtype=np.int64),
+                         np.arange(1, dim + 1, dtype=np.int64), indexing="ij")
+
+    def moments(t: pa.Table) -> pa.Table:
+        X = _grid_matrix(t)
+        S = X.T @ X  # int64-exact
+        si = X.sum(axis=0)
+        i = np.r_[ii.ravel(), np.arange(1, dim + 1, dtype=np.int64), [0]]
+        j = np.r_[jj.ravel(), np.zeros(dim, np.int64), [0]]
+        s = np.r_[S.ravel(), si, [np.int64(len(t))]]
+        return pa.table({"i": pa.array(i), "j": pa.array(j), "s": pa.array(s)})
+
+    agg = (
+        ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["i", "j"])
+        .aggregate(Sum("s", alias_name="s"))
+    ).to_pandas()  # dim^2 + dim + 1 rows — dimension-bounded, not data-scaled
+
+    n = int(agg.loc[(agg["i"] == 0) & (agg["j"] == 0), "s"].iloc[0])
+    sv = np.zeros(dim, np.int64)
+    srows = agg[(agg["j"] == 0) & (agg["i"] > 0)]
+    sv[srows["i"].to_numpy() - 1] = srows["s"].to_numpy()
+    S = np.zeros((dim, dim), np.int64)
+    mrows = agg[(agg["i"] > 0) & (agg["j"] > 0)]
+    S[mrows["i"].to_numpy() - 1, mrows["j"].to_numpy() - 1] = \
+        mrows["s"].to_numpy()
+
+    B = np.int64(n) * S - np.outer(sv, sv)  # n^2 · covariance, exact int64
+    mb = int(np.abs(B).max())
+    if mb == 0:
+        raise ValueError("degenerate (constant) embedding table")
+    C = _half_away_int(B.astype(np.float64) * q / mb)
+    v = np.ones(dim, np.int64)
+    for _ in range(2):
+        w = C @ v  # exact: |C|<=1e6, |v|<=1e6, dim 64 -> < 2^53
+        v = _half_away_int(w.astype(np.float64) * q / int(np.abs(w).max()))
+    return pd.DataFrame({"i": np.arange(1, dim + 1, dtype=np.int64), "v": v})
+
+
+# ---------------------------------------------------------------------------
+# symspell_edit1_pairs — SymSpell deletion-neighborhood blocking for an
+# edit-distance-1 similarity self-join over the part-name domain.  Each
+# distinct name emits itself plus every delete-one-character variant as
+# a bucket key; two names within edit distance 1 MUST share a key
+# (substitution -> common variant, insert/delete -> one side IS the
+# other's variant), so bucket-local pairing is recall-1 and the exact
+# DP verify removes false candidates (shared variant at distance 2).
+# Unlike fuzzy_name_pairs (bounded-domain driver DP), every stage here
+# is a keyed exchange — the 100 TB shape.  Variant generation is
+# maxlen vectorized slice+join kernel calls per batch, never per-row.
+# ---------------------------------------------------------------------------
+@query(
+    "symspell_edit1_pairs",
+    """
+    WITH t AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(1 AS BIGINT) AS dist
+    FROM t a JOIN t b
+      ON a.p_name < b.p_name
+     AND abs(length(a.p_name) - length(b.p_name)) <= 1
+    WHERE levenshtein(a.p_name, b.p_name) = 1
+    """,
+)
+def symspell_edit1_pairs(sf_dir: str):
+    from .relational_queries import _levenshtein_pairs
+
+    nparts = _join_parts()
+    ds = read_table(sf_dir, "part", columns=["p_name"])
+
+    def batch_unique(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["p_name"].combine_chunks())
+        out = pa.table({"p_name": u})
+        h = stable_hash_strings(u).view(np.int64)
+        return out.append_column(
+            "gpart", pa.array((h % nparts).astype(np.int32)))
+
+    def emit_keys(g: pa.Table) -> pa.Table:
+        names = pc.unique(g["p_name"].combine_chunks())
+        lens = pc.utf8_length(names).to_numpy(zero_copy_only=False)
+        maxlen = int(lens.max(initial=0))
+        keys = [stable_hash_strings(names).view(np.int64)]
+        outs = [names]
+        for p in range(maxlen):
+            m = lens > p
+            sub = names.filter(pa.array(m)) if not m.all() else names
+            var = pc.binary_join_element_wise(
+                pc.utf8_slice_codeunits(sub, 0, p),
+                pc.utf8_slice_codeunits(sub, p + 1, 1 << 30), "")
+            keys.append(stable_hash_strings(var).view(np.int64))
+            outs.append(sub)
+        kh = np.concatenate(keys)
+        name = pa.concat_arrays([o.combine_chunks() if isinstance(o, pa.ChunkedArray)
+                                 else o for o in outs])
+        t = pa.table({"kh": pa.array(kh), "p_name": name})
+        return t.append_column(
+            "kpart", pa.array((kh % nparts).astype(np.int32)))
+
+    _PAIR_SCHEMA = pa.schema([("name_a", pa.string()),
+                              ("name_b", pa.string())])
+
+    def bucket_pairs(gt: pa.Table) -> pa.Table:
+        # one name can reach the same variant by two deletions — dedupe
+        g = gt.select(["kh", "p_name"]).to_pandas() \
+            .drop_duplicates(["kh", "p_name"]) \
+            .sort_values(["kh", "p_name"], kind="mergesort")
+        kh = g["kh"].to_numpy()
+        nm = g["p_name"].to_numpy()
+        n = len(g)
+        empty = pa.table({"name_a": pa.array([], pa.string()),
+                          "name_b": pa.array([], pa.string())},
+                         schema=_PAIR_SCHEMA)
+        if n == 0:
+            return empty
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = kh[1:] != kh[:-1]
+        starts = np.flatnonzero(first)
+        ks = np.r_[starts[1:], n] - starts
+        npair = ks * (ks - 1) // 2
+        total = int(npair.sum())
+        if total == 0:
+            return empty
+        seg = np.repeat(np.arange(len(ks)), npair)
+        within = np.arange(total) - np.repeat(
+            np.r_[0, np.cumsum(npair)[:-1]], npair)
+        k_b = ks[seg]
+        qq = k_b * (k_b - 1) // 2 - 1 - within
+        j2 = np.floor((np.sqrt(8.0 * qq + 1) - 1) / 2).astype(np.int64)
+        i_idx = k_b - 2 - j2
+        j_idx = within - (i_idx * (2 * k_b - i_idx - 1) // 2) + i_idx + 1
+        a = nm[starts[seg] + i_idx]  # sorted within bucket -> a < b
+        b = nm[starts[seg] + j_idx]
+        return pa.table({"name_a": pa.array(a, pa.string()),
+                         "name_b": pa.array(b, pa.string())},
+                        schema=_PAIR_SCHEMA)
+
+    def pair_part(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column("ppart", pa.array([], pa.int32()))
+        joined = pc.binary_join_element_wise(
+            t["name_a"].combine_chunks(), t["name_b"].combine_chunks(), "\x00")
+        h = stable_hash_strings(joined).view(np.int64)
+        return t.append_column(
+            "ppart", pa.array((h % nparts).astype(np.int32)))
+
+    _OUT_SCHEMA = pa.schema([("name_a", pa.string()),
+                             ("name_b", pa.string()),
+                             ("dist", pa.int64())])
+
+    def verify(gt: pa.Table) -> pa.Table:
+        g = gt.select(["name_a", "name_b"]).to_pandas() \
+            .drop_duplicates(["name_a", "name_b"])
+        if len(g):
+            d = _levenshtein_pairs(list(g["name_a"]), list(g["name_b"]))
+            g = g[d == 1]
+        return pa.table({
+            "name_a": pa.array(g["name_a"].to_numpy(), pa.string()),
+            "name_b": pa.array(g["name_b"].to_numpy(), pa.string()),
+            "dist": pa.array(np.ones(len(g), np.int64)),
+        }, schema=_OUT_SCHEMA)
+
+    return (
+        ds.map_batches(batch_unique, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(emit_keys, batch_format="pyarrow")
+        .groupby("kpart")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .map_batches(pair_part, batch_format="pyarrow")
+        .groupby("ppart")
+        .map_groups(verify, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# item_item_cf_topk — item-item collaborative filtering (the serving
+# artifact behind "customers also bought"): cosine similarity over
+# order baskets, top-3 neighbors per item.  sim(a,b) =
+# co(a,b)/(sqrt(deg a)*sqrt(deg b)) on DISTINCT (order, part) rows.
+# Two data exchanges: the order-keyed basket dedup + directed-pair
+# combiner, then an item-keyed exchange where co-counts finalize and
+# each item ranks its neighbors locally.  Item degrees are a
+# catalog-bounded table (never data-scaled) broadcast via ray.put —
+# the standard CF shape (item stats fit; user/order rows stream).
+# ---------------------------------------------------------------------------
+_CF_MIN_CO, _CF_TOPK = 2, 3
+
+
+@query(
+    "item_item_cf_topk",
+    f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    deg AS (SELECT l_partkey AS k, count(*) AS d FROM b GROUP BY 1),
+    co AS (
+      SELECT x.l_partkey AS item, y.l_partkey AS neighbor,
+             CAST(count(*) AS BIGINT) AS n_co
+      FROM b x JOIN b y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey
+      GROUP BY 1, 2),
+    sc AS (
+      SELECT co.item, co.neighbor, co.n_co,
+             round(CAST(co.n_co AS DOUBLE)
+                   / (sqrt(CAST(d1.d AS DOUBLE))
+                      * sqrt(CAST(d2.d AS DOUBLE))), 6) AS sim
+      FROM co JOIN deg d1 ON d1.k = co.item
+              JOIN deg d2 ON d2.k = co.neighbor
+      WHERE co.n_co >= {_CF_MIN_CO}),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY item ORDER BY sim DESC, n_co DESC, neighbor) AS rn
+      FROM sc)
+    SELECT item, neighbor, n_co, sim FROM r WHERE rn <= {_CF_TOPK}
+    """,
+)
+def item_item_cf_topk(sf_dir: str):
+    nparts = _join_parts()
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return int_key_part_col(t, "l_orderkey", nparts)
+
+    def basket_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        """Per-order dedup -> deg partials (neighbor = -1) + directed
+        pair combiner counts, all offset math."""
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"]) \
+            .sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+        ok = g["l_orderkey"].to_numpy()
+        pk = g["l_partkey"].to_numpy().astype(np.int64)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({"item": np.array([], np.int64),
+                                 "neighbor": np.array([], np.int64),
+                                 "n": np.array([], np.int64)})
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = ok[1:] != ok[:-1]
+        starts = np.flatnonzero(first)
+        ks = np.r_[starts[1:], n] - starts
+        # deg partials: every (order, part) row counts 1 toward deg(part)
+        dk, dc = np.unique(pk, return_counts=True)
+        # directed pairs within each basket: k*(k-1) per basket
+        npair = ks * (ks - 1)
+        total = int(npair.sum())
+        if total:
+            seg = np.repeat(np.arange(len(ks)), npair)
+            within = np.arange(total) - np.repeat(
+                np.r_[0, np.cumsum(npair)[:-1]], npair)
+            k_b = ks[seg]
+            i_idx = within // (k_b - 1)
+            r = within % (k_b - 1)
+            j_idx = np.where(r >= i_idx, r + 1, r)
+            a = pk[starts[seg] + i_idx]
+            b = pk[starts[seg] + j_idx]
+            key = (a << np.int64(31)) | b
+            uk, cnt = np.unique(key, return_counts=True)
+            item = uk >> np.int64(31)
+            nb = uk & np.int64((1 << 31) - 1)
+        else:
+            item = nb = cnt = np.array([], np.int64)
+        return pd.DataFrame({
+            "item": np.r_[dk, item].astype(np.int64),
+            "neighbor": np.r_[np.full(len(dk), -1, np.int64), nb].astype(np.int64),
+            "n": np.r_[dc, cnt].astype(np.int64),
+        })
+
+    partials = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(basket_kernel, batch_format="pandas")
+    ).materialize()
+
+    # item degrees: catalog-bounded aggregate -> broadcast
+    deg = (
+        partials
+        .map_batches(lambda t: t.filter(pc.equal(t["neighbor"], -1)),
+                     batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("item").aggregate(Sum("n", alias_name="d"))
+    ).to_pandas()
+    dk = deg["item"].to_numpy().astype(np.int64)
+    srt = np.argsort(dk)
+    deg_ref = ray.put((dk[srt], deg["d"].to_numpy().astype(np.int64)[srt]))
+
+    def item_part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["neighbor"], -1))
+        return int_key_part_col(t, "item", nparts)
+
+    def rank_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        dks, dvs = ray.get(deg_ref)
+        g = g.groupby(["item", "neighbor"], as_index=False)["n"].sum()
+        g = g[g["n"] >= _CF_MIN_CO]
+        if len(g) == 0:
+            return pd.DataFrame({"item": np.array([], np.int64),
+                                 "neighbor": np.array([], np.int64),
+                                 "n_co": np.array([], np.int64),
+                                 "sim": np.array([], np.float64)})
+        it = g["item"].to_numpy()
+        nb = g["neighbor"].to_numpy()
+        co = g["n"].to_numpy().astype(np.float64)
+        da = dvs[np.searchsorted(dks, it)].astype(np.float64)
+        db = dvs[np.searchsorted(dks, nb)].astype(np.float64)
+        sim = round_half_away(co / (np.sqrt(da) * np.sqrt(db)), 6)
+        order = np.lexsort((nb, -co, -sim, it))
+        it, nb, co, sim = it[order], nb[order], co[order], sim[order]
+        first = np.empty(len(it), bool)
+        first[0] = True
+        first[1:] = it[1:] != it[:-1]
+        starts = np.flatnonzero(first)
+        rank = np.arange(len(it)) - np.repeat(starts,
+                                              np.r_[starts[1:], len(it)] - starts)
+        keep = rank < _CF_TOPK
+        return pd.DataFrame({"item": it[keep].astype(np.int64),
+                             "neighbor": nb[keep].astype(np.int64),
+                             "n_co": co[keep].astype(np.int64),
+                             "sim": sim[keep]})
+
+    return (
+        partials
+        .map_batches(item_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gpart")
+        .map_groups(rank_kernel, batch_format="pandas")
+    )
