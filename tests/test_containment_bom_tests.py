@@ -127,3 +127,19 @@ def test_bom_rollup_diamond_counts_once():
     ).sort_values("ancestor").reset_index(drop=True)
     got = got.sort_values("ancestor").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_containment_broadcast_attach_equivalence():
+    """The hybrid verify dispatch (broadcast pair-index under the 2M
+    bound / full keyed text attach above it) must produce identical
+    pairs on the same input — the size-dispatch equivalence pin the
+    other hybrid queries carry."""
+    from agr_loader_ray.pipelines.sketch_queries import (
+        substring_containment_pairs)
+
+    a = substring_containment_pairs(SF, mode="broadcast").to_pandas() \
+        .sort_values(["contained_id", "container_id"]).reset_index(drop=True)
+    b = substring_containment_pairs(SF, mode="attach").to_pandas() \
+        .sort_values(["contained_id", "container_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
