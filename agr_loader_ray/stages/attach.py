@@ -104,6 +104,8 @@ def exchange_attach(rows: "ray.data.Dataset", attach: "ray.data.Dataset",
         # contain the other side's nulls to float64, which is LOSSY for
         # uint64 hash keys — the attach must match on exact native
         # values.  Sorted attach keys + searchsorted gather instead.
+        if _SIDE not in g.column_names:  # schema-less all-empty partition
+            return empty_schema.empty_table()
         side = g[_SIDE].to_numpy(zero_copy_only=False)
         att = g.filter(pa.array(side == 1))
         base = g.filter(pa.array(side == 0))
@@ -130,7 +132,13 @@ def exchange_attach(rows: "ray.data.Dataset", attach: "ray.data.Dataset",
                               zero_copy_batch=True).union(
         attach.map_batches(tag_attach, batch_format="pyarrow",
                            zero_copy_batch=True))
-    return tagged.groupby("part").map_groups(merge_part, batch_format="pyarrow")
+    # task-based bucketing exchange, not groupby(part): the part id is
+    # already materialized, so the sort shuffle's sampling + payload
+    # comparison sort are pure overhead (stages/exchange.py rationale;
+    # ppjoin's sf0.1 attach sort leg measured 20.5 s vs ~4 s)
+    from .exchange import exchange_map_groups
+
+    return exchange_map_groups(tagged, "part", merge_part, nparts)
 
 
 def exchange_semi(rows: "ray.data.Dataset", keys: "ray.data.Dataset",
@@ -163,6 +171,8 @@ def exchange_semi(rows: "ray.data.Dataset", keys: "ray.data.Dataset",
         return pa.table(cols)
 
     def filter_part(g: pa.Table) -> pa.Table:
+        if _SIDE not in g.column_names:  # schema-less all-empty partition
+            return empty_schema.empty_table()
         side = g[_SIDE].to_numpy(zero_copy_only=False)
         base = g.filter(pa.array(side == 0))
         if not base.num_rows:
@@ -182,4 +192,6 @@ def exchange_semi(rows: "ray.data.Dataset", keys: "ray.data.Dataset",
                               zero_copy_batch=True).union(
         keys.map_batches(tag_keys, batch_format="pyarrow",
                          zero_copy_batch=True))
-    return tagged.groupby("part").map_groups(filter_part, batch_format="pyarrow")
+    from .exchange import exchange_map_groups
+
+    return exchange_map_groups(tagged, "part", filter_part, nparts)
