@@ -575,7 +575,9 @@ def ppjoin_pairs(sf_dir: str, threshold: float = 0.8, k: int = 5,
         L = n - np.ceil(threshold * n).astype(np.int64) + 1
         keep = rank < L
         return pa.table({"doc_id": pa.array(did[keep]),
-                         "h": pa.array(h[keep], pa.uint64())})
+                         "h": pa.array(h[keep], pa.uint64()),
+                         "n": pa.array(n[keep]),
+                         "rank": pa.array(rank[keep])})
 
     pref = (attached.map_batches(
         lambda t: int_key_part_col(t, "doc_id", nparts),
@@ -585,8 +587,10 @@ def ppjoin_pairs(sf_dir: str, threshold: float = 0.8, k: int = 5,
     def collide_part(g: pd.DataFrame) -> pa.Table:
         h = g["h"].to_numpy().astype(np.uint64)
         did = g["doc_id"].to_numpy().astype(np.int64)
+        nn = g["n"].to_numpy().astype(np.int64)
+        rk = g["rank"].to_numpy().astype(np.int64)
         order = np.lexsort((did, h))
-        h, did = h[order], did[order]
+        h, did, nn, rk = h[order], did[order], nn[order], rk[order]
         starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
         ends = np.r_[starts[1:], len(h)]
         outs_a, outs_b = [], []
@@ -595,8 +599,24 @@ def ppjoin_pairs(sf_dir: str, threshold: float = 0.8, k: int = 5,
             if d < 2:
                 continue
             iu, ju = np.triu_indices(d, k=1)
-            outs_a.append(did[s:e][iu])
-            outs_b.append(did[s:e][ju])
+            na, nb = nn[s:e][iu], nn[s:e][ju]
+            # PPJoin candidate pruning (sound — verify decides
+            # membership; a qualifying pair always passes at its FIRST
+            # shared rarity-ordered shingle, so recall stays 1):
+            #   length:   J>=t  =>  t*max(na,nb) <= min(na,nb)
+            #   position: overlap <= 1 + min(remaining suffix lengths)
+            #             and J>=t needs overlap >= t/(1+t)*(na+nb)
+            alpha = np.ceil((threshold / (1.0 + threshold))
+                            * (na + nb) - 1e-9)
+            ubound = 1 + np.minimum(na - 1 - rk[s:e][iu],
+                                    nb - 1 - rk[s:e][ju])
+            keep = ((threshold * np.maximum(na, nb)
+                     <= np.minimum(na, nb) + 1e-9)
+                    & (ubound >= alpha))
+            if not keep.any():
+                continue
+            outs_a.append(did[s:e][iu[keep]])
+            outs_b.append(did[s:e][ju[keep]])
         if not outs_a:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64())})
