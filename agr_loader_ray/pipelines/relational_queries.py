@@ -93,8 +93,13 @@ def multiway_join_region_revenue(sf_dir: str):
                         ).map_batches(orders_filter, batch_format="pyarrow",
                                       zero_copy_batch=True)
 
-    hop1 = li_agg.join(orders, join_type="inner", num_partitions=nparts,
-                       on=("l_orderkey",), right_on=("o_orderkey",))
+    # single-exchange attaches, not Dataset.join: both lookup sides are
+    # unique-keyed dims, and the join's per-row Python hash partition +
+    # second output pass cost ~2x (stages/attach.py rationale)
+    from ..stages.attach import exchange_attach
+
+    hop1 = exchange_attach(li_agg, orders, "l_orderkey",
+                           attach_key="o_orderkey", nparts=nparts)
 
     # shrink before the second big join: partial-agg to custkey grain
     def cust_partial(t: pa.Table) -> pa.Table:
@@ -108,8 +113,8 @@ def multiway_join_region_revenue(sf_dir: str):
                                zero_copy_batch=True)
 
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    hop2 = by_cust.join(cust, join_type="inner", num_partitions=nparts,
-                        on=("o_custkey",), right_on=("c_custkey",))
+    hop2 = exchange_attach(by_cust, cust, "o_custkey",
+                           attach_key="c_custkey", nparts=nparts)
 
     # bounded dims: nation (25) + region (5) pre-joined on the driver,
     # broadcast once, vectorized index_in lookup per batch (SURVEY J2/T3)

@@ -100,10 +100,15 @@ def spearman_corr_per_flag(sf_dir: str):
              .size().rename(columns={"size": "c"}))
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    # driver fold of the per-batch partials: the rank maps are built on
+    # the driver regardless, so a Ray groupby exchange before the pull
+    # is pure overhead (~2 s of sort at sf0.1 — the partial rows are
+    # the same |flags| × (|distinct qty| + |distinct $|) envelope)
     hist = (
         ds.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["flag", "col", "v"]).sum("c")
-        .to_pandas()  # bounded: |flags| × (|distinct qty| + |distinct $|)
+        .to_pandas()
+        .groupby(["flag", "col", "v"], as_index=False)["c"].sum()
+        .rename(columns={"c": "sum(c)"})
     )
 
     # doubled average rank per (flag, col, value):  2·cumbefore + c + 1
@@ -289,24 +294,60 @@ def mann_kendall_theil_sen(sf_dir: str):
     """,
 )
 def degree_assortativity(sf_dir: str):
+    from ..stages.exchange import exchange_map_groups
+
     ds = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    nparts = _join_parts()
 
+    # ONE task exchange on the packed edge key replaces the former four
+    # sort shuffles (distinct-edge groupby + two per-endpoint degree
+    # groupbys + the single-group moment sum): per-batch distinct
+    # combiner, bucketing exchange, in-partition unique; degrees and
+    # moments fold driver-side (endpoint domains are catalog-bounded).
     def batch_distinct(t: pa.Table) -> pa.Table:
-        return t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.unique((p << np.int64(31)) | s)
+        return pa.table({
+            "key": pa.array(key),
+            "gpart": pa.array((key % nparts).astype(np.int32)),
+        })
 
-    edges = (
-        ds.map_batches(batch_distinct, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["l_partkey", "l_suppkey"]).count()
-        .drop_columns(["count()"])
-        .materialize()  # small (≤ |distinct pairs|), reused by 3 consumers
-    )
+    def distinct_part(g: pa.Table) -> pa.Table:
+        key = np.unique(g["key"].to_numpy(zero_copy_only=False)) \
+            if g.num_rows else np.empty(0, np.int64)
+        return pa.table({
+            "l_partkey": pa.array(key >> np.int64(31)),
+            "l_suppkey": pa.array(key & np.int64((1 << 31) - 1)),
+        })
 
-    def _deg(col: str) -> tuple[np.ndarray, np.ndarray]:
-        d = edges.groupby(col).count().to_pandas()
-        d = d.sort_values(col)
-        return (d[col].to_numpy(np.int64), d["count()"].to_numpy(np.int64))
+    edges = exchange_map_groups(
+        ds.map_batches(batch_distinct, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "gpart", distinct_part, nparts, drop_part_col=True,
+    ).materialize()  # ≤ |distinct pairs|, reused by 2 consumers
 
-    deg_ref = ray.put({"p": _deg("l_partkey"), "s": _deg("l_suppkey")})
+    def deg_partial(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        kp, cp = np.unique(p, return_counts=True)
+        ks, cs = np.unique(s, return_counts=True)
+        return pa.table({
+            "side": pa.array(np.r_[np.zeros(len(kp), np.int8),
+                                   np.ones(len(ks), np.int8)]),
+            "k": pa.array(np.r_[kp, ks]),
+            "c": pa.array(np.r_[cp, cs].astype(np.int64)),
+        })
+
+    degs = edges.map_batches(deg_partial, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas() \
+        .groupby(["side", "k"], as_index=False)["c"].sum()  # catalog-bounded
+
+    def _side(side: int) -> tuple[np.ndarray, np.ndarray]:
+        d = degs[degs["side"] == side].sort_values("k")
+        return d["k"].to_numpy(np.int64), d["c"].to_numpy(np.int64)
+
+    deg_ref = ray.put({"p": _side(0), "s": _side(1)})
 
     def moments(t: pa.Table) -> pa.Table:
         deg = ray.get(deg_ref)
@@ -323,27 +364,19 @@ def degree_assortativity(sf_dir: str):
             "sxx": pa.array([(x * x).sum()]), "syy": pa.array([(y * y).sum()]),
         })
 
-    def finish(t: pa.Table) -> pa.Table:
-        c = {k: t[f"sum({k})"].to_numpy(zero_copy_only=False).astype(np.int64)
-             for k in ("n", "sx", "sy", "sxy", "sxx", "syy")}
-        n, sx, sy = c["n"], c["sx"], c["sy"]
-        r = (n.astype(np.float64) * c["sxy"].astype(np.float64)
-             - sx.astype(np.float64) * sy.astype(np.float64)) \
-            / (np.sqrt(n.astype(np.float64) * c["sxx"].astype(np.float64)
-                       - sx.astype(np.float64) * sx.astype(np.float64))
-               * np.sqrt(n.astype(np.float64) * c["syy"].astype(np.float64)
-                         - sy.astype(np.float64) * sy.astype(np.float64)))
-        return pa.table({**{k: pa.array(v) for k, v in c.items()},
-                         "assortativity": pa.array(r)})
-
-    return (
-        edges.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(lambda t: t.append_column("g", pa.array([0] * t.num_rows)),
-                     batch_format="pyarrow")
-        .groupby("g").sum(["n", "sx", "sy", "sxy", "sxx", "syy"])
-        .drop_columns(["g"])
-        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
-    )
+    m = edges.map_batches(moments, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas().sum()
+    n, sx, sy = (np.int64(m["n"]), np.int64(m["sx"]), np.int64(m["sy"]))
+    sxy, sxx, syy = (np.int64(m["sxy"]), np.int64(m["sxx"]),
+                     np.int64(m["syy"]))
+    r = (np.float64(n) * np.float64(sxy) - np.float64(sx) * np.float64(sy)) \
+        / (np.sqrt(np.float64(n) * np.float64(sxx)
+                   - np.float64(sx) * np.float64(sx))
+           * np.sqrt(np.float64(n) * np.float64(syy)
+                     - np.float64(sy) * np.float64(sy)))
+    return pd.DataFrame({"n": [n], "sx": [sx], "sy": [sy], "sxy": [sxy],
+                         "sxx": [sxx], "syy": [syy],
+                         "assortativity": [np.float64(r)]})
 
 
 # ---------------------------------------------------------------------------
