@@ -557,3 +557,144 @@ def item_item_cf_topk(sf_dir: str):
         .groupby("gpart")
         .map_groups(rank_kernel, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_recall_eval — ANN quality evaluation (recall@k), the harness every
+# vector-index deployment ships next to the index itself: for Q query
+# vectors, compute the IVF top-k (deterministic data-vector centroids,
+# the ann_ivf_topk configuration) AND the exact cosine top-k in ONE
+# corpus scan, and report per-query overlap/recall.  Both rankings use
+# the identical (round6 sim DESC, vec_id ASC) total order, so the SQL
+# oracle reproduces the exact same sets.  Scale shape: queries,
+# centroids and probe sets broadcast (Q x d + cells x d floats); each
+# batch emits at most Q*k rows per ranking; the global merge is
+# Q*k*2*n_blocks rows — statistics-sized.
+# ---------------------------------------------------------------------------
+_RE_Q, _RE_K, _RE_CELLS, _RE_PROBE = 5, 10, 16, 4
+
+
+def _recall_sql() -> str:
+    q, k, cells, probe = _RE_Q, _RE_K, _RE_CELLS, _RE_PROBE
+    return f"""
+    WITH cents AS MATERIALIZED (
+      SELECT vec_id - 1 AS cell, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id BETWEEN 1 AND {cells}),
+    base AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qs AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {q}),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT b.vec_id, c.cell,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY list_distance(b.v, c.cv), c.cell) AS rn
+        FROM base b CROSS JOIN cents c) t WHERE rn = 1),
+    probe AS (
+      SELECT qid, cell FROM (
+        SELECT s.qid, c.cell,
+               row_number() OVER (PARTITION BY s.qid
+                                  ORDER BY list_distance(c.cv, s.qv), c.cell) AS rn
+        FROM cents c CROSS JOIN qs s) t WHERE rn <= {probe}),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT s.qid, b.vec_id,
+               row_number() OVER (PARTITION BY s.qid
+                 ORDER BY round(list_cosine_similarity(b.v, s.qv), 6) DESC,
+                          b.vec_id) AS rn
+        FROM base b CROSS JOIN qs s WHERE b.vec_id <> s.qid) t
+      WHERE rn <= {k}),
+    ivf AS (
+      SELECT qid, vec_id FROM (
+        SELECT s.qid, b.vec_id,
+               row_number() OVER (PARTITION BY s.qid
+                 ORDER BY round(list_cosine_similarity(b.v, s.qv), 6) DESC,
+                          b.vec_id) AS rn
+        FROM base b
+        JOIN assign a ON a.vec_id = b.vec_id
+        JOIN probe p ON p.cell = a.cell
+        JOIN qs s ON s.qid = p.qid
+        WHERE b.vec_id <> s.qid) t
+      WHERE rn <= {k})
+    SELECT e.qid AS query_id,
+           CAST(count(i.vec_id) AS BIGINT) AS n_overlap,
+           CAST(count(i.vec_id) AS DOUBLE) / {k} AS recall
+    FROM exact e LEFT JOIN ivf i ON i.qid = e.qid AND i.vec_id = e.vec_id
+    GROUP BY e.qid ORDER BY e.qid
+    """
+
+
+@query("ann_recall_eval", _recall_sql())
+def ann_recall_eval(sf_dir: str):
+    from ..stages.similarity import (_batch_matrix, cosine_scores,
+                                     round_half_away)
+
+    nq, k, n_cells, n_probe = _RE_Q, _RE_K, _RE_CELLS, _RE_PROBE
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    # queries + centroids: a bounded streaming pull of vec_id < cells+1
+    head = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], max(nq, n_cells + 1))),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas() \
+        .sort_values("vec_id")
+    mat_head = np.vstack(head["embedding"].to_numpy()).astype(np.float64)
+    ids_head = head["vec_id"].to_numpy()
+    Qm = mat_head[np.isin(ids_head, np.arange(nq))]
+    cents = mat_head[np.isin(ids_head, np.arange(1, n_cells + 1))]
+    # per-query probed cells: rank by squared distance, ties -> low cell
+    probes = []
+    for i in range(nq):
+        d2 = ((cents - Qm[i][None, :]) ** 2).sum(axis=1)
+        probes.append(np.sort(np.argsort(d2, kind="stable")[:n_probe]))
+    bref = ray.put((Qm, cents, np.vstack(probes)))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        Qm, cents, probes = ray.get(bref)
+        X = _batch_matrix(t, "embedding")
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cell = d2.argmin(axis=1)
+        out_q, out_kind, out_id, out_sim = [], [], [], []
+        for qid in range(len(Qm)):
+            sims = round_half_away(cosine_scores(X, Qm[qid]), 6)
+            not_self = ids != qid
+            for kind, mask in ((0, not_self),
+                               (1, not_self & np.isin(cell, probes[qid]))):
+                idx = np.flatnonzero(mask)
+                if not len(idx):
+                    continue
+                order = idx[np.lexsort((ids[idx], -sims[idx]))[:k]]
+                out_q.append(np.full(len(order), qid, np.int64))
+                out_kind.append(np.full(len(order), kind, np.int8))
+                out_id.append(ids[order])
+                out_sim.append(sims[order])
+        if not out_q:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int8()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({"qid": pa.array(np.concatenate(out_q)),
+                         "kind": pa.array(np.concatenate(out_kind)),
+                         "vec_id": pa.array(np.concatenate(out_id)),
+                         "sim": pa.array(np.concatenate(out_sim))})
+
+    # global merge: <= Q * k * 2 * n_blocks rows — statistics-sized
+    cand = ds.map_batches(local_topk, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    cand = cand.sort_values(["qid", "kind", "sim", "vec_id"],
+                            ascending=[True, True, False, True],
+                            kind="mergesort")
+    cand["rn"] = cand.groupby(["qid", "kind"]).cumcount()
+    top = cand[cand["rn"] < k]
+    rows = []
+    for qid in range(nq):
+        ex = set(top[(top["qid"] == qid) & (top["kind"] == 0)]["vec_id"])
+        iv = set(top[(top["qid"] == qid) & (top["kind"] == 1)]["vec_id"])
+        n_overlap = len(ex & iv)
+        rows.append((qid, n_overlap, n_overlap / float(k)))
+    return pd.DataFrame({
+        "query_id": np.array([r[0] for r in rows], np.int64),
+        "n_overlap": np.array([r[1] for r in rows], np.int64),
+        "recall": np.array([r[2] for r in rows], np.float64),
+    })
