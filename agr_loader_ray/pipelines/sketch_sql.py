@@ -39,8 +39,11 @@ def _fpows(k: int) -> list[int]:
     return [int(x) for x in p]
 
 
-def _shingle_ctes(k: int = 5) -> str:
-    """Shared CTE prefix: docs → per-window code-point polynomial hash."""
+def _shingle_ctes(k: int = 5, source: str = "documents") -> str:
+    """Shared CTE prefix: docs → per-window code-point polynomial hash.
+
+    ``source``: table or CTE name the documents come from (the
+    clean_corpus oracle points this at its filtered/deduped stage)."""
     pows = _fpows(k)
     terms = " + ".join(
         f"unicode(substring(text, i + {j}, 1))::HUGEINT * {pows[j]}"
@@ -48,7 +51,7 @@ def _shingle_ctes(k: int = 5) -> str:
     )
     return f"""
     docs AS (
-      SELECT doc_id, text FROM documents WHERE length(text) >= {k}
+      SELECT doc_id, text FROM {source} WHERE length(text) >= {k}
     ),
     shp AS (
       SELECT doc_id, text,
@@ -61,7 +64,8 @@ def _shingle_ctes(k: int = 5) -> str:
 
 
 def _minhash_pair_ctes(num_perm: int = 64, bands: int = 16, k: int = 5,
-                       seed: int = 42, max_bucket: int = 64) -> str:
+                       seed: int = 42, max_bucket: int = 64,
+                       source: str = "documents") -> str:
     """CTE chain ending in ``cand(id_a, id_b)`` — the LSH candidate pairs."""
     from ..stages.dedup import MinHasher
 
@@ -74,7 +78,7 @@ def _minhash_pair_ctes(num_perm: int = 64, bands: int = 16, k: int = 5,
     fold = "ss[1]"
     for j in range(2, r + 1):
         fold = f"xor((({fold} * {_F}) & {_MASK}), ss[{j}])"
-    return f"""{_shingle_ctes(k)},
+    return f"""{_shingle_ctes(k, source=source)},
     hm AS (
       -- h < 2^64: the mod-P reduce runs in UBIGINT (64-bit division)
       SELECT doc_id, h::UBIGINT % {_PRIME} AS hp FROM shh
@@ -424,4 +428,60 @@ def multimodal_audio_windows_sql(n: int = 64, samples: int = 8000,
            CAST(sum(s * s) AS BIGINT) AS energy,
            CAST(max(abs(s)) AS BIGINT) AS peak
     FROM samp GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def clean_corpus_sql(min_tokens: int = 10, num_perm: int = 64,
+                     bands: int = 16, k: int = 5, seed: int = 42,
+                     max_bucket: int = 64) -> str:
+    """Full SQL reimplementation of ``pipelines/corpus.build_clean_corpus``
+    (no decontam stage): quality filter → langid filter → exact dedup
+    (min doc_id per normalized text) → MinHash-LSH candidate pairs →
+    connected components (recursive closure, min label) → drop
+    non-minimal members.  Every float is the same int/int division the
+    Ray kernels run; the LSH stage reuses the gate-proven
+    ``_minhash_pair_ctes`` pointed at the deduped stage.  Mirrors
+    stages/text.token_quality_batch + LangId, corpus.survivors_part and
+    stages/dedup.resolve_duplicate_groups (group = component min)."""
+    markers = ("'the','a','an','and','or','of','to','in','is','are',"
+               "'was','be','on','at','it','this','that','with','for','as'")
+    return f"""
+    WITH RECURSIVE raw AS (
+      SELECT doc_id, text, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ('a','data','table','row','value'))) AS stop_hits
+      FROM documents),
+    q AS (
+      SELECT doc_id, text, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(stop_hits AS DOUBLE) / greatest(1, n_tokens) AS stop_ratio
+      FROM raw WHERE n_tokens >= {min_tokens}),
+    l AS (
+      SELECT *,
+             CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
+                                  x -> x IN ({markers}))) AS DOUBLE)
+             / greatest(1, len(regexp_extract_all(lower(text), '[a-z'']+')))
+               AS en_ratio
+      FROM q),
+    en AS (SELECT * FROM l WHERE en_ratio > 0.05),
+    ex AS (
+      SELECT doc_id, text, source, n_tokens, stop_ratio, en_ratio FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g'))
+          ORDER BY doc_id) AS rn
+        FROM en) t WHERE rn = 1),
+    {_minhash_pair_ctes(num_perm, bands, k, seed, max_bucket, source="ex")},
+    ed AS (
+      SELECT id_a AS u, id_b AS v FROM cand
+      UNION ALL SELECT id_b, id_a FROM cand),
+    clo AS (
+      SELECT u AS node, v AS r FROM ed
+      UNION
+      SELECT c.node, e.v FROM clo c JOIN ed e ON c.r = e.u),
+    grp AS (SELECT node, least(node, min(r)) AS g FROM clo GROUP BY node),
+    drops AS (SELECT node FROM grp WHERE g < node)
+    SELECT ex.doc_id, ex.text, ex.source, ex.n_tokens, ex.stop_ratio,
+           ex.en_ratio
+    FROM ex LEFT JOIN drops d ON d.node = ex.doc_id
+    WHERE d.node IS NULL
     """

@@ -1264,12 +1264,19 @@ def exactly_k_orders(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # clean_corpus — the composed training-data pipeline (quality → lang-ID →
-# exact dedup → near-dup removal) exposed through the query surface
-# (rows-only: the composition is verified structurally in
-# tests/test_corpus_tests.py; each constituent operator has its own
-# oracle-backed query above).
+# exact dedup → near-dup removal) exposed through the query surface.
+# Round 4 closed the typed-hash gate over the WHOLE composition: the
+# oracle (sketch_sql.clean_corpus_sql) chains the quality/langid
+# filters, the min-doc_id exact dedup, the gate-proven MinHash-LSH
+# candidate CTEs pointed at the deduped stage, and a recursive-closure
+# min-label component resolution — stage for stage the same ops the Ray
+# pipeline runs (structure additionally verified in
+# tests/test_corpus_tests.py).
 # ---------------------------------------------------------------------------
-@query("clean_corpus")
+from .sketch_sql import clean_corpus_sql  # noqa: E402
+
+
+@query("clean_corpus", clean_corpus_sql())
 def clean_corpus(sf_dir: str):
     import tempfile
 
