@@ -249,8 +249,9 @@ def minhash_lsh_candidates(ds: "ray.data.Dataset", num_perm: int = 64, bands: in
         return _pa.table({"id_a": _pa.array(np.concatenate(out_a), _pa.int64()),
                           "id_b": _pa.array(np.concatenate(out_b), _pa.int64())})
 
-    cand = survivors.groupby("bpart").map_groups(pairs_part,
-                                                 batch_format="pyarrow")
+    from .exchange import exchange_map_groups
+
+    cand = exchange_map_groups(survivors, "bpart", pairs_part, nparts)
     # dedup identical pairs found by multiple bands
     out = _dedup_pairs(cand) if dedup else cand
     # typed seed LAST: a collision-free corpus yields zero rows, and an
@@ -577,8 +578,9 @@ def simhash_near_dup_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
                          "id_b": pa.array(b_all[keep], pa.int64()),
                          "hamming": pa.array(ham[keep], pa.int64())})
 
-    cand = survivors.groupby("bpart").map_groups(pairs_part,
-                                                 batch_format="pyarrow")
+    from .exchange import exchange_map_groups
+
+    cand = exchange_map_groups(survivors, "bpart", pairs_part, nparts)
     return ray.data.from_arrow(
         pa.table({"id_a": pa.array([], pa.int64()),
                   "id_b": pa.array([], pa.int64()),
