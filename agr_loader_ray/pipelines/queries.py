@@ -1979,9 +1979,12 @@ def bloom_semi_join_parts(sf_dir: str):
     survivors = li.map_batches(
         BloomProbe, fn_constructor_args=(ref, "l_partkey", m_bits, k),
         batch_format="pyarrow", zero_copy_batch=True, concurrency=_pool())
-    kept = survivors.join(parts, join_type="left_semi",
-                          num_partitions=_join_parts(),
-                          on=("l_partkey",), right_on=("p_partkey",))
+    # exact confirm: single-exchange semi filter (stages/attach.py), not
+    # Dataset.join left_semi — same per-row-Python-partition rationale
+    from ..stages.attach import exchange_semi
+
+    kept = exchange_semi(survivors, parts, "l_partkey",
+                         keys_key="p_partkey", nparts=_join_parts())
 
     def partial(t: pa.Table) -> pa.Table:
         t2 = pa.table({"l_returnflag": t["l_returnflag"],
