@@ -698,3 +698,175 @@ def ann_recall_eval(sf_dir: str):
         "n_overlap": np.array([r[1] for r in rows], np.int64),
         "recall": np.array([r[2] for r in rows], np.float64),
     })
+
+
+# ---------------------------------------------------------------------------
+# unigram_surprise_scores — CCNet-style perplexity-proxy curation: train
+# a unigram LM on the corpus (one bounded-vocab count exchange), score
+# every document by its total/average token surprise -ln p(tok), and
+# return the 20 most surprising documents (the "tail" a perplexity
+# bucketing would route to review).  Exactness: per-token surprise is
+# ln(c/N) rounded half-away to 6 dp and SCALED TO INT64 MICROUNITS on
+# both sides (the zipf_slope_terms discipline — raw float sums would be
+# summation-order dependent), so the per-doc sums are exact integers
+# and the only float is the final mirrored avg division.  Scale shape:
+# corpus scanned twice (count pass, score pass); the vocab table is the
+# broadcast side (bounded by vocabulary, not corpus size).
+# ---------------------------------------------------------------------------
+_SURPRISE_TOPK = 20
+
+
+@query(
+    "unigram_surprise_scores",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    vc AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vc),
+    st AS (
+      SELECT tok,
+             CAST(round(ln(CAST(c AS DOUBLE) / (SELECT n FROM tot))
+                        * 1000000) AS BIGINT) AS s_e6
+      FROM vc),
+    d AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+             CAST(-sum(st.s_e6) AS BIGINT) AS surprise_e6
+      FROM t JOIN st ON st.tok = t.tok GROUP BY t.doc_id)
+    SELECT doc_id, n_toks, surprise_e6,
+           CAST(surprise_e6 AS DOUBLE) / n_toks AS avg_surprise_e6
+    FROM d ORDER BY avg_surprise_e6 DESC, doc_id LIMIT {_SURPRISE_TOPK}
+    """,
+)
+def unigram_surprise_scores(sf_dir: str):
+    import ray.data as _rd
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        u, c = np.unique(flat.to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"tok": pa.array(u, pa.string()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    from ray.data.aggregate import Sum as _Sum
+
+    vocab = (ds.map_batches(count_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("tok").aggregate(_Sum("c", alias_name="c"))
+             ).to_pandas()  # vocabulary-bounded
+    total = int(vocab["c"].sum())
+    toks_sorted = np.sort(vocab["tok"].to_numpy())
+    order = np.argsort(vocab["tok"].to_numpy())
+    c_sorted = vocab["c"].to_numpy()[order].astype(np.float64)
+    ln = np.log(c_sorted / float(total)) * 1e6
+    s_e6 = np.trunc(ln + np.sign(ln) * 0.5).astype(np.int64)
+    vref = ray.put((toks_sorted, s_e6))
+
+    def score(t: pa.Table) -> pa.Table:
+        vt, vs = ray.get(vref)
+        toks = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        row = np.repeat(np.arange(len(lens)), lens)[keep]
+        vals = vs[np.searchsorted(
+            vt, flat.filter(pa.array(keep)).to_numpy(zero_copy_only=False))]
+        n = len(lens)
+        n_toks = np.bincount(row, minlength=n).astype(np.int64)
+        sur = np.zeros(n, np.int64)
+        np.add.at(sur, row, vals)
+        sur = -sur
+        has = n_toks > 0  # zero-token docs emit no row (mirrors the join)
+        avg = sur[has].astype(np.float64) / n_toks[has]
+        return pa.table({
+            "doc_id": t["doc_id"].filter(pa.array(has)),
+            "n_toks": pa.array(n_toks[has]),
+            "surprise_e6": pa.array(sur[has]),
+            "avg_surprise_e6": pa.array(avg, pa.float64()),
+        })
+
+    return (ds.map_batches(score, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .sort(["avg_surprise_e6", "doc_id"], descending=[True, False])
+            .limit(_SURPRISE_TOPK))
+
+
+# ---------------------------------------------------------------------------
+# stl_weekday_seasonal — MA-detrended weekday seasonality (the additive
+# STL shape): daily revenue -> centered 7-OBSERVATION moving-average
+# trend -> per-weekday mean of the detrended series.  Everything stays
+# in exact integers by carrying the x7 numerator (detr7 = 7*r - sum7,
+# exact int64) so the per-weekday mean is ONE mirrored double division
+# of exact ints — no float summation anywhere.  Scale shape: the daily
+# series is a date-span-bounded aggregate (one exchange of per-batch
+# (day, cents) partials); the window math runs on the bounded series.
+# Distinct from seasonality_weekday_index: that compares weekdays to
+# the GLOBAL mean; this removes the local trend first, the STL way.
+# ---------------------------------------------------------------------------
+@query(
+    "stl_weekday_seasonal",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+      FROM orders GROUP BY 1),
+    w AS (
+      SELECT d, r,
+             CAST(sum(r) OVER (ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s7,
+             count(*) OVER (ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+      FROM daily),
+    det AS (
+      SELECT (CAST(epoch(CAST(d AS TIMESTAMP)) AS BIGINT) // 86400 + 4) % 7
+               AS wd,
+             7 * r - s7 AS detr7
+      FROM w WHERE c7 = 7)
+    SELECT wd, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(detr7) AS BIGINT) AS sum_detr7,
+           CAST(sum(detr7) AS DOUBLE) / (7.0 * count(*)) AS seasonal_cents
+    FROM det GROUP BY wd ORDER BY wd
+    """,
+)
+def stl_weekday_seasonal(sf_dir: str):
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        days = pc.cast(t["o_orderdate"], pa.date32())
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        p = pa.table({"d": days, "r": cents})
+        return p.group_by("d").aggregate([("r", "sum")])
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("d").sum("r_sum")).to_pandas()  # date-span-bounded
+    daily = daily.sort_values("d").reset_index(drop=True)
+    r = daily["sum(r_sum)"].to_numpy().astype(np.int64)
+    epoch_days = (daily["d"].to_numpy().astype("datetime64[D]")
+                  .astype(np.int64))
+    n = len(r)
+    if n < 7:
+        return pd.DataFrame({"wd": np.array([], np.int64),
+                             "n_days": np.array([], np.int64),
+                             "sum_detr7": np.array([], np.int64),
+                             "seasonal_cents": np.array([], np.float64)})
+    cs = np.r_[0, np.cumsum(r)]
+    s7 = cs[7:] - cs[:-7]            # full 7-observation windows only
+    center = np.arange(3, n - 3)
+    detr7 = 7 * r[center] - s7
+    wd = (epoch_days[center] + 4) % 7
+    out = pd.DataFrame({"wd": wd, "detr7": detr7}) \
+        .groupby("wd", as_index=False) \
+        .agg(n_days=("detr7", "size"), sum_detr7=("detr7", "sum"))
+    return pd.DataFrame({
+        "wd": out["wd"].to_numpy().astype(np.int64),
+        "n_days": out["n_days"].to_numpy().astype(np.int64),
+        "sum_detr7": out["sum_detr7"].to_numpy().astype(np.int64),
+        "seasonal_cents": out["sum_detr7"].to_numpy().astype(np.float64)
+        / (7.0 * out["n_days"].to_numpy().astype(np.float64)),
+    })

@@ -20,7 +20,8 @@ TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
 
 NEW = ["semdedup_prune", "pca_power_component",
-       "symspell_edit1_pairs", "item_item_cf_topk", "ann_recall_eval"]
+       "symspell_edit1_pairs", "item_item_cf_topk", "ann_recall_eval",
+       "unigram_surprise_scores", "stl_weekday_seasonal"]
 
 
 def _typed_hash(df: pd.DataFrame):
