@@ -2064,3 +2064,65 @@ def _centroids_from_sums(agg: pd.DataFrame, dim: int) -> np.ndarray:
             / sub["n"].to_numpy().astype(np.float64)
         C[j] = np.trunc(mean + np.sign(mean) * 0.5).astype(np.int64)
     return C
+
+
+# ---------------------------------------------------------------------------
+# ivm_join_view — incrementally-maintained JOIN view end-to-end: two
+# deterministic WALs replay into two lakes, the join view maintains
+# epoch-by-epoch from both change feeds (dirty-key recomputation,
+# copy-on-write buckets — pipelines/ivm_join.py), and the FINAL view is
+# compared against the SQL join of the two LWW-folded WALs.  Per-epoch
+# equality, carry-forward and delete handling are asserted in
+# tests/test_ivm_join_tests.py.
+# ---------------------------------------------------------------------------
+def _ivmjoin_fold_cte(alias: str, path: str) -> str:
+    return f"""
+    {alias} AS (
+      SELECT conv_id, turn_idx, role FROM (
+        SELECT conv_id, turn_idx, role, op,
+               row_number() OVER (PARTITION BY conv_id, turn_idx
+                                  ORDER BY ts DESC, "offset" DESC) AS rn
+        FROM read_parquet('{path}') WHERE op <> 'S') t
+      WHERE rn = 1 AND op <> 'D')"""
+
+
+@query(
+    "ivm_join_view",
+    f"""
+    WITH {_ivmjoin_fold_cte("wa", _os.path.join(_ORA_IN, "ivmjoin_wal_a.parquet"))},
+    {_ivmjoin_fold_cte("wb", _os.path.join(_ORA_IN, "ivmjoin_wal_b.parquet"))}
+    SELECT a.conv_id,
+           CAST(a.turn_idx AS BIGINT) AS a_turn_idx, a.role AS a_role,
+           CAST(b.turn_idx AS BIGINT) AS b_turn_idx, b.role AS b_role
+    FROM wa a JOIN wb b ON a.conv_id = b.conv_id
+    """,
+)
+def ivm_join_view(sf_dir: str):
+    import os
+    import tempfile
+
+    from ..pipelines.engine import CdcEngine
+    from ..pipelines.ivm_join import maintain_join, read_join
+    from ..wal.generator import WalSpec, generate_wal
+
+    n = 8_000 if "0.01" in sf_dir else 2_000
+    root = os.path.join(tempfile.gettempdir(), f"agr_q_ivmjoin_{n}")
+    specs = {
+        "a": WalSpec(n_events=n, n_convs=max(50, n // 40), n_epochs=3,
+                     seed=13, update_frac=0.2, delete_frac=0.08),
+        "b": WalSpec(n_events=n // 2, n_convs=max(40, n // 50), n_epochs=3,
+                     seed=17, update_frac=0.15, delete_frac=0.12),
+    }
+    lakes = {}
+    epochs: list[int] = []
+    for t, sp in specs.items():
+        wal = os.path.join(root, f"wal_{t}")
+        generate_wal(wal, sp)
+        _publish_oracle_input(f"ivmjoin_wal_{t}", wal)
+        lake = os.path.join(root, f"lake_{t}")
+        CdcEngine(lake, n_partitions=8).replay(wal)
+        lakes[t] = lake
+    epochs = list(range(specs["a"].n_epochs))
+    out = os.path.join(root, "join_view")
+    maintain_join(lakes["a"], lakes["b"], out, epochs, n_buckets=16)
+    return read_join(out, epochs[-1])
