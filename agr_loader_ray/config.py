@@ -285,3 +285,31 @@ def _vector_index_members(lake_root: str, epoch: int | None = None,
 
 DERIVED_REGISTRY["vector_index"] = _vector_index_members
 DERIVED_DEPS["vector_index"] = ()
+
+
+def _join_view_members(lake_root: str, epoch: int | None = None,
+                       derived_root: str | None = None):
+    """Scheduler adapter for the incrementally-maintained join view
+    (pipelines/ivm_join.py) registered as the lake's SELF-join (turn
+    pairs within a conversation — the two-lake form is driven directly,
+    q:ivm_join_view).  Epochs maintain forward idempotently; a
+    time-travel epoch below the store's watermark reads that epoch's
+    committed manifest (the view keeps per-epoch manifests, unlike the
+    forward-only vector store)."""
+    import os
+    import tempfile
+
+    from .pipelines.ivm_join import maintain_join, read_join
+    from .state.manifest import LakeManifest
+
+    store = os.path.join(derived_root or tempfile.gettempdir(),
+                         "_join_view_store")
+    last = LakeManifest(lake_root).last_committed_epoch()
+    upto = last if epoch is None else min(epoch, last)
+    maintain_join(lake_root, lake_root, store, list(range(upto + 1)),
+                  n_buckets=16)
+    return read_join(store, upto)
+
+
+DERIVED_REGISTRY["join_view"] = _join_view_members
+DERIVED_DEPS["join_view"] = ()

@@ -206,3 +206,42 @@ def test_vector_index_is_scheduler_wired(tmp_path):
     # store's watermark raises instead of returning the newer alive set
     with _pytest.raises(ValueError, match="ahead of requested epoch"):
         run_derived_groups(lake, out, names=["vector_index"], epoch=0)
+
+
+def test_join_view_is_scheduler_wired(tmp_path):
+    """The incrementally-maintained join view is a registered derived
+    pipeline: the scheduler materializes the lake's self-join view and
+    the rows equal a direct pandas join of the live state."""
+    import numpy as np
+    import pandas as pd
+
+    from agr_loader_ray.config import run_derived_groups
+    from agr_loader_ray.pipelines.engine import CdcEngine
+    from agr_loader_ray.pipelines.export import read_lake
+    from agr_loader_ray.wal.generator import T1_SMOKE, generate_wal
+
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "derived")
+    generate_wal(wal, T1_SMOKE)
+    CdcEngine(lake, n_partitions=4).replay(wal)
+
+    r = run_derived_groups(lake, out, names=["join_view"])
+    assert r["pipelines"]["join_view"]["rows"] > 0
+
+    import pyarrow.parquet as pq
+
+    got = pq.read_table(r["pipelines"]["join_view"]["path"]).to_pandas()
+    live = read_lake(lake, columns=["conv_id", "turn_idx", "role"]).to_pandas()
+    j = live.merge(live, on="conv_id", suffixes=("_a", "_b"))
+    want = pd.DataFrame({
+        "conv_id": j["conv_id"],
+        "a_turn_idx": j["turn_idx_a"].astype(np.int64),
+        "a_role": j["role_a"],
+        "b_turn_idx": j["turn_idx_b"].astype(np.int64),
+        "b_role": j["role_b"],
+    })
+    key = ["conv_id", "a_turn_idx", "b_turn_idx", "a_role", "b_role"]
+    got = got[key].sort_values(key, kind="mergesort").reset_index(drop=True)
+    want = want[key].sort_values(key, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
