@@ -870,3 +870,140 @@ def stl_weekday_seasonal(sf_dir: str):
         "seasonal_cents": out["sum_detr7"].to_numpy().astype(np.float64)
         / (7.0 * out["n_days"].to_numpy().astype(np.float64)),
     })
+
+
+# ---------------------------------------------------------------------------
+# logreg_gd_weights — distributed logistic-regression training: two
+# full-batch gradient-descent steps on lineitem features (x1 = qty,
+# x2 = discount cents; y = returnflag 'R'), the trainable-model member
+# of the ML family next to pca_power_component.  The weight vector
+# lives in int64 MICROUNITS; per-row logits are exact int64; the one
+# transcendental (sigmoid) is rounded half-away to 6 dp on both sides
+# before the exact integer gradient sums (the zipf/PCA quantization
+# discipline), and the weight update is a single mirrored float chain
+# re-rounded to microunits.  Final accuracy avoids exp entirely
+# (sigmoid(z) > 1/2 <=> z > 0, a pure integer predicate).  Scale
+# shape: one streaming pass per GD step, gradients are 3 int64s.
+# ---------------------------------------------------------------------------
+_LR_STEPS, _LR_RATE = 2, 0.001
+
+
+def _logreg_sql() -> str:
+    lr = _LR_RATE
+    return f"""
+    WITH f AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(round(l_discount * 100) AS BIGINT) AS x2,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM f),
+    g1 AS (  -- step 1: w = 0 so p = 0.5 exactly (p_e6 = 500000)
+      SELECT CAST(sum(500000 - y * 1000000) AS BIGINT) AS g0,
+             CAST(sum((500000 - y * 1000000) * x1) AS BIGINT) AS g1,
+             CAST(sum((500000 - y * 1000000) * x2) AS BIGINT) AS g2
+      FROM f),
+    w1 AS (
+      SELECT CAST(-round(CAST(g0 AS DOUBLE)
+                         / (SELECT c FROM n) * {lr}) AS BIGINT) AS w0,
+             CAST(-round(CAST(g1 AS DOUBLE)
+                         / (SELECT c FROM n) * {lr}) AS BIGINT) AS w1,
+             CAST(-round(CAST(g2 AS DOUBLE)
+                         / (SELECT c FROM n) * {lr}) AS BIGINT) AS w2
+      FROM g1),
+    p2 AS (
+      SELECT f.y, f.x1, f.x2,
+             CAST(round(1.0 / (1.0 + exp(
+               -(CAST(w.w0 + w.w1 * f.x1 + w.w2 * f.x2 AS DOUBLE)
+                 / 1000000))) * 1000000) AS BIGINT) AS p_e6
+      FROM f CROSS JOIN w1 w),
+    g2s AS (
+      SELECT CAST(sum(p_e6 - y * 1000000) AS BIGINT) AS g0,
+             CAST(sum((p_e6 - y * 1000000) * x1) AS BIGINT) AS g1,
+             CAST(sum((p_e6 - y * 1000000) * x2) AS BIGINT) AS g2
+      FROM p2),
+    w2 AS (
+      SELECT w1.w0 - CAST(round(CAST(g2s.g0 AS DOUBLE)
+                    / (SELECT c FROM n) * {lr}) AS BIGINT) AS w0,
+             w1.w1 - CAST(round(CAST(g2s.g1 AS DOUBLE)
+                    / (SELECT c FROM n) * {lr}) AS BIGINT) AS w1,
+             w1.w2 - CAST(round(CAST(g2s.g2 AS DOUBLE)
+                    / (SELECT c FROM n) * {lr}) AS BIGINT) AS w2
+      FROM w1, g2s),
+    acc AS (  -- prediction = (z > 0), exp-free integer predicate
+      SELECT CAST(count(*) FILTER (
+               ((w.w0 + w.w1 * f.x1 + w.w2 * f.x2 > 0) AND f.y = 1)
+               OR ((w.w0 + w.w1 * f.x1 + w.w2 * f.x2 <= 0) AND f.y = 0))
+             AS BIGINT) AS n_correct
+      FROM f CROSS JOIN w2 w)
+    SELECT CAST(0 AS BIGINT) AS j, w0 AS v FROM w2
+    UNION ALL SELECT 1, w1 FROM w2
+    UNION ALL SELECT 2, w2 FROM w2
+    UNION ALL SELECT 3, n_correct FROM acc
+    ORDER BY j
+    """
+
+
+@query("logreg_gd_weights", _logreg_sql())
+def logreg_gd_weights(sf_dir: str):
+    from ray.data.aggregate import Sum as _Sum
+
+    lr = _LR_RATE
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_quantity", "l_returnflag", "l_discount"]).map_batches(
+        lambda t: pa.table({
+            "x1": pc.cast(t["l_quantity"], pa.int64()),
+            "x2": pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                          pa.int64()),
+            "y": pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def grad_pass(w: np.ndarray):
+        wref = ray.put(w)
+
+        def partial(t: pa.Table) -> pa.Table:
+            ww = ray.get(wref)
+            x1 = t["x1"].to_numpy(zero_copy_only=False)
+            x2 = t["x2"].to_numpy(zero_copy_only=False)
+            y = t["y"].to_numpy(zero_copy_only=False)
+            z = ww[0] + ww[1] * x1 + ww[2] * x2  # exact int64
+            if np.all(ww == 0):
+                p_e6 = np.full(len(z), 500000, np.int64)  # sigmoid(0)
+            else:
+                p = 1.0 / (1.0 + np.exp(-(z.astype(np.float64) / 1000000)))
+                s = p * 1000000
+                p_e6 = np.trunc(s + np.sign(s) * 0.5).astype(np.int64)
+            d = p_e6 - y * 1000000
+            return pa.table({
+                "g0": pa.array([d.sum()]), "g1": pa.array([(d * x1).sum()]),
+                "g2": pa.array([(d * x2).sum()]),
+                "n": pa.array([np.int64(len(z))]),
+            })
+
+        agg = ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True).sum(["g0", "g1", "g2", "n"])
+        g = np.array([agg["sum(g0)"], agg["sum(g1)"], agg["sum(g2)"]],
+                     np.int64)
+        return g, int(agg["sum(n)"])
+
+    w = np.zeros(3, np.int64)
+    for _ in range(_LR_STEPS):
+        g, n = grad_pass(w)
+        step = g.astype(np.float64) / n * lr
+        w = w - np.trunc(step + np.sign(step) * 0.5).astype(np.int64)
+
+    wref = ray.put(w)
+
+    def acc_partial(t: pa.Table) -> pa.Table:
+        ww = ray.get(wref)
+        z = (ww[0] + ww[1] * t["x1"].to_numpy(zero_copy_only=False)
+             + ww[2] * t["x2"].to_numpy(zero_copy_only=False))
+        y = t["y"].to_numpy(zero_copy_only=False)
+        ok = ((z > 0) & (y == 1)) | ((z <= 0) & (y == 0))
+        return pa.table({"c": pa.array([np.int64(ok.sum())])})
+
+    n_correct = int(ds.map_batches(acc_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True).sum("c"))
+    return pd.DataFrame({"j": np.arange(4, dtype=np.int64),
+                         "v": np.array([w[0], w[1], w[2], n_correct],
+                                       np.int64)})

@@ -104,3 +104,18 @@ def test_deletes_shrink_the_view(lakes):
     b3 = set(read_lake(lk["b"], epoch=2,
                        columns=["conv_id"]).to_pandas()["conv_id"])
     assert set(got3["conv_id"]) == (a3 & b3)
+
+
+def test_crash_recovery_recomputes_epoch(lakes):
+    """A crash AFTER bucket files publish but BEFORE the manifest commit
+    leaves orphaned epoch files; re-maintaining must converge to the
+    same state (bucket writes are deterministic os.replace targets)."""
+    root, lk = lakes
+    out = os.path.join(root, "view")
+    before = _got(out, 2)
+    # simulate the crash: drop epoch 2's manifest, leave its data files
+    os.remove(os.path.join(out, "_manifests", "epoch=2.json"))
+    with pytest.raises(FileNotFoundError):
+        read_join(out, 2)
+    maintain_join_epoch(lk["a"], lk["b"], out, 2, n_buckets=8)
+    pd.testing.assert_frame_equal(_got(out, 2), before)

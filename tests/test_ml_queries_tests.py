@@ -21,7 +21,8 @@ TABLES = ("region nation customer supplier part orders lineitem "
 
 NEW = ["semdedup_prune", "pca_power_component",
        "symspell_edit1_pairs", "item_item_cf_topk", "ann_recall_eval",
-       "unigram_surprise_scores", "stl_weekday_seasonal"]
+       "unigram_surprise_scores", "stl_weekday_seasonal",
+       "logreg_gd_weights"]
 
 
 def _typed_hash(df: pd.DataFrame):
