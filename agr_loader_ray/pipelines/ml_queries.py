@@ -514,6 +514,8 @@ def item_item_cf_topk(sf_dir: str):
                      batch_format="pyarrow", zero_copy_batch=True)
         .groupby("item").aggregate(Sum("n", alias_name="d"))
     ).to_pandas()
+    from ..functions.bounds import assert_bounded
+    assert_bounded(len(deg), "item-degree table (catalog-bounded)")
     dk = deg["item"].to_numpy().astype(np.int64)
     srt = np.argsort(dk)
     deg_ref = ray.put((dk[srt], deg["d"].to_numpy().astype(np.int64)[srt]))
@@ -757,6 +759,8 @@ def unigram_surprise_scores(sf_dir: str):
                             zero_copy_batch=True)
              .groupby("tok").aggregate(_Sum("c", alias_name="c"))
              ).to_pandas()  # vocabulary-bounded
+    from ..functions.bounds import assert_bounded
+    assert_bounded(len(vocab), "unigram vocabulary")
     total = int(vocab["c"].sum())
     toks_sorted = np.sort(vocab["tok"].to_numpy())
     order = np.argsort(vocab["tok"].to_numpy())

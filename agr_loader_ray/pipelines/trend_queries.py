@@ -110,6 +110,8 @@ def spearman_corr_per_flag(sf_dir: str):
         .groupby(["flag", "col", "v"], as_index=False)["c"].sum()
         .rename(columns={"c": "sum(c)"})
     )
+    from ..functions.bounds import assert_bounded
+    assert_bounded(len(hist), "spearman rank histogram")
 
     # doubled average rank per (flag, col, value):  2·cumbefore + c + 1
     rank_maps: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
@@ -342,6 +344,8 @@ def degree_assortativity(sf_dir: str):
     degs = edges.map_batches(deg_partial, batch_format="pyarrow",
                              zero_copy_batch=True).to_pandas() \
         .groupby(["side", "k"], as_index=False)["c"].sum()  # catalog-bounded
+    from ..functions.bounds import assert_bounded
+    assert_bounded(len(degs), "assortativity degree table")
 
     def _side(side: int) -> tuple[np.ndarray, np.ndarray]:
         d = degs[degs["side"] == side].sort_values("k")

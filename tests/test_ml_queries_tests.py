@@ -150,3 +150,12 @@ def test_item_item_cf_matches_pandas_bruteforce():
     pd.testing.assert_frame_equal(got.astype({"n_co": np.int64}),
                                   want.astype({"n_co": np.int64}),
                                   check_dtype=False)
+
+
+def test_bounded_side_guard_raises():
+    from agr_loader_ray.functions.bounds import (BoundedSideError,
+                                                 assert_bounded)
+
+    assert assert_bounded(10, "x", limit=10) == 10
+    with pytest.raises(BoundedSideError, match="driver bound"):
+        assert_bounded(11, "x", limit=10)
