@@ -256,6 +256,24 @@ DERIVED_REGISTRY["conversation_descriptions"] = conversation_descriptions
 DERIVED_DEPS["conversation_descriptions"] = ("conversation_stats",)
 
 
+def _fallback_store(derived_root: str | None, name: str,
+                    lake_root: str) -> str:
+    """Derived-store path when ``derived_root`` is unset.
+
+    Keyed by a hash of the (absolute) lake root so two different lakes —
+    or regenerated data at a new path — never share committed epoch
+    manifests: a shared tempdir store would short-circuit on a stale
+    manifest and silently return the OTHER lake's view."""
+    import hashlib
+    import os
+    import tempfile
+
+    root = derived_root or tempfile.gettempdir()
+    key = hashlib.sha256(
+        os.path.abspath(lake_root).encode()).hexdigest()[:16]
+    return os.path.join(root, f"{name}-{key}")
+
+
 def _vector_index_members(lake_root: str, epoch: int | None = None,
                           derived_root: str | None = None):
     """Scheduler adapter for the incrementally-maintained vector index
@@ -264,14 +282,12 @@ def _vector_index_members(lake_root: str, epoch: int | None = None,
     across runs — later epochs maintain, never rebuild) and returns the
     alive-membership view the scheduler materializes for this epoch."""
     import os
-    import tempfile
 
     from .pipelines.vector_ivm import maintain_vector_index, read_alive
 
     from .pipelines.vector_ivm import STATE_NAME, _read_state
 
-    store = os.path.join(derived_root or tempfile.gettempdir(),
-                         "_vector_index_store")
+    store = _fallback_store(derived_root, "_vector_index_store", lake_root)
     if (epoch is not None and os.path.exists(os.path.join(store, STATE_NAME))
             and _read_state(store)["last_epoch"] > epoch):
         # the store only moves forward; a time-travel read below its
@@ -297,13 +313,11 @@ def _join_view_members(lake_root: str, epoch: int | None = None,
     committed manifest (the view keeps per-epoch manifests, unlike the
     forward-only vector store)."""
     import os
-    import tempfile
 
     from .pipelines.ivm_join import maintain_join, read_join
     from .state.manifest import LakeManifest
 
-    store = os.path.join(derived_root or tempfile.gettempdir(),
-                         "_join_view_store")
+    store = _fallback_store(derived_root, "_join_view_store", lake_root)
     last = LakeManifest(lake_root).last_committed_epoch()
     upto = last if epoch is None else min(epoch, last)
     maintain_join(lake_root, lake_root, store, list(range(upto + 1)),

@@ -30,3 +30,35 @@ def assert_bounded(n: int, what: str, limit: int = DRIVER_BOUND) -> int:
             f"({limit}) — the 'bounded side' assumption is violated; "
             "route this stage through a distributed exchange instead")
     return n
+
+
+class PackOverflowError(RuntimeError):
+    """A key pair exceeded the bit budget of a packed int64 key."""
+
+
+def checked_pack(hi, lo, bits: int, what: str):
+    """Pack two non-negative int64 numpy arrays into one int64 key as
+    ``(hi << bits) | lo`` with a LOUD range guard.
+
+    Packing is only lossless when ``0 <= lo < 2**bits`` and
+    ``0 <= hi < 2**(63 - bits)``; outside those ranges the OR silently
+    merges distinct pairs (e.g. TPC-H partkey passes 2**31 near
+    SF~1e4).  This converts that quiet corruption into an error at the
+    exact batch that violates the budget, so a 100 TB run fails fast
+    instead of producing wrong distinct-pair counts.
+    """
+    import numpy as np
+
+    bits = int(bits)
+    if len(lo):
+        lo_min, lo_max = int(lo.min()), int(lo.max())
+        hi_min, hi_max = int(hi.min()), int(hi.max())
+        if lo_min < 0 or lo_max >= (1 << bits):
+            raise PackOverflowError(
+                f"{what}: low key range [{lo_min}, {lo_max}] exceeds the "
+                f"{bits}-bit pack budget — distinct pairs would collide")
+        if hi_min < 0 or hi_max >= (1 << (63 - bits)):
+            raise PackOverflowError(
+                f"{what}: high key range [{hi_min}, {hi_max}] exceeds the "
+                f"{63 - bits}-bit pack budget — keys would overflow int64")
+    return (hi.astype(np.int64) << np.int64(bits)) | lo.astype(np.int64)

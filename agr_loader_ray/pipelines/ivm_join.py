@@ -45,6 +45,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from ..functions.bounds import assert_bounded
 from ..stages.partition import stable_hash_strings
 from ..state.manifest import _atomic_write_json
 from .export import change_feed, read_lake
@@ -214,13 +215,17 @@ def maintain_join_epoch(lake_a: str, lake_b: str, out_dir: str, epoch: int,
                 batch_format="pyarrow", zero_copy_batch=True) \
                 .iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
             dirty.update(b["conv_id"].to_pylist())
+            assert_bounded(len(dirty), "ivm_join dirty-conv set")
 
     if prev is None or len(dirty) > DIRTY_BROADCAST_LIMIT:
         # first epoch, or churn past the broadcast bound: full recompute
         out = _compute_join(lake_a, lake_b, epoch, None, n_buckets)
         frames: dict[int, pd.DataFrame] = {
             p: _empty_join_df() for p in range(n_buckets)}
+        held = 0
         for b in out.iter_batches(batch_size=1 << 20, batch_format="pandas"):
+            held = assert_bounded(held + len(b),
+                                  "ivm_join full-recompute view fold")
             for part, g in b.groupby("gpart"):
                 frames[int(part)] = pd.concat(
                     [frames[int(part)], g[_JOIN_COLS]], ignore_index=True)
@@ -240,7 +245,10 @@ def maintain_join_epoch(lake_a: str, lake_b: str, out_dir: str, epoch: int,
         .astype(np.int32))
     fresh: dict[int, pd.DataFrame] = {int(p): _empty_join_df()
                                       for p in dirty_parts}
+    held = 0
     for b in new_rows.iter_batches(batch_size=1 << 20, batch_format="pandas"):
+        held = assert_bounded(held + len(b),
+                              "ivm_join dirty-bucket recompute fold")
         for part, g in b.groupby("gpart"):
             fresh[int(part)] = pd.concat(
                 [fresh[int(part)], g[_JOIN_COLS]], ignore_index=True)
@@ -252,6 +260,8 @@ def maintain_join_epoch(lake_a: str, lake_b: str, out_dir: str, epoch: int,
         if ent["file"]:
             old = pq.read_table(os.path.join(out_dir, ent["file"])) \
                 .to_pandas()
+            held = assert_bounded(held + len(old),
+                                  "ivm_join dirty-bucket rewrite fold")
             old = old[~old["conv_id"].isin(dirty_set)]
         else:
             old = _empty_join_df()

@@ -487,9 +487,11 @@ def item_item_cf_topk(sf_dir: str):
             i_idx = within // (k_b - 1)
             r = within % (k_b - 1)
             j_idx = np.where(r >= i_idx, r + 1, r)
+            from ..functions.bounds import checked_pack
+
             a = pk[starts[seg] + i_idx]
             b = pk[starts[seg] + j_idx]
-            key = (a << np.int64(31)) | b
+            key = checked_pack(a, b, 31, "item_item_cf pair key")
             uk, cnt = np.unique(key, return_counts=True)
             item = uk >> np.int64(31)
             nb = uk & np.int64((1 << 31) - 1)

@@ -1674,9 +1674,12 @@ def frequent_part_pairs(sf_dir: str):
         jj = np.floor((np.sqrt(8.0 * q + 1) - 1) / 2).astype(np.int64)
         i_idx = k_b - 2 - jj
         j_idx = within - (i_idx * (2 * k_b - i_idx - 1) // 2) + i_idx + 1
+        from ..functions.bounds import checked_pack
+
         a = pk[starts[basket] + i_idx]
         b = pk[starts[basket] + j_idx]
-        key = (np.minimum(a, b) << np.int64(31)) | np.maximum(a, b)
+        key = checked_pack(np.minimum(a, b), np.maximum(a, b), 31,
+                           "association_rules pair key")
         uk, cnt = np.unique(key, return_counts=True)
         return pd.DataFrame({"key": uk, "n_orders": cnt.astype(np.int64)})
 

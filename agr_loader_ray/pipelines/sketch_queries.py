@@ -832,9 +832,12 @@ def substring_containment_pairs(sf_dir: str, mode: str = "auto"):
         n1s = n1[pseg]
         i_idx = within // n1s
         j_idx = within % n1s
+        from ..functions.bounds import checked_pack
+
         contained = ids[starts[pseg] + i_idx]
         container = ids[starts[pseg] + n0[pseg] + j_idx]
-        key = (contained << np.int64(32)) | container
+        key = checked_pack(contained, container, 32,
+                           "substring_containment pair key")
         uk = np.unique(key)
         contained = uk >> np.int64(32)
         container = uk & np.int64((1 << 32) - 1)

@@ -307,9 +307,11 @@ def degree_assortativity(sf_dir: str):
     # combiner, bucketing exchange, in-partition unique; degrees and
     # moments fold driver-side (endpoint domains are catalog-bounded).
     def batch_distinct(t: pa.Table) -> pa.Table:
+        from ..functions.bounds import checked_pack
+
         p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        key = np.unique((p << np.int64(31)) | s)
+        key = np.unique(checked_pack(p, s, 31, "degree_assortativity edge key"))
         return pa.table({
             "key": pa.array(key),
             "gpart": pa.array((key % nparts).astype(np.int32)),

@@ -53,6 +53,15 @@ def _split_by_part(block, part_col: str, nparts: int):
         empty = t.slice(0, 0)
         return tuple(empty for _ in range(nparts))
     part = t[part_col].to_numpy(zero_copy_only=False)
+    if len(part):
+        pmin, pmax = part.min(), part.max()
+        if pmin < 0 or pmax >= nparts:
+            # keep the drop-in contract LOUD: the groupby this replaces
+            # would surface an out-of-range part as an extra group, so a
+            # miscomputed partition column must not silently vanish here
+            raise ValueError(
+                f"exchange part column '{part_col}' out of range: "
+                f"[{pmin}, {pmax}] not within [0, {nparts})")
     if len(part) and not (part[1:] >= part[:-1]).all():
         order = np.argsort(part, kind="stable")
         t = t.take(pa.array(order))

@@ -195,7 +195,8 @@ def test_vector_index_is_scheduler_wired(tmp_path):
     r = run_derived_groups(lake, out, names=["vector_index"])
     alive = len(read_lake(lake).to_pandas())
     assert r["pipelines"]["vector_index"]["rows"] == alive > 0
-    store = os.path.join(out, "_vector_index_store")
+    from agr_loader_ray.config import _fallback_store
+    store = _fallback_store(out, "_vector_index_store", lake)
     assert _read_state(store)["last_epoch"] == spec.n_epochs - 1
 
     # resume: a second run at the same epoch re-executes nothing

@@ -97,3 +97,30 @@ def test_exchange_pandas_blocks(ray_session):
     got = _sorted_df(exchange_map_groups(ds, "gpart", _make_kernel(), 3))
     assert got["n"].sum() == 10
     assert len(got) == 10  # distinct keys
+
+
+def test_exchange_out_of_range_part_is_loud(ray_session):
+    """A miscomputed partition column must raise, not silently drop —
+    the groupby this replaces would surface the extra group."""
+    t = pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "v": pa.array([1, 1], pa.int64()),
+                  "gpart": pa.array([0, 5], pa.int32())})
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(Exception, match="out of range"):
+        exchange_map_groups(ds, "gpart", _make_kernel(), 3).materialize()
+
+
+def test_checked_pack_guards():
+    from agr_loader_ray.functions.bounds import PackOverflowError, checked_pack
+
+    hi = np.array([1, 2], np.int64)
+    lo = np.array([3, (1 << 31) - 1], np.int64)
+    got = checked_pack(hi, lo, 31, "t")
+    assert list(got >> np.int64(31)) == [1, 2]
+    assert list(got & np.int64((1 << 31) - 1)) == [3, (1 << 31) - 1]
+    with pytest.raises(PackOverflowError, match="pack budget"):
+        checked_pack(hi, np.array([0, 1 << 31], np.int64), 31, "t")
+    with pytest.raises(PackOverflowError, match="pack budget"):
+        checked_pack(np.array([1 << 32, 0], np.int64), lo, 31, "t")
+    with pytest.raises(PackOverflowError, match="pack budget"):
+        checked_pack(hi, np.array([-1, 0], np.int64), 31, "t")
