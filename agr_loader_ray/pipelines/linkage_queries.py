@@ -559,16 +559,16 @@ def ppjoin_pairs(sf_dir: str, threshold: float = 0.8, k: int = 5,
 
         attached = exchange_attach(sh, df_ds, "h", nparts=nparts)
 
-    def prefix_part(g: pd.DataFrame) -> pa.Table:
-        if len(g) == 0:
+    def prefix_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "h": pa.array([], pa.uint64()),
                              "n": pa.array([], pa.int64()),
                              "rank": pa.array([], pa.int64())})
-        did = g["doc_id"].to_numpy().astype(np.int64)
-        h = g["h"].to_numpy().astype(np.uint64)
-        df = g["df"].to_numpy().astype(np.int64)
-        n = g["n"].to_numpy().astype(np.int64)
+        did = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = g["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        df = g["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((h, df, did))
         did, h, n = did[order], h[order], n[order]
         first = np.empty(len(did), bool)
@@ -584,19 +584,22 @@ def ppjoin_pairs(sf_dir: str, threshold: float = 0.8, k: int = 5,
                          "n": pa.array(n[keep]),
                          "rank": pa.array(rank[keep])})
 
-    # NOTE: these two exchanges stay on groupby — the task exchange's
-    # input materialization costs more than the sort saves on this
-    # already-pipelined wide stream (measured 6.4 s -> 7.2 s)
-    pref = (attached.map_batches(
-        lambda t: int_key_part_col(t, "doc_id", nparts),
-        batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart").map_groups(prefix_part, batch_format="pandas"))
+    # r5: both exchanges route through the STREAMING task exchange —
+    # split tasks launch per upstream block as produced, so the r4
+    # materialization penalty (6.4 s -> 7.2 s, reverted then) is gone
+    from ..stages.exchange import exchange_map_groups
 
-    def collide_part(g: pd.DataFrame) -> pa.Table:
-        h = g["h"].to_numpy().astype(np.uint64)
-        did = g["doc_id"].to_numpy().astype(np.int64)
-        nn = g["n"].to_numpy().astype(np.int64)
-        rk = g["rank"].to_numpy().astype(np.int64)
+    pref = exchange_map_groups(
+        attached.map_batches(
+            lambda t: int_key_part_col(t, "doc_id", nparts),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", prefix_part, nparts, drop_part_col=True)
+
+    def collide_part(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        did = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nn = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rk = g["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((did, h))
         h, did, nn, rk = h[order], did[order], nn[order], rk[order]
         starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
@@ -631,10 +634,11 @@ def ppjoin_pairs(sf_dir: str, threshold: float = 0.8, k: int = 5,
         return pa.table({"id_a": pa.array(np.concatenate(outs_a)),
                          "id_b": pa.array(np.concatenate(outs_b))})
 
-    cand = (pref.map_batches(
-        lambda t: _hash_part_col(t, "h", nparts),
-        batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("part").map_groups(collide_part, batch_format="pandas"))
+    cand = exchange_map_groups(
+        pref.map_batches(
+            lambda t: _hash_part_col(t, "h", nparts),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "part", collide_part, nparts, drop_part_col=True)
 
     pairs = _dedup_pairs(cand)
     return verify_pairs_jaccard(pairs, docs, threshold=threshold, k=k)

@@ -395,13 +395,16 @@ def verify_pairs_jaccard(
                 "jaccard": pa.array(ja[keep], pa.float64()),
             })
 
-        if not distinct:
-            # score the driver-deduped table (sliced back into blocks so
-            # the task pool parallelizes), not the duplicated dataset
-            step = 8192
-            slices = [pair_tbl.slice(i, step)
-                      for i in range(0, max(pair_tbl.num_rows, 1), step)]
-            pairs = ray.data.from_arrow(slices)
+        # score the driver-pulled pair table re-sliced into ~8k-row
+        # blocks: the upstream exchange leaves only nparts (~8) blocks,
+        # which caps map_batches at 8-way parallelism on 32 CPUs — the
+        # measured bottleneck of ppjoin's verify stage at sf0.1 (4.5 s
+        # of a 6.7 s query; re-sliced it spreads across the task pool).
+        # distinct=False additionally deduped pair_tbl driver-side above.
+        step = 8192
+        slices = [pair_tbl.slice(i, step)
+                  for i in range(0, max(pair_tbl.num_rows, 1), step)]
+        pairs = ray.data.from_arrow(slices)
         # tasks + per-worker-process cache, not an actor pool: worker
         # processes persist across tasks, so the id→shingle-set memo
         # amortizes exactly like actor state without paying autoscaling

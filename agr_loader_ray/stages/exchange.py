@@ -88,12 +88,20 @@ def _reduce_kernel(kernel, part_col: str | None, *slices: pa.Table) -> pa.Table:
     return out
 
 
-def _block_refs(ds: "ray.data.Dataset") -> list:
-    mat = ds.materialize()
-    if hasattr(mat, "iter_internal_ref_bundles"):
-        return [br for b in mat.iter_internal_ref_bundles()
-                for br in b.block_refs]
-    return mat.get_internal_block_refs()
+def _iter_block_refs(ds: "ray.data.Dataset"):
+    """Yield block refs AS the streaming executor produces them.
+
+    ``iter_internal_ref_bundles`` drives ``execute_to_iterator`` — no
+    materialization barrier: the consumer sees each upstream block the
+    moment it lands, so split tasks overlap upstream execution instead
+    of waiting behind a full ``materialize()`` (the r4 Known limit #1).
+    Falls back to materialize on Ray versions without the API.
+    """
+    if hasattr(ds, "iter_internal_ref_bundles"):
+        for b in ds.iter_internal_ref_bundles():
+            yield from b.block_refs
+    else:  # pragma: no cover - older Ray
+        yield from ds.materialize().get_internal_block_refs()
 
 
 def exchange_map_groups(ds: "ray.data.Dataset", part_col: str, kernel,
@@ -105,14 +113,18 @@ def exchange_map_groups(ds: "ray.data.Dataset", part_col: str, kernel,
     pa.Table (one partition, part column included unless
     ``drop_part_col``) and returns a pa.Table or pd.DataFrame, and must
     return a typed empty result for a zero-row input.
+
+    Streaming: split tasks launch per upstream block as the block is
+    produced (no barrier); only the reduce fan-in waits for all splits,
+    which is inherent to an all-to-all exchange.
     """
-    refs = _block_refs(ds)
-    if not refs:
-        raise ValueError("exchange over an empty (zero-block) dataset")
     split = _split_by_part.options(num_returns=nparts)
-    per_block = [split.remote(r, part_col, nparts) for r in refs]
-    if nparts == 1:
-        per_block = [[pb] for pb in per_block]
+    per_block = []
+    for r in _iter_block_refs(ds):
+        pb = split.remote(r, part_col, nparts)
+        per_block.append([pb] if nparts == 1 else pb)
+    if not per_block:
+        raise ValueError("exchange over an empty (zero-block) dataset")
     kref = ray.put(kernel)
     drop = part_col if drop_part_col else None
     outs = [
