@@ -693,7 +693,11 @@ def _jw_pairs_kernel(ents: np.ndarray) -> pd.DataFrame:
     bpos = np.zeros((n, len(uchars)), np.uint64)
     np.bitwise_or.at(bpos, (np.repeat(np.arange(n), L), Mc.ravel()),
                      np.tile(bitpos, n))
-    bpos[:, lut[0]] = 0  # pad char never matches
+    has_pad = uchars[0] == 0  # only zero the pad class when it EXISTS:
+    # with every string exactly L bytes, lut[0] aliases the smallest
+    # real char class and zeroing it would erase its matches
+    if has_pad:
+        bpos[:, 0] = 0  # pad char never matches
 
     ii, jj = np.triu_indices(n, k=1)
     la, lb = lens[ii], lens[jj]
@@ -703,7 +707,8 @@ def _jw_pairs_kernel(ents: np.ndarray) -> pd.DataFrame:
     # this drops the vast majority of pairs before any (P, L) gather.
     cnts = np.zeros((n, len(uchars)), np.int16)
     np.add.at(cnts, (np.repeat(np.arange(n), L), Mc.ravel()), 1)
-    cnts[:, lut[0]] = 0
+    if has_pad:
+        cnts[:, 0] = 0
     mub = np.minimum(cnts[ii], cnts[jj]).sum(1, dtype=np.int64)
     pre = 2 * mub * (la + lb) >= 3 * la * lb
     ii, jj, la, lb = ii[pre], jj[pre], la[pre], lb[pre]

@@ -248,17 +248,25 @@ def train_test_split_counts(sf_dir: str):
 def _levenshtein_pairs(a_list: list[str], b_list: list[str]) -> np.ndarray:
     """Edit distance for N string pairs, DP vectorized ACROSS pairs:
     the i/j loops run over string positions (bounded by max length),
-    every cell op is a length-N numpy vector — no per-pair Python."""
-    n = len(a_list)
-    la = np.array([len(s) for s in a_list], np.int32)
-    lb = np.array([len(s) for s in b_list], np.int32)
+    every cell op is a length-N numpy vector — no per-pair Python.
+
+    Positions are UTF-8 BYTES, matching DuckDB's ``levenshtein``
+    exactly — probed on this build: ``levenshtein('café','cafe') = 2``
+    (é is two bytes), i.e. the oracle is byte-wise, not codepoint-wise.
+    Lengths are byte lengths too (the former ``len(s)`` codepoint count
+    mis-shaped the matrix for non-ASCII input)."""
+    a_bytes = [s.encode() for s in a_list]
+    b_bytes = [s.encode() for s in b_list]
+    n = len(a_bytes)
+    la = np.array([len(s) for s in a_bytes], np.int32)
+    lb = np.array([len(s) for s in b_bytes], np.int32)
     ma, mb = int(la.max(initial=1)), int(lb.max(initial=1))
     A = np.zeros((n, ma), np.uint32)
     B = np.zeros((n, mb), np.uint32)
-    for k, s in enumerate(a_list):
-        A[k, :len(s)] = np.frombuffer(s.encode(), np.uint8)
-    for k, s in enumerate(b_list):
-        B[k, :len(s)] = np.frombuffer(s.encode(), np.uint8) + np.uint32(0)
+    for k, s in enumerate(a_bytes):
+        A[k, :len(s)] = np.frombuffer(s, np.uint8)
+    for k, s in enumerate(b_bytes):
+        B[k, :len(s)] = np.frombuffer(s, np.uint8)
     prev = np.tile(np.arange(mb + 1, dtype=np.int32), (n, 1))
     ans = lb.astype(np.int32).copy()  # rows with len_a == 0
     for i in range(1, ma + 1):

@@ -115,3 +115,47 @@ def test_jaro_winkler_pairs_typed_hash():
 
     assert len(got) == len(want) > 0
     assert th(got) == th(want)
+
+
+def test_kernel_all_equal_length_no_pad():
+    """Every string exactly L bytes: no pad class exists, and the
+    smallest real char class must NOT be zeroed (the lut[0] alias)."""
+    ents = np.array(sorted(["aabbcc", "aabbcd", "zzaabb", "aabbce"]), object)
+    got = _jw_pairs_kernel(ents)
+    got_rows = sorted(zip(got["ent_a"], got["ent_b"], got["jw"]))
+    want = _ref_pairs(list(ents))
+    assert len(got_rows) == len(want)
+    for g, w in zip(got_rows, want):
+        assert g[0] == w[0] and g[1] == w[1] and g[2] == w[2]
+
+
+def test_jw_kernel_non_ascii_matches_duckdb_bytes():
+    """DuckDB's jaro_winkler_similarity is BYTE-wise (probed:
+    'héllo' vs 'hello' = 0.84, the 6-byte reading).  The kernel must
+    agree on non-ASCII input."""
+    ents = np.array(sorted(["héllo wörld", "hello world", "héllo wurld"]),
+                    object)
+    got = _jw_pairs_kernel(ents)
+    con = duckdb.connect()
+    for a, b, s in zip(got["ent_a"], got["ent_b"], got["jw"]):
+        want = con.sql("select jaro_winkler_similarity(?, ?)",
+                       params=[a, b]).fetchone()[0]
+        assert s == want
+    # byte-level reference agrees too (jw over encoded bytes)
+    for a, b, s in zip(got["ent_a"], got["ent_b"], got["jw"]):
+        assert s == _jw_ref(a.encode(), b.encode())
+
+
+def test_levenshtein_non_ascii_matches_duckdb_bytes():
+    """DuckDB levenshtein('café','cafe') = 2 — byte-wise.  The DP must
+    agree AND not crash on non-ASCII (the former codepoint-length /
+    byte-buffer shape mismatch)."""
+    from agr_loader_ray.pipelines.relational_queries import _levenshtein_pairs
+
+    a = ["café", "naïve", "héllo", "abc", "",  "ぁa"]
+    b = ["cafe", "naive", "hello", "abd", "é", "aぁ"]
+    got = _levenshtein_pairs(a, b)
+    con = duckdb.connect()
+    for x, y, d in zip(a, b, got):
+        want = con.sql("select levenshtein(?, ?)", params=[x, y]).fetchone()[0]
+        assert d == want, (x, y, d, want)
