@@ -87,15 +87,27 @@ def distinct_doc_ngrams(t: pa.Table, k: int = 4,
                      "h": pa.array(code_to_hash[u_code], pa.uint64())})
 
 
-def collect_benchmark_hashes(bench_ds, k: int = 4) -> np.ndarray:
-    """Distinct shingle hashes of the benchmark set (small-side pull:
-    per-batch distinct first, so the driver sees deduplicated arrays)."""
+def _bench_shingles(bench_ds, k: int = 4):
+    """Per-batch-distinct benchmark shingle hashes as a Dataset (no
+    driver materialization — shared by both dispatch paths)."""
     def distinct_part(t: pa.Table) -> pa.Table:
         _, h = token_ngram_hashes(t["text"], k)
         return pa.table({"h": pa.array(np.unique(h), pa.uint64())})
 
-    df = bench_ds.map_batches(distinct_part, batch_format="pyarrow",
-                              zero_copy_batch=True).to_pandas()
+    return bench_ds.map_batches(distinct_part, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+def collect_benchmark_hashes(bench_ds, k: int = 4,
+                             limit: int | None = None) -> np.ndarray:
+    """Distinct shingle hashes of the benchmark set (small-side pull:
+    per-batch distinct first, so the driver sees deduplicated arrays;
+    the pull is guarded by ``assert_bounded``)."""
+    from ..functions.bounds import assert_bounded
+
+    df = _bench_shingles(bench_ds, k).to_pandas()
+    assert_bounded(len(df), "decontam benchmark shingle pull",
+                   **({"limit": limit} if limit is not None else {}))
     return np.unique(df["h"].to_numpy())
 
 
@@ -107,8 +119,17 @@ def contaminated_docs(train_ds, bench_ds, k: int = 4,
 
     from ..functions.pools import pool as _pool
 
-    bench = collect_benchmark_hashes(bench_ds, k)
-    if len(bench) <= broadcast_limit:
+    # the size decision is a DISTRIBUTED count (per-batch-distinct row
+    # count, an upper bound on the global distinct), so no driver
+    # materialization happens before the dispatch — the broadcast pull
+    # below runs only once the bound is already known to hold
+    bench_sh = _bench_shingles(bench_ds, k)
+    if bench_sh.count() <= broadcast_limit:
+        from ..functions.bounds import assert_bounded
+
+        df = bench_sh.to_pandas()
+        assert_bounded(len(df), "decontam benchmark shingle broadcast")
+        bench = np.unique(df["h"].to_numpy())
         ref = ray.put(bench)  # once; read per actor, not per batch
 
         class Contam:
@@ -138,11 +159,9 @@ def contaminated_docs(train_ds, bench_ds, k: int = 4,
 
     train_sh = train_ds.map_batches(lambda t: distinct_doc_ngrams(t, k),
                                     batch_format="pyarrow", zero_copy_batch=True)
-    bench_sh = bench_ds.map_batches(
-        lambda t: pa.table({"h": pa.array(
-            np.unique(token_ngram_hashes(t["text"], k)[1]), pa.uint64())}),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
+    # bench_sh reused from the dispatch count above (same per-batch
+    # distinct shape; duplicate hashes across batches are harmless to
+    # the semi-join)
     from ..functions.pools import join_parts
     from .attach import exchange_semi
 
