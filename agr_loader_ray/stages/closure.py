@@ -128,9 +128,12 @@ def _min_merge(tagged: ray.data.Dataset, packable: bool,
                 "mn": pa.array(tag_s[first]),
             })
 
-        return tagged.map_batches(
-            add_part, batch_format="pyarrow", zero_copy_batch=True,
-        ).groupby("part").map_groups(merge_part, batch_format="pyarrow")
+        from .exchange import exchange_map_groups
+
+        return exchange_map_groups(
+            tagged.map_batches(add_part, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            "part", merge_part, nparts, drop_part_col=True)
 
     def add_part2(t: pa.Table) -> pa.Table:
         n = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -157,9 +160,12 @@ def _min_merge(tagged: ray.data.Dataset, packable: bool,
             "mn": pa.array(tag_s[first]),
         })
 
-    return tagged.map_batches(
-        add_part2, batch_format="pyarrow", zero_copy_batch=True,
-    ).groupby("part").map_groups(merge_part2, batch_format="pyarrow")
+    from .exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        tagged.map_batches(add_part2, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        "part", merge_part2, nparts, drop_part_col=True)
 
 
 def _tagged_min_merge(r: ray.data.Dataset, stepped: ray.data.Dataset,
