@@ -48,6 +48,7 @@ def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
 
 from ..functions.pools import join_parts as _join_parts  # noqa: E402
 from ..functions.pools import pool as _pool  # noqa: E402
+from ..functions.pools import task_stage  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -333,8 +334,8 @@ def broadcast_join_nation_revenue(sf_dir: str):
             return t2.group_by("n_name").aggregate([("total_c", "sum"), ("total_c", "count")])
 
     return (
-        joined.map_batches(Enrich, fn_constructor_args=(ref,), batch_format="pyarrow",
-                           zero_copy_batch=True, concurrency=_pool())
+        joined.map_batches(task_stage(Enrich, ref), batch_format="pyarrow",
+                           zero_copy_batch=True)
         .groupby("n_name")
         .aggregate(Sum("total_c_sum", alias_name="total_c"), Sum("total_c_count", alias_name="n_orders"))
     )
@@ -1395,8 +1396,8 @@ def median_value_per_type(sf_dir: str):
                 })
 
         return (
-            ds.map_batches(Hist, fn_constructor_args=(ref,), batch_format="pyarrow",
-                           zero_copy_batch=True, concurrency=_pool())
+            ds.map_batches(task_stage(Hist, ref), batch_format="pyarrow",
+                           zero_copy_batch=True)
             .groupby(["event_type", "bucket"])
             .aggregate(Sum("cnt", alias_name="cnt"))
         ).take_all()  # ≤ |types| × _MEDIAN_BUCKETS tiny rows
@@ -1977,8 +1978,8 @@ def bloom_semi_join_parts(sf_dir: str):
     li = read_table(sf_dir, "lineitem",
                     columns=["l_partkey", "l_returnflag", "l_extendedprice"])
     survivors = li.map_batches(
-        BloomProbe, fn_constructor_args=(ref, "l_partkey", m_bits, k),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=_pool())
+        task_stage(BloomProbe, ref, "l_partkey", m_bits, k),
+        batch_format="pyarrow", zero_copy_batch=True)
     # exact confirm: single-exchange semi filter (stages/attach.py), not
     # Dataset.join left_semi — same per-row-Python-partition rationale
     from ..stages.attach import exchange_semi
@@ -2398,23 +2399,24 @@ def mad_value_per_type(sf_dir: str):
     med = exact_group_quantiles(cents_ds, "event_type", "cents",
                                 quantiles=((1, 2),), pool=_pool())
     med.pop("_n")
-    med_ref = ray.put({g: q[0] for g, q in med.items()})
+    med_types = pa.array(sorted(med))
+    med_vals = np.array([med[t.as_py()][0] for t in med_types], np.int64)
+    med_ref = ray.put((med_types, med_vals))
 
-    class Dev:
-        def __init__(self, ref):
-            self.med = ray.get(ref)
+    # task closure over a ray.put ref, not an actor pool: the state is a
+    # broadcast dict and per-query pool startup was the dominant fixed
+    # cost of this stage (same fix as quartile_bin_counts)
+    def dev_fn(t: pa.Table) -> pa.Table:
+        types, vals = ray.get(med_ref)
+        idx = pc.index_in(t["event_type"], value_set=types
+                          ).to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": t["event_type"],
+                         "dev": pa.array(np.abs(cents - vals[idx]).astype(np.int64),
+                                         pa.int64())})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            et = t["event_type"].to_numpy(zero_copy_only=False)
-            cents = t["cents"].to_numpy(zero_copy_only=False)
-            m = pd.Series(et).map(self.med).to_numpy()
-            return pa.table({"event_type": t["event_type"],
-                             "dev": pa.array(np.abs(cents - m).astype(np.int64),
-                                             pa.int64())})
-
-    dev_ds = cents_ds.map_batches(Dev, fn_constructor_args=(med_ref,),
-                                  batch_format="pyarrow", zero_copy_batch=True,
-                                  concurrency=_pool())
+    dev_ds = cents_ds.map_batches(dev_fn, batch_format="pyarrow",
+                                  zero_copy_batch=True)
     res = exact_group_quantiles(dev_ds, "event_type", "dev",
                                 quantiles=((1, 2),), pool=_pool())
     counts = res.pop("_n")

@@ -28,6 +28,7 @@ from ..stages.dedup import minhash_lsh_candidates, simhash_near_dup_pairs
 from ..stages.similarity import brute_force_topk, lsh_bucketed_topk
 from ..stages.text import LangId, fingerprint_batch, token_quality_batch
 from .queries import _pool, query
+from ..functions.pools import task_stage
 
 # ---------------------------------------------------------------------------
 # DuckDB oracles for the LAKE-INPUT pipelines (cdc_engine_replay /
@@ -1234,9 +1235,8 @@ def embedding_near_dup_pairs(sf_dir: str, mode: str = "auto"):
                 }
             )
 
-    return ds.map_batches(PairScore, fn_constructor_args=(ref, 0.25),
-                          batch_format="pyarrow", zero_copy_batch=True,
-                          concurrency=_pool())
+    return ds.map_batches(task_stage(PairScore, ref, 0.25),
+                          batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1647,9 +1647,9 @@ def token_familiarity_scores(sf_dir: str, broadcast_limit: int = 2_000_000):
                     "mean_tf": pa.array(mean, pa.float64()),
                 })
 
-        return ds.map_batches(Score, fn_constructor_args=(tf_ref,),
-                              batch_format="pyarrow", zero_copy_batch=True,
-                              concurrency=_pool()).sort("doc_id")
+        return ds.map_batches(task_stage(Score, tf_ref),
+                              batch_format="pyarrow", zero_copy_batch=True
+                              ).sort("doc_id")
 
     # scale path: explode (doc_id, w) and hash-join the unigram table
     def explode(t: pa.Table) -> pa.Table:

@@ -117,7 +117,7 @@ def contaminated_docs(train_ds, bench_ds, k: int = 4,
     k-gram with the benchmark set, with the distinct-overlap count."""
     import ray
 
-    from ..functions.pools import pool as _pool
+    from ..functions.pools import task_stage
 
     # the size decision is a DISTRIBUTED count (per-batch-distinct row
     # count, an upper bound on the global distinct), so no driver
@@ -150,9 +150,8 @@ def contaminated_docs(train_ds, bench_ds, k: int = 4,
                 return pa.table({"doc_id": pa.array(u[keep], pa.int64()),
                                  "n_contaminated": pa.array(cnt[keep], pa.int64())})
 
-        return train_ds.map_batches(Contam, fn_constructor_args=(ref,),
-                                    batch_format="pyarrow", zero_copy_batch=True,
-                                    concurrency=_pool())
+        return train_ds.map_batches(task_stage(Contam, ref),
+                                    batch_format="pyarrow", zero_copy_batch=True)
 
     # scale path: distributed semi-join on the shingle hash
     from ray.data.aggregate import Count

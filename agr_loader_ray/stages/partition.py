@@ -119,7 +119,7 @@ def salted_topk_per_key(ds, key: str, sort_cols: list[str], ascending: list[bool
     import pyarrow as pa
     import ray
 
-    from ..functions.pools import join_parts, pool as _pool
+    from ..functions.pools import join_parts, task_stage
 
     hot_ref = ray.put(np.asarray(list(hot_keys)))
     nparts = join_parts()
@@ -164,8 +164,7 @@ def salted_topk_per_key(ds, key: str, sort_cols: list[str], ascending: list[bool
         return (g.groupby(key, sort=False).head(k)
                 .drop(columns=["_salt", "gpart"]))
 
-    salted = ds.map_batches(Salt, fn_constructor_args=(hot_ref,),
-                            batch_format="pyarrow", zero_copy_batch=True,
-                            concurrency=_pool())
+    salted = ds.map_batches(task_stage(Salt, hot_ref),
+                            batch_format="pyarrow", zero_copy_batch=True)
     pre = salted.groupby("gpart").map_groups(local_topk_part, batch_format="pandas")
     return pre.groupby("gpart").map_groups(final_topk_part, batch_format="pandas")
