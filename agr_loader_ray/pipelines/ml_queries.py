@@ -503,24 +503,31 @@ def item_item_cf_topk(sf_dir: str):
             "n": np.r_[dc, cnt].astype(np.int64),
         })
 
-    partials = (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(basket_kernel, batch_format="pandas")
-    ).materialize()
+    from ..stages.exchange import exchange_map_groups
 
-    # item degrees: catalog-bounded aggregate -> broadcast
-    deg = (
-        partials
-        .map_batches(lambda t: t.filter(pc.equal(t["neighbor"], -1)),
-                     batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("item").aggregate(Sum("n", alias_name="d"))
-    ).to_pandas()
+    partials = exchange_map_groups(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", lambda g: basket_kernel(g.to_pandas()), nparts,
+        drop_part_col=True).materialize()
+
+    # item degrees: catalog-bounded aggregate -> combine tree -> broadcast
+    from ..stages.quantiles import _collect_tree
+
+    def deg_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("item").aggregate([("n", "sum")])
+        return pa.table({"item": g["item"], "n": g["n_sum"].cast(pa.int64())})
+
+    deg = _collect_tree(
+        partials.map_batches(
+            lambda t: t.filter(pc.equal(t["neighbor"], -1))
+                       .select(["item", "n"]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        deg_combine).to_pandas()
     from ..functions.bounds import assert_bounded
     assert_bounded(len(deg), "item-degree table (catalog-bounded)")
     dk = deg["item"].to_numpy().astype(np.int64)
     srt = np.argsort(dk)
-    deg_ref = ray.put((dk[srt], deg["d"].to_numpy().astype(np.int64)[srt]))
+    deg_ref = ray.put((dk[srt], deg["n"].to_numpy().astype(np.int64)[srt]))
 
     def item_part(t: pa.Table) -> pa.Table:
         t = t.filter(pc.not_equal(t["neighbor"], -1))
@@ -555,12 +562,11 @@ def item_item_cf_topk(sf_dir: str):
                              "n_co": co[keep].astype(np.int64),
                              "sim": sim[keep]})
 
-    return (
-        partials
-        .map_batches(item_part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(rank_kernel, batch_format="pandas")
-    )
+    return exchange_map_groups(
+        partials.map_batches(item_part, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        "gpart", lambda g: rank_kernel(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------

@@ -1494,28 +1494,63 @@ def median_value_per_type(sf_dir: str):
     """,
 )
 def left_outer_order_counts(sf_dir: str):
+    # ONE tagged-union exchange replaces the former two (count aggregate
+    # + left_outer Dataset.join): customer keys ride side 0, per-batch
+    # count partials side 1; the partition kernel sums partials and
+    # left-gathers with a coalesce-to-0 — same single-exchange shape as
+    # prorate_totalprice_lineitems, immune to the empty-side join crash.
     from ..functions.pools import join_parts
+    from ..stages.exchange import exchange_map_groups
+    from ..stages.partition import int_key_part_col
 
-    counts = (
-        read_table(sf_dir, "orders", columns=["o_custkey"])
-        .map_batches(
-            lambda t: t.group_by("o_custkey").aggregate([("o_custkey", "count")])
-                       .rename_columns(["o_custkey", "n"]),
-            batch_format="pyarrow", zero_copy_batch=True,
-        )
-        .groupby("o_custkey").aggregate(Sum("n", alias_name="n_orders"))
-    )
-    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
-    joined = cust.join(counts, join_type="left_outer",
-                       num_partitions=join_parts(),
-                       on=("c_custkey",), right_on=("o_custkey",))
-    return joined.map_batches(
-        lambda t: pa.table({
-            "c_custkey": t["c_custkey"],
-            "n_orders": pc.coalesce(t["n_orders"], pa.scalar(0, pa.int64())),
-        }),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
+    nparts = join_parts()
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        out = pa.table({
+            "key": g["o_custkey"],
+            "n": g["o_custkey_count"].cast(pa.int64()),
+            "side": pa.array(np.ones(g.num_rows, np.int8)),
+        })
+        return int_key_part_col(out, "key", nparts)
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "key": t["c_custkey"],
+            "n": pa.array(np.zeros(t.num_rows, np.int64)),
+            "side": pa.array(np.zeros(t.num_rows, np.int8)),
+        })
+        return int_key_part_col(out, "key", nparts)
+
+    tagged = read_table(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        count_partial, batch_format="pyarrow", zero_copy_batch=True,
+    ).union(read_table(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        cust_rows, batch_format="pyarrow", zero_copy_batch=True))
+
+    def merge_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "side" not in g.column_names:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64())})
+        s = g["side"].to_numpy(zero_copy_only=False)
+        k = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = k[s == 0]
+        pk, pn = k[s == 1], n[s == 1]
+        if len(pk):
+            order = np.argsort(pk, kind="stable")
+            pk_s, pn_s = pk[order], pn[order]
+            first = np.r_[True, pk_s[1:] != pk_s[:-1]]
+            uk = pk_s[first]
+            sums = np.add.reduceat(pn_s, np.flatnonzero(first))
+            pos = np.minimum(np.searchsorted(uk, ck), len(uk) - 1)
+            out = np.where(uk[pos] == ck, sums[pos], 0)
+        else:
+            out = np.zeros(len(ck), np.int64)
+        return pa.table({"c_custkey": pa.array(ck),
+                         "n_orders": pa.array(out.astype(np.int64))})
+
+    return exchange_map_groups(tagged, "gpart", merge_part, nparts,
+                               drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------

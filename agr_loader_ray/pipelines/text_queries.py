@@ -27,7 +27,7 @@ from ..functions.tables import read_small, read_table
 from ..stages.dedup import minhash_lsh_candidates, simhash_near_dup_pairs
 from ..stages.similarity import brute_force_topk, lsh_bucketed_topk
 from ..stages.text import LangId, fingerprint_batch, token_quality_batch
-from .queries import _pool, query
+from .queries import _join_parts, _pool, query
 from ..functions.pools import task_stage
 
 # ---------------------------------------------------------------------------
@@ -617,6 +617,11 @@ def hopping_window_counts(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
     hop_us = 30 * 60 * 1_000_000
 
+    from ..stages.exchange import exchange_map_groups
+    from ..stages.partition import int_key_part_col
+
+    nparts = _join_parts()
+
     def explode_partial(t: pa.Table) -> pa.Table:
         bucket = pc.floor_temporal(t["ts"], multiple=30, unit="minute")
         b_us = bucket.cast(pa.int64())
@@ -628,21 +633,26 @@ def hopping_window_counts(sf_dir: str):
                 "ws_us": pc.subtract(b_us, pa.scalar(i * hop_us, pa.int64())),
             }))
         allw = pa.concat_tables(parts)
-        return allw.group_by(["user_id", "ws_us"]).aggregate([("ws_us", "count")])
+        g = allw.group_by(["user_id", "ws_us"]).aggregate([("ws_us", "count")])
+        return int_key_part_col(
+            pa.table({"user_id": g["user_id"], "ws_us": g["ws_us"],
+                      "cnt": g["ws_us_count"].cast(pa.int64())}),
+            "user_id", nparts)
 
-    agg = (
-        ds.map_batches(explode_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "ws_us"])
-        .aggregate(_Sum("ws_us_count", alias_name="n_events"))
-    )
-    return agg.map_batches(
-        lambda t: pa.table({
-            "user_id": t["user_id"],
-            "window_start": t["ws_us"].combine_chunks().cast(pa.timestamp("us")),
-            "n_events": t["n_events"],
-        }),
-        batch_format="pyarrow",
-    )
+    # user-keyed bucketing exchange (part id materialized in the
+    # partial), not a composite-key sort shuffle
+    def sum_part(g: pa.Table) -> pa.Table:
+        gg = g.group_by(["user_id", "ws_us"]).aggregate([("cnt", "sum")])
+        return pa.table({
+            "user_id": gg["user_id"],
+            "window_start": gg["ws_us"].cast(pa.timestamp("us")),
+            "n_events": gg["cnt_sum"].cast(pa.int64()),
+        })
+
+    return exchange_map_groups(
+        ds.map_batches(explode_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "gpart", sum_part, nparts, drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------

@@ -527,15 +527,26 @@ def rfm_segment_counts(sf_dir: str):
              .size().rename(columns={"size": "c"}))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    hist = (rfm.map_batches(hist_partial, batch_format="pyarrow",
-                            zero_copy_batch=True)
-            .groupby(["col", "v"]).sum("c").to_pandas())
+    # value histograms are bounded (dates × order-counts × customer
+    # totals) — combine tree, not a sort exchange (fixed-cost cut, same
+    # as quartile_bin_counts)
+    from ..stages.quantiles import _collect_tree
+
+    def hist_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["col", "v"]).aggregate([("c", "sum")])
+        return pa.table({"col": g["col"], "v": g["v"],
+                         "c": g["c_sum"].cast(pa.int64())})
+
+    hist = _collect_tree(
+        rfm.map_batches(hist_partial, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        hist_combine).to_pandas()
 
     thr: dict[str, tuple[int, int]] = {}
     for col, g in hist.groupby("col"):
         g = g.sort_values("v")
         v = g["v"].to_numpy(np.int64)
-        cum = np.cumsum(g["sum(c)"].to_numpy(np.int64))
+        cum = np.cumsum(g["c"].to_numpy(np.int64))
         n = int(cum[-1])
         pick = lambda num, den: int(v[np.searchsorted(
             cum, quantile_disc_rank(num, den, n) + 1)])
@@ -555,19 +566,22 @@ def rfm_segment_counts(sf_dir: str):
             "n_customers": pa.array(np.ones(len(r), np.int64)),
             "total_cents": pa.array(m.astype(np.int64)),
         })
-        return part.group_by("segment").aggregate(
+        g = part.group_by("segment").aggregate(
             [("n_customers", "sum"), ("total_cents", "sum")])
+        return pa.table({"segment": g["segment"],
+                         "n_customers": g["n_customers_sum"].cast(pa.int64()),
+                         "total_cents": g["total_cents_sum"].cast(pa.int64())})
 
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "segment": t["segment"],
-            "n_customers": pc.cast(t["sum(n_customers_sum)"], pa.int64()),
-            "total_cents": pc.cast(t["sum(total_cents_sum)"], pa.int64()),
-        })
+    def seg_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("segment").aggregate(
+            [("n_customers", "sum"), ("total_cents", "sum")])
+        return pa.table({"segment": g["segment"],
+                         "n_customers": g["n_customers_sum"].cast(pa.int64()),
+                         "total_cents": g["total_cents_sum"].cast(pa.int64())})
 
-    return (
-        rfm.map_batches(segment, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("segment").sum(["n_customers_sum", "total_cents_sum"])
-        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
-        .sort("segment")
-    )
+    # ≤ 27 segment rows: combine tree + driver sort
+    out = _collect_tree(
+        rfm.map_batches(segment, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        seg_combine).to_pandas()
+    return out.sort_values("segment").reset_index(drop=True)
