@@ -339,19 +339,29 @@ def lorenz_decile_revenue(sf_dir: str):
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     n_buckets = 32
 
+    from ..stages.exchange import exchange_map_groups
+    from ..stages.quantiles import _collect_tree
+
+    nparts = _join_parts()
+
     def partial(t: pa.Table) -> pa.Table:
         part = pa.table({"o_custkey": t["o_custkey"],
                          "c": _cents(t["o_totalprice"])})
-        return part.group_by("o_custkey").aggregate([("c", "sum")])
+        g = part.group_by("o_custkey").aggregate([("c", "sum")])
+        return int_key_part_col(
+            pa.table({"o_custkey": g["o_custkey"],
+                      "c": g["c_sum"].cast(pa.int64())}),
+            "o_custkey", nparts)
+
+    def spend_part(g: pa.Table) -> pa.Table:
+        gg = g.group_by("o_custkey").aggregate([("c", "sum")])
+        return pa.table({"o_custkey": gg["o_custkey"],
+                         "c": gg["c_sum"].cast(pa.int64())})
 
     # one row per customer; narrow, object-store resident, reused 3×
-    spend = (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-             .groupby("o_custkey").sum("c_sum")
-             .map_batches(lambda t: pa.table({
-                 "o_custkey": t["o_custkey"],
-                 "c": pc.cast(t["sum(c_sum)"], pa.int64())}),
-                 batch_format="pyarrow", zero_copy_batch=True)
-             .materialize())
+    spend = exchange_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", spend_part, nparts, drop_part_col=True).materialize()
 
     mm = (spend.map_batches(
         lambda t: pa.table({"lo": pa.array([pc.min(t["c"]).as_py() or 0]),
@@ -367,38 +377,69 @@ def lorenz_decile_revenue(sf_dir: str):
 
     bucketed = spend.map_batches(bucketize, batch_format="pyarrow",
                                  zero_copy_batch=True).materialize()
-    counts = (bucketed.map_batches(
-        lambda t: t.select(["bucket"]).group_by("bucket")
-                   .aggregate([("bucket", "count")]),
-        batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket").aggregate(Sum("bucket_count", alias_name="n"))
-        .to_pandas().sort_values("bucket"))
+
+    def bcount_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("bucket").aggregate([("n", "sum")])
+        return pa.table({"bucket": g["bucket"],
+                         "n": g["n_sum"].cast(pa.int64())})
+
+    counts = _collect_tree(
+        bucketed.map_batches(
+            lambda t: (lambda g: pa.table({
+                "bucket": g["bucket"],
+                "n": g["bucket_count"].cast(pa.int64())}))(
+                t.select(["bucket"]).group_by("bucket")
+                 .aggregate([("bucket", "count")])),
+            batch_format="pyarrow", zero_copy_batch=True),
+        bcount_combine).to_pandas().sort_values("bucket")
     offs = np.zeros(n_buckets + 1, dtype=np.int64)
     np.add.at(offs, counts["bucket"].to_numpy() + 1, counts["n"].to_numpy())
     offsets = dict(zip(range(n_buckets), np.cumsum(offs)[:n_buckets]))
     n_cust = int(counts["n"].sum())
 
-    def decile_partial(g: pd.DataFrame) -> pa.Table:
-        base = offsets[int(g["bucket"].iloc[0])]
-        order = np.lexsort((g["o_custkey"].to_numpy(), g["c"].to_numpy()))
-        c = g["c"].to_numpy()[order]
+    # bucket ids ARE partition ids in [0, n_buckets): the exchange routes
+    # each bucket to its reduce task directly (no sampling sort), and the
+    # 10-row decile final folds through the combine tree
+    def decile_part(g: pa.Table) -> pa.Table:
+        empty = pa.table({"decile": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64()),
+                          "n_customers": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        base = offsets[int(g["bucket"][0].as_py())]
+        cust = g["o_custkey"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cust, c))
+        c = c[order]
         rk = base + 1 + np.arange(len(c), dtype=np.int64)
-        dec = ((rk - 1) * 10) // n_cust
-        part = pa.table({"decile": pa.array(dec), "c": pa.array(c),
-                         "n_customers": pa.array(np.ones(len(c), np.int64))})
-        return part.group_by("decile").aggregate(
-            [("c", "sum"), ("n_customers", "sum")])
+        dec = ((rk - 1) * 10) // n_cust  # ascending along rk
+        first = np.r_[True, dec[1:] != dec[:-1]]
+        starts = np.flatnonzero(first)
+        return pa.table({
+            "decile": pa.array(dec[first]),
+            "c": pa.array(np.add.reduceat(c, starts).astype(np.int64)),
+            "n_customers": pa.array(
+                (np.r_[starts[1:], len(c)] - starts).astype(np.int64)),
+        })
 
-    dec = (bucketed.groupby("bucket")
-           .map_groups(decile_partial, batch_format="pandas")
-           .groupby("decile").aggregate(Sum("c_sum"), Sum("n_customers_sum"))
-           .to_pandas().sort_values("decile"))
-    cents = dec["sum(c_sum)"].to_numpy(np.int64)
+    from ..stages.exchange import exchange_map_groups as _exg
+
+    def dec_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("decile").aggregate(
+            [("c", "sum"), ("n_customers", "sum")])
+        return pa.table({"decile": g["decile"],
+                         "c": g["c_sum"].cast(pa.int64()),
+                         "n_customers": g["n_customers_sum"].cast(pa.int64())})
+
+    dec = _collect_tree(
+        _exg(bucketed, "bucket", decile_part, n_buckets),
+        dec_combine).to_pandas().sort_values("decile")
+    cents = dec["c"].to_numpy(np.int64)
     cum = np.cumsum(cents)
     total = int(cum[-1])
     return pa.table({
         "decile": pa.array(dec["decile"].to_numpy(np.int64)),
-        "n_customers": pa.array(dec["sum(n_customers_sum)"].to_numpy(np.int64)),
+        "n_customers": pa.array(dec["n_customers"].to_numpy(np.int64)),
         "cents": pa.array(cents),
         "cum_cents": pa.array(cum),
         "cum_share": pa.array(cum.astype(np.float64) / np.float64(total)),

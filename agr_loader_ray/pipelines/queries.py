@@ -367,8 +367,14 @@ def hash_join_priority_revenue(sf_dir: str):
         lambda t: t.filter(pc.less(t["o_orderdate"], cutoff)).drop_columns(["o_orderdate"]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    joined = li.join(orders, join_type="inner", num_partitions=_join_parts(),
-                     on=("l_orderkey",), right_on=("o_orderkey",))
+    # single-exchange hash attach (stages/attach.py), not Dataset.join:
+    # same hash-partitioned big×big shape, but the map side partitions
+    # with numpy instead of the join's per-row Python hash loop, and the
+    # merged output needs no second partition pass
+    from ..stages.attach import exchange_attach
+
+    joined = exchange_attach(li, orders, "l_orderkey",
+                             attach_key="o_orderkey", nparts=_join_parts())
 
     # pre-aggregate to (custkey, priority) partials BEFORE the customer
     # hop: sum is associative, so the second join's left side shrinks from
@@ -388,30 +394,43 @@ def hash_join_priority_revenue(sf_dir: str):
     partials = joined.map_batches(pre_agg, batch_format="pyarrow", zero_copy_batch=True)
 
     # second hop is also big×big (customer grows with sf) — another
-    # hash-partitioned join, not a broadcast dict
+    # hash-partitioned exchange attach, not a broadcast dict
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    joined2 = partials.join(cust, join_type="inner", num_partitions=_join_parts(),
-                            on=("o_custkey",), right_on=("c_custkey",))
+    joined2 = exchange_attach(partials, cust, "o_custkey",
+                              attach_key="c_custkey", nparts=_join_parts())
 
     def seg_agg(t: pa.Table) -> pa.Table:
-        t2 = pa.table(
+        g = pa.table(
             {
                 "c_mktsegment": t["c_mktsegment"],
                 "o_orderpriority": t["o_orderpriority"],
-                "rev_e4_sum": t["rev_e4_sum"],
-                "rev_e4_count": t["rev_e4_count"],
+                "rev_e4": t["rev_e4_sum"],
+                "n_items": t["rev_e4_count"],
             }
+        ).group_by(["c_mktsegment", "o_orderpriority"]).aggregate(
+            [("rev_e4", "sum"), ("n_items", "sum")]
         )
-        return t2.group_by(["c_mktsegment", "o_orderpriority"]).aggregate(
-            [("rev_e4_sum", "sum"), ("rev_e4_count", "sum")]
-        )
+        return pa.table({"c_mktsegment": g["c_mktsegment"],
+                         "o_orderpriority": g["o_orderpriority"],
+                         "rev_e4": g["rev_e4_sum"].cast(pa.int64()),
+                         "n_items": g["n_items_sum"].cast(pa.int64())})
 
-    return (
-        joined2.map_batches(seg_agg, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["c_mktsegment", "o_orderpriority"])
-        .aggregate(Sum("rev_e4_sum_sum", alias_name="rev_e4"),
-                   Sum("rev_e4_count_sum", alias_name="n_items"))
-    )
+    def seg_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["c_mktsegment", "o_orderpriority"]).aggregate(
+            [("rev_e4", "sum"), ("n_items", "sum")])
+        return pa.table({"c_mktsegment": g["c_mktsegment"],
+                         "o_orderpriority": g["o_orderpriority"],
+                         "rev_e4": g["rev_e4_sum"].cast(pa.int64()),
+                         "n_items": g["n_items_sum"].cast(pa.int64())})
+
+    # (segment × priority) is ≤ 25 rows — combine tree, not a shuffle
+    from ..stages.quantiles import _collect_tree
+
+    return _collect_tree(
+        joined2.map_batches(seg_agg, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        seg_combine).to_pandas().sort_values(
+        ["c_mktsegment", "o_orderpriority"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

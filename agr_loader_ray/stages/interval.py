@@ -107,6 +107,9 @@ def interval_join(
             cols[id_col] = pa.array(self.index.ids[ival_idx], pa.int64())
             return pa.table(cols)
 
-    return ds.map_batches(Join, fn_constructor_args=(ref,),
-                          batch_format="pyarrow", zero_copy_batch=True,
-                          concurrency=pool())
+    from ..functions.pools import task_stage
+
+    # task closure, not an actor pool: the only state is the broadcast
+    # index (plasma-local ray.get), and per-query pool startup dominates
+    return ds.map_batches(task_stage(Join, ref),
+                          batch_format="pyarrow", zero_copy_batch=True)
