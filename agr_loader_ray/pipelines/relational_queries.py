@@ -143,13 +143,25 @@ def multiway_join_region_revenue(sf_dir: str):
             return t2.group_by(["r_name", "n_name"]).aggregate(
                 [("rev_e4", "sum"), ("n_items", "sum")])
 
-    return (
-        hop2.map_batches(task_stage(Enrich, ref),
-                         batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["r_name", "n_name"])
-        .aggregate(Sum("rev_e4_sum", alias_name="rev_e4"),
-                   Sum("n_items_sum", alias_name="n_items"))
-    )
+    # (region × nation) ≤ 25 rows: combine tree, not a sort exchange
+    from ..stages.quantiles import _collect_tree
+
+    def enrich_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["r_name", "n_name"]).aggregate(
+            [("rev_e4", "sum"), ("n_items", "sum")])
+        return pa.table({"r_name": g["r_name"], "n_name": g["n_name"],
+                         "rev_e4": g["rev_e4_sum"].cast(pa.int64()),
+                         "n_items": g["n_items_sum"].cast(pa.int64())})
+
+    enriched = hop2.map_batches(task_stage(Enrich, ref),
+                                batch_format="pyarrow", zero_copy_batch=True) \
+        .map_batches(lambda t: pa.table({
+            "r_name": t["r_name"], "n_name": t["n_name"],
+            "rev_e4": t["rev_e4_sum"].cast(pa.int64()),
+            "n_items": t["n_items_sum"].cast(pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    return _collect_tree(enriched, enrich_combine).to_pandas() \
+        .sort_values(["r_name", "n_name"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -475,26 +487,43 @@ def hourly_distinct_users(sf_dir: str):
     def part_col(t: pa.Table) -> pa.Table:
         return int_key_part_col(t, "user_id", nparts)
 
-    def dedup_count(g: pd.DataFrame) -> pd.DataFrame:
-        w = g["ts"].dt.floor("h")
-        out = (pd.DataFrame({"w": w.to_numpy(), "user_id": g["user_id"].to_numpy()})
-               .drop_duplicates().groupby("w", as_index=False).size())
+    def dedup_count(g: pa.Table) -> pa.Table:
         # driver hash is timestamp-UNIT sensitive: date_trunc emits us
-        return pd.DataFrame({"w": out["w"].to_numpy().astype("datetime64[us]"),
-                             "n_users": out["size"].astype(np.int64)})
+        empty = pa.table({"w": pa.array([], pa.timestamp("us")),
+                          "n_users": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        w = pc.floor_temporal(g["ts"].combine_chunks(), unit="hour") \
+            .cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((u, w))
+        w_s, u_s = w[order], u[order]
+        keep = np.r_[True, (w_s[1:] != w_s[:-1]) | (u_s[1:] != u_s[:-1])]
+        wk = w_s[keep]
+        first = np.r_[True, wk[1:] != wk[:-1]]
+        starts = np.flatnonzero(first)
+        return pa.table({
+            "w": pa.array(wk[first]).cast(pa.timestamp("us")),
+            "n_users": pa.array(
+                (np.r_[starts[1:], len(wk)] - starts).astype(np.int64)),
+        })
 
-    def cast_us(t: pa.Table) -> pa.Table:
-        # driver hash is timestamp-UNIT sensitive (date_trunc emits us);
-        # the pandas kernel hop re-infers ns, so cast in the final projection
-        return t.set_column(t.schema.get_field_index("w"), "w",
-                            pc.cast(t["w"], pa.timestamp("us")))
+    from ..stages.exchange import exchange_map_groups
+    from ..stages.quantiles import _collect_tree
 
-    return (
-        ds.map_batches(part_col, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart").map_groups(dedup_count, batch_format="pandas")
-        .groupby("w").aggregate(Sum("n_users", alias_name="n_users"))
-        .map_batches(cast_us, batch_format="pyarrow", zero_copy_batch=True)
-    )
+    def w_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("w").aggregate([("n_users", "sum")])
+        return pa.table({"w": g["w"].cast(pa.timestamp("us")),
+                         "n_users": g["n_users_sum"].cast(pa.int64())})
+
+    # per-user-partition exact dedup partials, then the window-bounded
+    # final folds through the combine tree
+    return _collect_tree(
+        exchange_map_groups(
+            ds.map_batches(part_col, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            "gpart", dedup_count, nparts, drop_part_col=True),
+        w_combine).to_pandas()
 
 
 # ---------------------------------------------------------------------------
@@ -1517,12 +1546,21 @@ def data_quality_audit(sf_dir: str):
             "n_violations": pa.array([int(v) for v in viol.values()], pa.int64()),
         })
 
-    scan_checks = (
-        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("check_name")
-        .aggregate(Sum("n_rows", alias_name="n_rows"),
-                   Sum("n_violations", alias_name="n_violations"))
-    )
+    from ..stages.exchange import exchange_map_groups
+    from ..stages.quantiles import _collect_tree
+
+    def check_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("check_name").aggregate(
+            [("n_rows", "sum"), ("n_violations", "sum")])
+        return pa.table({"check_name": g["check_name"],
+                         "n_rows": g["n_rows_sum"].cast(pa.int64()),
+                         "n_violations": g["n_violations_sum"].cast(pa.int64())})
+
+    # 6 check rows total: combine tree, not a sort exchange
+    scan_checks = _collect_tree(
+        ds.map_batches(partials, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        check_combine).to_pandas()
 
     # uniqueness: the one global constraint — key-hash exchange, then a
     # vectorized per-partition duplicate count (exact: equal ids always
@@ -1532,31 +1570,24 @@ def data_quality_audit(sf_dir: str):
     def id_part(t: pa.Table) -> pa.Table:
         return int_key_part_col(t, "event_id", nparts)
 
-    def dup_kernel(g: pd.DataFrame) -> pd.DataFrame:
-        ids_np = g["event_id"].to_numpy()
-        return pd.DataFrame({
-            "check_name": ["event_id_unique"],
-            "n_rows": np.array([len(ids_np)], np.int64),
-            "n_violations": np.array(
-                [len(ids_np) - len(np.unique(ids_np))], np.int64),
+    def dup_kernel(g: pa.Table) -> pa.Table:
+        ids_np = g["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "check_name": pa.array(["event_id_unique"], pa.string()),
+            "n_rows": pa.array([len(ids_np)], pa.int64()),
+            "n_violations": pa.array(
+                [len(ids_np) - len(np.unique(ids_np))], pa.int64()),
         })
 
-    def to_arrow(t: pa.Table) -> pa.Table:
-        return t.select(["check_name", "n_rows", "n_violations"])
+    uniq = _collect_tree(
+        exchange_map_groups(
+            ids.map_batches(id_part, batch_format="pyarrow",
+                            zero_copy_batch=True),
+            "gpart", dup_kernel, nparts, drop_part_col=True),
+        check_combine).to_pandas()
 
-    uniq = (
-        ids.map_batches(id_part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(dup_kernel, batch_format="pandas")
-        .groupby("check_name")
-        .aggregate(Sum("n_rows", alias_name="n_rows"),
-                   Sum("n_violations", alias_name="n_violations"))
-        .map_batches(to_arrow, batch_format="pyarrow")
-    )
-
-    # union requires both sides in the same block format
-    scan_checks = scan_checks.map_batches(to_arrow, batch_format="pyarrow")
-    return scan_checks.union(uniq).sort("check_name")
+    return pd.concat([scan_checks, uniq], ignore_index=True) \
+        .sort_values("check_name").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

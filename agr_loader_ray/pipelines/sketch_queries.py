@@ -229,15 +229,25 @@ def cms_user_freq_estimate(sf_dir: str):
             "col": pa.array(np.where(nz >= w, nz - w, nz).astype(np.int64)),
             "cnt": pa.array(cnt[nz].astype(np.int64))})
 
-    grid_tbl = (
+    from ..functions.pools import task_stage
+    from ..stages.exchange import exchange_map_groups
+    from ..stages.partition import int_key_part_col
+    from ..stages.quantiles import _collect_tree
+
+    def grid_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["row", "col"]).aggregate([("cnt", "sum")])
+        return pa.table({"row": g["row"], "col": g["col"],
+                         "cnt": g["cnt_sum"].cast(pa.int64())})
+
+    # ≤ d·w = 1024 rows — bounded sketch state: combine tree, no shuffle
+    grid_tbl = _collect_tree(
         ds.map_batches(build_partial, batch_format="pyarrow",
-                       zero_copy_batch=True)
-        .groupby(["row", "col"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
-    ).take_all()  # ≤ d·w = 1024 rows — bounded sketch state, not data-scaled
+                       zero_copy_batch=True),
+        grid_combine)
     grid = np.zeros((2, w), dtype=np.int64)
-    for r in grid_tbl:
-        grid[r["row"], r["col"]] = r["cnt"]
+    grid[grid_tbl["row"].to_numpy(zero_copy_only=False),
+         grid_tbl["col"].to_numpy(zero_copy_only=False)] = \
+        grid_tbl["cnt"].to_numpy(zero_copy_only=False)
     grid_ref = _ray.put(grid)  # broadcast once, read per task
 
     class Probe:
@@ -251,12 +261,25 @@ def cms_user_freq_estimate(sf_dir: str):
             return pa.table({"user_id": t["user_id"],
                              "est_n": pa.array(est, pa.int64())})
 
-    distinct = (ds.groupby("user_id")
-                .aggregate(Sum("user_id", alias_name="_drop"))
-                .drop_columns(["_drop"]))
-    return distinct.map_batches(Probe, fn_constructor_args=(grid_ref,),
-                                concurrency=2, batch_format="pyarrow",
-                                zero_copy_batch=True)
+    nparts = join_parts()
+
+    def uniq_partial(t: pa.Table) -> pa.Table:
+        u = np.unique(t["user_id"].to_numpy(zero_copy_only=False))
+        return int_key_part_col(
+            pa.table({"user_id": pa.array(u, pa.int64())}),
+            "user_id", nparts)
+
+    def uniq_part(g: pa.Table) -> pa.Table:
+        u = np.unique(g["user_id"].to_numpy(zero_copy_only=False)) \
+            if g.num_rows else np.empty(0, np.int64)
+        return pa.table({"user_id": pa.array(u, pa.int64())})
+
+    distinct = exchange_map_groups(
+        ds.map_batches(uniq_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "gpart", uniq_part, nparts, drop_part_col=True)
+    return distinct.map_batches(task_stage(Probe, grid_ref),
+                                batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
