@@ -582,11 +582,13 @@ def shared_shingle_docs(sf_dir: str, k: int = 32):
         return pd.DataFrame({"doc_id": m.index.to_numpy(),
                              "fl": m.to_numpy().astype(np.int64)})
 
-    flags = (
-        ds.map_batches(shingles, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(flag_by_shingle, batch_format="pandas")
-    )
+    from ..stages.exchange import exchange_map_groups
+
+    flags = exchange_map_groups(
+        ds.map_batches(shingles, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "gpart", lambda g: flag_by_shingle(g.to_pandas()), nparts,
+        drop_part_col=True)
 
     zeros = ds.map_batches(
         lambda t: pa.table({"doc_id": t["doc_id"],
@@ -598,13 +600,12 @@ def shared_shingle_docs(sf_dir: str, k: int = 32):
         return pd.DataFrame({"doc_id": m.index.to_numpy(),
                              "has_shared": m.to_numpy().astype(np.int64)})
 
-    return (
+    return exchange_map_groups(
         flags.union(zeros)
         .map_batches(lambda t: int_key_part_col(t, "doc_id", nparts),
-                     batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(fold, batch_format="pandas")
-    )
+                     batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", lambda g: fold(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------

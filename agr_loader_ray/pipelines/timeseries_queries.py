@@ -1174,11 +1174,20 @@ def ab_test_stats_price(sf_dir: str):
             "ks_num": np.array([ks], np.int64),
         })
 
-    return (
-        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(1)  # bounded: ≤ |price domain| partial rows
-        .map_batches(kernel, batch_format="pandas", batch_size=None)
-    )
+    # bounded: ≤ |price domain| partial rows — combine tree to the
+    # driver (no repartition round), one closed-form kernel evaluation
+    from ..stages.quantiles import _collect_tree
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["f", "cents"]).aggregate([("cnt", "sum")])
+        return pa.table({"f": g["f"], "cents": g["cents"],
+                         "cnt": g["cnt_sum"].cast(pa.int64())})
+
+    tbl = _collect_tree(
+        ds.map_batches(partials, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        combine)
+    return kernel(tbl.to_pandas())
 
 
 # ---------------------------------------------------------------------------

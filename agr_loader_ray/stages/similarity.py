@@ -75,9 +75,22 @@ def brute_force_topk(ds: "ray.data.Dataset", query_vec: np.ndarray, k: int = 10,
                 }
             )
 
-    scored = ds.map_batches(Score, fn_constructor_args=(qref, k),
-                            batch_format="pyarrow", zero_copy_batch=True, concurrency=pool())
-    return scored.sort(["sim", id_col], descending=[True, False]).limit(k)
+    from ..functions.pools import task_stage
+    from .quantiles import _collect_tree
+
+    # task closure (broadcast query vector, no pool startup); top-k is
+    # associative, so the global merge is a combine tree over the ≤ k
+    # rows each batch emits — no sort shuffle, no limit op
+    scored = ds.map_batches(task_stage(Score, qref, k),
+                            batch_format="pyarrow", zero_copy_batch=True)
+
+    def topk_combine(t: pa.Table) -> pa.Table:
+        sims = t["sim"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        return t.take(pa.array(order))
+
+    return ray.data.from_arrow(_collect_tree(scored, topk_combine))
 
 
 class HyperplaneLSH:
