@@ -497,8 +497,8 @@ def ppjoin_pairs(sf_dir: str, threshold: float = 0.8, k: int = 5,
         ids_out, hs_out, ns = [], [], []
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         for i, txt in enumerate(t["text"].to_pylist()):
-            if txt is None or len(txt) < k:
-                continue  # the oracle's docs CTE filters length >= k
+            # sub-k docs get the one-window fallback hash — covered by
+            # the oracle's guarded-terms CASE, no length exclusion
             hs = np.unique(_shingle_hashes(txt, k))
             ids_out.append(np.full(len(hs), ids[i], np.int64))
             hs_out.append(hs)

@@ -16,9 +16,11 @@ not recall-dependent:
 
 Mirrors ``stages/dedup.py`` (MinHasher/SimHasher/minhash_lsh_candidates/
 simhash_near_dup_pairs/verify_pairs_jaccard) constant for constant.
-Documents shorter than k are excluded on both sides (the Python
-fallback hash for sub-k docs is not SQL-expressible; the registered
-queries carry the same ``length(text) >= k`` filter).
+Documents shorter than k are INCLUDED on both sides: the Python
+fallback for sub-k docs is the same code-point polynomial evaluated
+over the doc's full (shorter) length, so the oracle reproduces it with
+k-1 guarded terms — no ``length(text) >= k`` exclusion remains in the
+minhash family.
 """
 
 from __future__ import annotations
@@ -49,17 +51,30 @@ def _shingle_ctes(k: int = 5, source: str = "documents") -> str:
         f"unicode(substring(text, i + {j}, 1))::HUGEINT * {pows[j]}"
         for j in range(k)
     )
+    # sub-k docs: ONE window — the same polynomial over the doc's full
+    # (shorter) length; out-of-range positions contribute 0 (guarded —
+    # DuckDB unicode('') is -1, not 0).  Empty text hashes to 0, exactly
+    # like the Python fallback.
+    short_terms = " + ".join(
+        f"CASE WHEN length(text) >= {j + 1} THEN "
+        f"unicode(substring(text, {j + 1}, 1))::HUGEINT * {pows[j]} "
+        f"ELSE 0::HUGEINT END"
+        for j in range(k - 1)
+    )
     return f"""
     docs AS (
-      SELECT doc_id, text FROM {source} WHERE length(text) >= {k}
+      SELECT doc_id, text FROM {source}
     ),
     shp AS (
       SELECT doc_id, text,
-             unnest(generate_series(1, length(text) - {k - 1})) AS i
+             unnest(generate_series(1, greatest(length(text) - {k - 1}, 1))) AS i
       FROM docs
     ),
     shh AS MATERIALIZED (
-      SELECT doc_id, ({terms}) & {_MASK} AS h FROM shp
+      SELECT doc_id,
+             CASE WHEN length(text) >= {k} THEN ({terms}) & {_MASK}
+                  ELSE ({short_terms}) & {_MASK} END AS h
+      FROM shp
     )"""
 
 

@@ -62,10 +62,19 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     The polynomial runs over Unicode CODE POINTS (one UTF-32 decode per
     doc), not UTF-8 bytes, so the DuckDB sketch oracles — which see
     characters via ``unicode(substring(...))`` — mirror it exactly for
-    any input text (``pipelines/sketch_sql.py``)."""
+    any input text (``pipelines/sketch_sql.py``).
+
+    Sub-k docs hash to ONE window: the same polynomial over the doc's
+    full (shorter) length — SQL-expressible with k-1 guarded terms, so
+    the minhash-family oracles cover ALL docs (empty text → 0)."""
     if text is None or len(text) < k:
-        return np.array([stable_hash_strings(np.array([text or ""], dtype=object))[0]],
-                        dtype=np.uint64)
+        cp = np.frombuffer((text or "").encode("utf-32-le"),
+                           dtype=np.uint32).astype(np.uint64)
+        mult = np.power(np.uint64(1099511628211),
+                        np.arange(len(cp), dtype=np.uint64))
+        with np.errstate(over="ignore"):
+            h = (cp * mult).sum(dtype=np.uint64) if len(cp) else np.uint64(0)
+        return np.array([h], dtype=np.uint64)
     cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
     # rolling window view → hash each k-codepoint window (vectorized dot)
     win = np.lib.stride_tricks.sliding_window_view(cp, k)

@@ -154,3 +154,27 @@ def test_verify_pairs_jaccard():
         assert r["jaccard"] >= 0.5
     # the three near-identical docs must all verify against each other
     assert {(0, 1), (0, 2), (1, 2)} <= {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
+
+
+def test_sub_k_shingle_fallback_matches_oracle_sql():
+    """Sub-k docs hash via the SAME code-point polynomial (one window,
+    shorter length) on both sides — the minhash-family oracles cover
+    every doc with no length(text) >= k exclusion."""
+    import duckdb
+
+    from agr_loader_ray.pipelines.sketch_sql import _shingle_ctes
+    from agr_loader_ray.stages.dedup import _shingle_hashes
+
+    docs = ["", "a", "ab", "abcd", "abcde", "héllo wörld", "ぁあ"]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(docs):
+        con.sql("INSERT INTO d VALUES (?, ?)", params=[i, t])
+    sql = f"WITH {_shingle_ctes(5, source='d')} " \
+          "SELECT doc_id, h FROM shh ORDER BY doc_id, h"
+    got_sql = {}
+    for doc_id, h in con.sql(sql).fetchall():
+        got_sql.setdefault(doc_id, []).append(int(h) % (1 << 64))
+    for i, t in enumerate(docs):
+        want = sorted(int(x) for x in _shingle_hashes(t, 5))
+        assert sorted(got_sql[i]) == want, (i, t)

@@ -146,3 +146,56 @@ def test_sequential_writer_chain_preserves_lineage(lake):
     first = m.read_epoch(e0)["partitions"]
     for p in (1, 2, 3):
         assert cur[p]["base"] == first[str(p)]["base"]
+
+
+# --------------------------------------------------------------------------
+# TRUE multi-process put-if-absent race (two OS processes, shared fs) —
+# the in-process tests above prove the protocol; this proves the
+# PRIMITIVE under real concurrent os.link contention.
+# --------------------------------------------------------------------------
+def _occ_racer(root, n_rounds, who, barrier, results):
+    from agr_loader_ray.state.commit_io import LocalCommitIO
+
+    io = LocalCommitIO()
+    wins = []
+    for i in range(n_rounds):
+        barrier.wait()  # line both writers up on every round
+        won = io.publish_json_if_absent(
+            os.path.join(root, f"epoch={i}.json"), {"who": who, "round": i})
+        wins.append(bool(won))
+    results.put((who, wins))
+
+
+def test_put_if_absent_two_process_race(tmp_path):
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    n_rounds = 100
+    root = str(tmp_path / "m")
+    os.makedirs(root)
+    barrier = ctx.Barrier(2)
+    results = ctx.Queue()
+    procs = [ctx.Process(target=_occ_racer,
+                         args=(root, n_rounds, who, barrier, results))
+             for who in ("a", "b")]
+    for p in procs:
+        p.start()
+    got = dict(results.get(timeout=120) for _ in procs)
+    for p in procs:
+        p.join(timeout=60)
+        assert p.exitcode == 0
+
+    winners = 0
+    for i in range(n_rounds):
+        # exactly one winner per round...
+        assert got["a"][i] != got["b"][i], f"round {i}: not exactly one winner"
+        winners += 1
+        # ...and the committed manifest is whole and names that winner
+        with open(os.path.join(root, f"epoch={i}.json")) as fh:
+            obj = json.load(fh)
+        assert obj["round"] == i
+        assert obj["who"] == ("a" if got["a"][i] else "b")
+    assert winners == n_rounds
+    # no temp litter from the losers
+    assert sorted(os.listdir(root)) == [f"epoch={i}.json" for i in sorted(
+        range(n_rounds), key=lambda x: f"epoch={x}.json")]
