@@ -464,22 +464,21 @@ from .sketch_sql import (  # noqa: E402
 )
 
 
-def _docs_min_k(sf_dir: str, k: int = 5):
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(
-        lambda t: t.filter(pc.greater_equal(pc.utf8_length(t["text"]), k)),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
+def _all_docs(sf_dir: str):
+    # ALL docs — sub-k texts ride the one-window fallback hash, which
+    # the oracle reproduces with guarded terms (sketch_sql._shingle_ctes);
+    # no length exclusion remains in the minhash family
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
 
 @query("minhash_near_dup", minhash_near_dup_sql(num_perm=64, bands=16, k=5))
 def minhash_near_dup(sf_dir: str):
-    return minhash_lsh_candidates(_docs_min_k(sf_dir), num_perm=64, bands=16, k=5)
+    return minhash_lsh_candidates(_all_docs(sf_dir), num_perm=64, bands=16, k=5)
 
 
 @query("simhash_near_dup", simhash_near_dup_sql(k=5, max_hamming=3))
 def simhash_near_dup(sf_dir: str):
-    return simhash_near_dup_pairs(_docs_min_k(sf_dir), max_hamming=3)
+    return simhash_near_dup_pairs(_all_docs(sf_dir), max_hamming=3)
 
 
 # ---------------------------------------------------------------------------
@@ -492,7 +491,7 @@ def simhash_near_dup(sf_dir: str):
 def minhash_verified_pairs(sf_dir: str):
     from ..stages.dedup import verify_pairs_jaccard
 
-    docs = _docs_min_k(sf_dir)
+    docs = _all_docs(sf_dir)
     # dedup=False + distinct=False: the per-band duplicate pairs ride to
     # the verify stage, which dedups them on the driver-pulled table —
     # saves the candidate path's second (pair-dedup) exchange
