@@ -62,9 +62,10 @@ class _Assign:
 def _write_cells(ds: "ray.data.Dataset", root: str, index: IVFIndex,
                  vec_col: str) -> None:
     iref = ray.put(index)
-    assigned = ds.map_batches(_Assign, fn_constructor_args=(iref, vec_col),
-                              batch_format="pyarrow", zero_copy_batch=True,
-                              concurrency=pool())
+    from ..functions.pools import task_stage
+
+    assigned = ds.map_batches(task_stage(_Assign, iref, vec_col),
+                              batch_format="pyarrow", zero_copy_batch=True)
     assigned.write_parquet(os.path.join(root, CELLS_DIR),
                            partition_cols=["cell"])
 

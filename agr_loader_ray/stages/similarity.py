@@ -127,8 +127,10 @@ def lsh_bucketed_topk(ds: "ray.data.Dataset", query_vec: np.ndarray, k: int = 10
              if bin(b ^ qb).count("1") <= probe_hamming]
     probe_arr = pa.array(np.array(probe, dtype=np.int64))
 
-    bucketed = ds.map_batches(HyperplaneLSH, fn_constructor_args=(dim, n_planes, seed),
-                              batch_format="pyarrow", zero_copy_batch=True, concurrency=pool())
+    from ..functions.pools import task_stage
+
+    bucketed = ds.map_batches(task_stage(HyperplaneLSH, dim, n_planes, seed),
+                              batch_format="pyarrow", zero_copy_batch=True)
 
     import pyarrow.compute as pc
 
@@ -212,9 +214,10 @@ def ivf_topk(ds: "ray.data.Dataset", query_vec: np.ndarray, k: int = 10,
             cells = self.index.assign(_batch_matrix(batch, vec_col))
             return batch.append_column("cell", pa.array(cells))
 
-    assigned = ds.map_batches(Assign, fn_constructor_args=(iref,),
-                              batch_format="pyarrow", zero_copy_batch=True,
-                              concurrency=pool())
+    from ..functions.pools import task_stage
+
+    assigned = ds.map_batches(task_stage(Assign, iref),
+                              batch_format="pyarrow", zero_copy_batch=True)
     pruned = assigned.map_batches(
         lambda t: t.filter(pc.is_in(t["cell"], value_set=probe_arr)),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -447,17 +450,27 @@ def multi_query_topk(ds: "ray.data.Dataset", query_ids: np.ndarray,
                 "sim": pa.array(np.concatenate(out_s), pa.float64()),
             })
 
-    scored = ds.map_batches(Score, fn_constructor_args=(qref, k),
-                            batch_format="pyarrow", zero_copy_batch=True,
-                            concurrency=pool())
+    from ..functions.pools import task_stage
 
-    def head_k(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.sort_values(["sim", id_col], ascending=[False, True],
-                               kind="mergesort").head(k))
+    scored = ds.map_batches(task_stage(Score, qref, k),
+                            batch_format="pyarrow", zero_copy_batch=True)
 
-    # candidates per query are bounded (n_batches × k) → Q tiny groups
-    return (scored.groupby("query_id").map_groups(head_k, batch_format="pandas")
-            .sort(["query_id", "sim", id_col], descending=[False, True, False]))
+    # candidates per query are bounded (n_batches × k): per-query top-k
+    # is associative, so ONE combine tree replaces the former
+    # groupby(query_id) shuffle + global sort
+    from .quantiles import _collect_tree
+
+    def head_k_combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = (df.sort_values(["sim", id_col], ascending=[False, True],
+                             kind="mergesort")
+              .groupby("query_id", sort=False).head(k))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = _collect_tree(scored, head_k_combine).to_pandas()
+    return out.sort_values(["query_id", "sim", id_col],
+                           ascending=[True, False, True],
+                           kind="mergesort").reset_index(drop=True)
 
 
 def quantized_rerank_topk(ds: "ray.data.Dataset", query_vec: np.ndarray,
@@ -499,11 +512,20 @@ def quantized_rerank_topk(ds: "ray.data.Dataset", query_vec: np.ndarray,
                 vec_col: batch[vec_col].combine_chunks().take(idx),
             })
 
-    cands = ds.map_batches(Stage1, fn_constructor_args=(qref, shortlist),
-                           batch_format="pyarrow", zero_copy_batch=True,
-                           concurrency=pool())
-    short = (cands.sort(["asim", id_col], descending=[True, False])
-             .limit(shortlist).to_pandas())  # bounded: `shortlist` rows
+    from ..functions.pools import task_stage
+
+    cands = ds.map_batches(task_stage(Stage1, qref, shortlist),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    # global shortlist is associative top-N — combine tree, no sort op
+    from .quantiles import _collect_tree
+
+    def short_combine(t: pa.Table) -> pa.Table:
+        asim = t["asim"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -asim))[:shortlist]
+        return t.take(pa.array(order))
+
+    short = _collect_tree(cands, short_combine).to_pandas()
     if not len(short):
         return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
                              "sim": pd.Series([], dtype=np.float64),

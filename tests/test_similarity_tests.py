@@ -79,8 +79,8 @@ def test_multi_query_topk_matches_per_query_brute_force():
     tbl, mat = _embeddings(n=150, d=8, seed=9)
     qids = np.array([3, 7, 11], dtype=np.int64)
     qmat = mat[qids].astype(np.float64)
-    got = (multi_query_topk(ray.data.from_arrow(tbl), qids, qmat, k=5)
-           .to_pandas().reset_index(drop=True))
+    got = multi_query_topk(ray.data.from_arrow(tbl), qids, qmat,
+                           k=5).reset_index(drop=True)
     m64 = mat.astype(np.float64)
     for qi, qv in zip(qids, qmat):
         sims = round_half_away(cosine_scores(m64, qv), 6)
