@@ -316,8 +316,12 @@ def broadcast_join_nation_revenue(sf_dir: str):
 
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    joined = orders.join(cust, join_type="inner", num_partitions=_join_parts(),
-                         on=("o_custkey",), right_on=("c_custkey",))
+    # hash-partitioned single-exchange attach (stages/attach.py), never a
+    # driver dict — customer grows with sf
+    from ..stages.attach import exchange_attach
+
+    joined = exchange_attach(orders, cust, "o_custkey",
+                             attach_key="c_custkey", nparts=_join_parts())
 
     class Enrich:
         def __init__(self, ref):
@@ -333,12 +337,23 @@ def broadcast_join_nation_revenue(sf_dir: str):
             )
             return t2.group_by("n_name").aggregate([("total_c", "sum"), ("total_c", "count")])
 
-    return (
+    # 25 nation rows: combine tree, not a sort exchange
+    from ..stages.quantiles import _collect_tree
+
+    def nat_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("n_name").aggregate(
+            [("total_c_sum", "sum"), ("total_c_count", "sum")])
+        return pa.table({"n_name": g["n_name"],
+                         "total_c_sum": g["total_c_sum_sum"].cast(pa.int64()),
+                         "total_c_count": g["total_c_count_sum"].cast(pa.int64())})
+
+    out = _collect_tree(
         joined.map_batches(task_stage(Enrich, ref), batch_format="pyarrow",
-                           zero_copy_batch=True)
-        .groupby("n_name")
-        .aggregate(Sum("total_c_sum", alias_name="total_c"), Sum("total_c_count", alias_name="n_orders"))
-    )
+                           zero_copy_batch=True),
+        nat_combine).to_pandas()
+    return out.rename(columns={"total_c_sum": "total_c",
+                               "total_c_count": "n_orders"}) \
+        .sort_values("n_name").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -454,18 +469,31 @@ def semi_join_open_orders(sf_dir: str):
         lambda t: t.filter(pc.equal(t["o_orderstatus"], "O")).select(["o_orderkey"]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    kept = li.join(open_orders, join_type="left_semi", num_partitions=_join_parts(),
-                   on=("l_orderkey",), right_on=("o_orderkey",))
+    # single tagged exchange semi filter (stages/attach.py), not
+    # Dataset.join left_semi; the ≤5-row final folds through the tree
+    from ..stages.attach import exchange_semi
+    from ..stages.quantiles import _collect_tree
+
+    kept = exchange_semi(li, open_orders, "l_orderkey",
+                         keys_key="o_orderkey", nparts=_join_parts())
 
     def partial(t: pa.Table) -> pa.Table:
         t2 = pa.table({"l_returnflag": t["l_returnflag"], "qty_c": _cents(t["l_quantity"])})
-        return t2.group_by("l_returnflag").aggregate([("qty_c", "sum"), ("qty_c", "count")])
+        g = t2.group_by("l_returnflag").aggregate([("qty_c", "sum"), ("qty_c", "count")])
+        return pa.table({"l_returnflag": g["l_returnflag"],
+                         "sum_qty_c": g["qty_c_sum"].cast(pa.int64()),
+                         "n_items": g["qty_c_count"].cast(pa.int64())})
 
-    return (
-        kept.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("l_returnflag")
-        .aggregate(Sum("qty_c_sum", alias_name="sum_qty_c"), Sum("qty_c_count", alias_name="n_items"))
-    )
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_returnflag").aggregate(
+            [("sum_qty_c", "sum"), ("n_items", "sum")])
+        return pa.table({"l_returnflag": g["l_returnflag"],
+                         "sum_qty_c": g["sum_qty_c_sum"].cast(pa.int64()),
+                         "n_items": g["n_items_sum"].cast(pa.int64())})
+
+    return _collect_tree(
+        kept.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        combine).to_pandas().sort_values("l_returnflag").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -493,20 +521,32 @@ def anti_join_inactive_customers(sf_dir: str):
             t.filter(pc.equal(t["o_orderstatus"], "P"))["o_custkey"].combine_chunks())}),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    kept = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"]).join(
-        with_p, join_type="left_anti", num_partitions=_join_parts(),
-        on=("c_custkey",), right_on=("o_custkey",),
-    )
+    from ..stages.attach import exchange_semi
+    from ..stages.quantiles import _collect_tree
+
+    kept = exchange_semi(
+        read_table(sf_dir, "customer",
+                   columns=["c_custkey", "c_mktsegment", "c_acctbal"]),
+        with_p, "c_custkey", keys_key="o_custkey", anti=True,
+        nparts=_join_parts())
 
     def partial(t: pa.Table) -> pa.Table:
         t2 = pa.table({"c_mktsegment": t["c_mktsegment"], "bal_c": _cents(t["c_acctbal"])})
-        return t2.group_by("c_mktsegment").aggregate([("bal_c", "count"), ("bal_c", "sum")])
+        g = t2.group_by("c_mktsegment").aggregate([("bal_c", "count"), ("bal_c", "sum")])
+        return pa.table({"c_mktsegment": g["c_mktsegment"],
+                         "n_customers": g["bal_c_count"].cast(pa.int64()),
+                         "bal_c": g["bal_c_sum"].cast(pa.int64())})
 
-    return (
-        kept.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("c_mktsegment")
-        .aggregate(Sum("bal_c_count", alias_name="n_customers"), Sum("bal_c_sum", alias_name="bal_c"))
-    )
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("c_mktsegment").aggregate(
+            [("n_customers", "sum"), ("bal_c", "sum")])
+        return pa.table({"c_mktsegment": g["c_mktsegment"],
+                         "n_customers": g["n_customers_sum"].cast(pa.int64()),
+                         "bal_c": g["bal_c_sum"].cast(pa.int64())})
+
+    return _collect_tree(
+        kept.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        combine).to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

@@ -115,10 +115,28 @@ def text_quality_scores(sf_dir: str):
     """,
 )
 def lang_id_counts(sf_dir: str):
+    from ..stages.quantiles import _collect_tree
+
     ds = read_table(sf_dir, "documents", columns=["text"])
-    scored = ds.map_batches(LangId, batch_format="pyarrow",
-                            zero_copy_batch=True, concurrency=_pool())
-    return scored.groupby("pred_lang").aggregate(Count(alias_name="n_docs"))
+    # task closure (state = one compiled value_set) + per-batch count
+    # partials folded through the combine tree (2-row output)
+    scored = ds.map_batches(task_stage(LangId), batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("pred_lang").aggregate([("pred_lang", "count")])
+        return pa.table({"pred_lang": g["pred_lang"],
+                         "n_docs": g["pred_lang_count"].cast(pa.int64())})
+
+    def count_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("pred_lang").aggregate([("n_docs", "sum")])
+        return pa.table({"pred_lang": g["pred_lang"],
+                         "n_docs": g["n_docs_sum"].cast(pa.int64())})
+
+    return _collect_tree(
+        scored.map_batches(count_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        count_combine).to_pandas()
 
 
 # ---------------------------------------------------------------------------
