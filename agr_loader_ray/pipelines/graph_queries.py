@@ -177,9 +177,22 @@ def neighbor_jaccard_pairs(sf_dir: str, min_common: int = 3):
     adj = edges.map_batches(both_dirs, batch_format="pyarrow",
                             zero_copy_batch=True).materialize()
 
-    deg_df = (adj.groupby("u").aggregate(Count(alias_name="d"))).to_pandas()
+    from ..stages.quantiles import _collect_tree
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("u").aggregate([("u", "count")])
+        return pa.table({"u": g["u"], "d": g["u_count"].cast(pa.int64())})
+
+    def deg_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("u").aggregate([("d", "sum")])
+        return pa.table({"u": g["u"], "d": g["d_sum"].cast(pa.int64())})
+
+    deg_tbl = _collect_tree(
+        adj.map_batches(deg_partial, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        deg_combine)
     deg = np.zeros(K_NODES, np.int64)
-    deg[deg_df["u"].to_numpy()] = deg_df["d"].to_numpy()
+    deg[deg_tbl["u"].to_numpy(zero_copy_only=False)] =         deg_tbl["d"].to_numpy(zero_copy_only=False)
     deg_ref = ray.put(deg)
 
     # Partition-kernel wedge generation (not per-center map_groups): one
@@ -213,11 +226,13 @@ def neighbor_jaccard_pairs(sf_dir: str, min_common: int = 3):
         return pa.table({"pk2": pa.array(uniq),
                          "n_common": pa.array(cnt.astype(np.int64))})
 
-    wedges = (
+    from ..stages.exchange import exchange_map_groups
+
+    wedges = exchange_map_groups(
         adj.map_batches(lambda t: int_key_part_col(t, "u", nparts),
-                        batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart").map_groups(wedge_partials, batch_format="pandas")
-    )
+                        batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", lambda g: wedge_partials(g.to_pandas()), nparts,
+        drop_part_col=True)
 
     # Second partition-kernel exchange on pk2: all partials for a pair
     # land in one partition, so the kernel sums them (bincount), filters,
@@ -240,12 +255,12 @@ def neighbor_jaccard_pairs(sf_dir: str, min_common: int = 3):
                             / (du + dv - n_common).astype(np.float64)),
         })
 
-    return (
+    return exchange_map_groups(
         wedges.map_batches(
             lambda t: int_key_part_col(t, "pk2", nparts, out="gpart2"),
-            batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart2").map_groups(finish_part, batch_format="pandas")
-    )
+            batch_format="pyarrow", zero_copy_batch=True),
+        "gpart2", lambda g: finish_part(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------

@@ -2369,27 +2369,54 @@ def tfidf_top_terms(sf_dir: str):
         return pa.table({"doc_id": g["doc_id"], "token": g["token"],
                          "tf": pc.cast(g["token_count"], pa.int64())})
 
-    tf = ds.map_batches(tf_partial, batch_format="pyarrow", zero_copy_batch=True)
-    # df: one row per (doc, token) already → count per token
-    df = (tf.map_batches(lambda t: pa.table({
-            "token": t["token"],
-            "one": pa.array(np.ones(t.num_rows, np.int64))}),
-          batch_format="pyarrow", zero_copy_batch=True)
-          .groupby("token").aggregate(Sum("one", alias_name="df")))
-    scored = tf.join(df, join_type="inner", num_partitions=nparts,
-                     on=("token",))
+    tf = ds.map_batches(tf_partial, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+    # df: vocabulary-bounded — combine tree + broadcast lookup instead
+    # of a token-keyed shuffle join (the hybrid small-side pattern; the
+    # bound is asserted, scale path = exchange_attach on token)
+    from ..functions.bounds import assert_bounded
+    from ..stages.exchange import exchange_map_groups
+    from ..stages.quantiles import _collect_tree
 
-    def topk_part(g: pd.DataFrame) -> pd.DataFrame:
-        g["score"] = (g["tf"].to_numpy() * n_docs) / g["df"].to_numpy()
-        g = g.sort_values(["doc_id", "score", "token"], kind="mergesort",
-                          ascending=[True, False, True])
-        out = g.groupby("doc_id", sort=False).head(3)
-        return out[["doc_id", "token", "score"]]
+    def df_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("token").aggregate([("token", "count")])
+        return pa.table({"token": g["token"],
+                         "df": g["token_count"].cast(pa.int64())})
 
-    return scored.map_batches(
-        lambda t: int_key_part_col(t, "doc_id", nparts),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).groupby("gpart").map_groups(topk_part, batch_format="pandas")
+    def df_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("token").aggregate([("df", "sum")])
+        return pa.table({"token": g["token"],
+                         "df": g["df_sum"].cast(pa.int64())})
+
+    df_tbl = _collect_tree(
+        tf.map_batches(df_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        df_combine)
+    assert_bounded(df_tbl.num_rows, "tfidf token vocabulary")
+    df_ref = ray.put((df_tbl["token"].combine_chunks(),
+                      df_tbl["df"].to_numpy(zero_copy_only=False)))
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        vocab, dfv = ray.get(df_ref)
+        idx = pc.index_in(t["token"], value_set=vocab) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        score = (t["tf"].to_numpy(zero_copy_only=False) * n_docs) / dfv[idx]
+        out = pa.table({"doc_id": t["doc_id"], "token": t["token"],
+                        "score": pa.array(score, pa.float64())})
+        return int_key_part_col(out, "doc_id", nparts)
+
+    def topk_part(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        df = df.sort_values(["doc_id", "score", "token"], kind="mergesort",
+                            ascending=[True, False, True])
+        out = df.groupby("doc_id", sort=False).head(3)
+        return pa.Table.from_pandas(out[["doc_id", "token", "score"]],
+                                    preserve_index=False)
+
+    return exchange_map_groups(
+        tf.map_batches(score_batch, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "gpart", topk_part, nparts, drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------

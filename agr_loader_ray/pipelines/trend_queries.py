@@ -145,8 +145,15 @@ def spearman_corr_per_flag(sf_dir: str):
         return part.group_by("l_returnflag").aggregate(
             [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")])
 
+    def mom_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_returnflag").aggregate(
+            [(f"{c}_sum", "sum") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")])
+        return pa.table({"l_returnflag": g["l_returnflag"],
+                         **{f"{c}_sum": g[f"{c}_sum_sum"].cast(pa.int64())
+                            for c in ("n", "sx", "sy", "sxy", "sxx", "syy")}})
+
     def finish(t: pa.Table) -> pa.Table:
-        cols = {c: t[f"sum({c}_sum)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {c: t[f"{c}_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
                 for c in ("n", "sx", "sy", "sxy", "sxx", "syy")}
         n, sx, sy = cols["n"], cols["sx"], cols["sy"]
         sxy, sxx, syy = cols["sxy"], cols["sxx"], cols["syy"]
@@ -160,13 +167,14 @@ def spearman_corr_per_flag(sf_dir: str):
                          **{k: pa.array(v) for k, v in cols.items()},
                          "spearman_qp": pa.array(sp)})
 
-    return (
-        ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("l_returnflag")
-        .sum([f"{c}_sum" for c in ("n", "sx", "sy", "sxy", "sxx", "syy")])
-        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
-        .sort("l_returnflag")
-    )
+    # |flags| moment rows: combine tree + one driver finish, no shuffle
+    from ..stages.quantiles import _collect_tree
+
+    out = finish(_collect_tree(
+        ds.map_batches(moments, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        mom_combine)).to_pandas()
+    return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

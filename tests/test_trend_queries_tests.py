@@ -49,7 +49,8 @@ def test_trend_query_typed_hash(name, oracle_con):
 def test_spearman_matches_rank_pearson_reference():
     """Closed-form rank moments vs a direct pandas average-rank Pearson."""
     qs = entry.queries()
-    got = qs["spearman_corr_per_flag"](SF).to_pandas()
+    res = qs["spearman_corr_per_flag"](SF)
+    got = res.to_pandas() if hasattr(res, "to_pandas") else res
     raw = pd.read_parquet(
         f"{SF}/lineitem.parquet",
         columns=["l_returnflag", "l_quantity", "l_extendedprice"])
