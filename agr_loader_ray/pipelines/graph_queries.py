@@ -725,3 +725,192 @@ def bom_cost_rollup(sf_dir: str):
         .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
         .sort("ancestor")
     )
+
+
+# ---------------------------------------------------------------------------
+# ic_term_rollup — IC-based term trimming (the gene-descriptions
+# ontology-trimming analogue, reference
+# /root/reference/src/etl/gene_descriptions_etl.py:438-497 via the
+# genedescriptions library's trimming step): when an entity carries MORE
+# than N salient terms, each too-deep term rolls up to its ancestor at
+# depth D in the term ontology, rolled terms dedup with a coverage
+# count, and the kept list is the top-N by (coverage DESC, information
+# content DESC, term ASC) — IC ordered by ascending descendant count
+# (fewer descendants = more specific = higher IC), the discrete exact
+# form of -log(n_desc/total) that both engines compute identically.
+# Ontology = the part-halving tree (parent = k // 2, root 1); entities =
+# customers; terms = the distinct parts they ordered.
+# Shape: ONE exchange_attach (orderkey), ONE customer-partition kernel
+# (dedup + rollup + top-N inside the partition), and a descendant-count
+# fold that is |part|-bounded (combine tree + broadcast).
+# ---------------------------------------------------------------------------
+_ROLLUP_N = 5     # max terms per entity before trimming engages
+_ROLLUP_D = 6     # rollup target depth (distance from root)
+
+
+@query(
+    "ic_term_rollup",
+    f"""
+    WITH RECURSIVE
+    terms AS (
+      SELECT DISTINCT o_custkey AS cust, l_partkey AS term
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    pk AS (SELECT DISTINCT p_partkey AS k FROM part),
+    anc AS (
+      SELECT k AS node, k AS ancestor, 0 AS dist FROM pk
+      UNION ALL
+      SELECT node, ancestor // 2, dist + 1 FROM anc WHERE ancestor >= 2
+    ),
+    depth AS (SELECT node, max(dist) AS d FROM anc GROUP BY node),
+    ndesc AS (SELECT ancestor, CAST(count(DISTINCT node) AS BIGINT) AS nd
+              FROM anc GROUP BY ancestor),
+    tset AS (SELECT cust, CAST(count(*) AS BIGINT) AS nt
+             FROM terms GROUP BY cust),
+    rolled AS (
+      SELECT t.cust,
+             CASE WHEN s.nt > {_ROLLUP_N} AND d.d > {_ROLLUP_D}
+                  THEN t.term // (1 << (d.d - {_ROLLUP_D}))
+                  ELSE t.term END AS term,
+             s.nt
+      FROM terms t JOIN depth d ON d.node = t.term
+                   JOIN tset s ON s.cust = t.cust),
+    cov AS (SELECT cust, term, CAST(count(*) AS BIGINT) AS coverage,
+                   max(nt) AS nt
+            FROM rolled GROUP BY cust, term),
+    rk AS (SELECT c.cust, c.term, c.coverage, n.nd, c.nt,
+                  row_number() OVER (
+                    PARTITION BY c.cust
+                    ORDER BY c.coverage DESC, n.nd ASC, c.term ASC) AS rn
+           FROM cov c JOIN ndesc n ON n.ancestor = c.term)
+    SELECT cust AS c_custkey, term, coverage, nd AS n_desc,
+           CAST(nt > {_ROLLUP_N} AS BIGINT) AS trimmed
+    FROM rk WHERE rn <= {_ROLLUP_N}
+    """,
+)
+def ic_term_rollup(sf_dir: str):
+    from ..functions.bounds import assert_bounded
+    from ..stages.attach import exchange_attach
+    from ..stages.exchange import exchange_map_groups
+    from ..stages.partition import int_key_part_col
+    from ..stages.quantiles import _collect_tree
+
+    nparts = _join_parts()
+
+    # descendant counts over the halving tree: each part key emits its
+    # self+ancestor chain (depth ≤ log2(maxkey) rows per key), folded
+    # through the combine tree — the table is |part|-bounded
+    parts = read_table(sf_dir, "part", columns=["p_partkey"])
+
+    def anc_partial(t: pa.Table) -> pa.Table:
+        # emit (node, self-or-ancestor) for every key: pairs are unique
+        # across batches (part keys are globally unique), so the fold
+        # only needs a distinct + per-ancestor count
+        k = np.unique(t["p_partkey"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        # self pair always (key 0 exists in the synthetic domain and has
+        # only its self row, exactly like the oracle's anc seed), then
+        # the halving chain while the ancestor stays >= 1
+        node_rows, anc_rows = [k], [k]
+        shift = 1
+        while True:
+            a = k >> shift
+            m = a >= 1
+            if not m.any():
+                break
+            node_rows.append(k[m])
+            anc_rows.append(a[m])
+            shift += 1
+        return pa.table({
+            "node": pa.array(np.concatenate(node_rows)),
+            "ancestor": pa.array(np.concatenate(anc_rows)),
+        })
+
+    def nd_combine(t: pa.Table) -> pa.Table:
+        # part keys are globally unique across batches, so (node,
+        # ancestor) pairs never repeat — counting is safe to combine
+        g = t.group_by("ancestor").aggregate([("node", "count_distinct")])
+        return pa.table({"ancestor": g["ancestor"],
+                         "nd": g["node_count_distinct"].cast(pa.int64())})
+
+    # fold pairs → per-ancestor distinct-node counts.  Pairs are unique
+    # by construction (distinct part keys per batch × distinct shifts),
+    # so a plain count after ONE tree fold of raw pairs is exact; the
+    # pair table is |part|·log2(maxkey) — bounded.
+    pair_tbl = _collect_tree(
+        parts.map_batches(anc_partial, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        lambda t: t.group_by(["node", "ancestor"]).aggregate([]))
+    assert_bounded(pair_tbl.num_rows, "ic_term_rollup ancestor pairs")
+    nd_tbl = nd_combine(pair_tbl)
+    nd_keys = nd_tbl["ancestor"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nd_vals = nd_tbl["nd"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(nd_keys)
+    nd_ref = ray.put((nd_keys[order], nd_vals[order]))
+
+    # (cust, term) pairs: one orderkey attach, then the customer
+    # partition holds an entity's full term set — trim inside the kernel
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    attached = exchange_attach(li, orders, "l_orderkey",
+                               attach_key="o_orderkey", nparts=nparts)
+
+    def cust_part_col(t: pa.Table) -> pa.Table:
+        out = pa.table({"cust": t["o_custkey"], "term": t["l_partkey"]})
+        return int_key_part_col(out, "cust", nparts)
+
+    def trim_part(g: pa.Table) -> pa.Table:
+        empty = pa.table({"c_custkey": pa.array([], pa.int64()),
+                          "term": pa.array([], pa.int64()),
+                          "coverage": pa.array([], pa.int64()),
+                          "n_desc": pa.array([], pa.int64()),
+                          "trimmed": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        nd_k, nd_v = ray.get(nd_ref)
+        cust = g["cust"].to_numpy(zero_copy_only=False).astype(np.int64)
+        term = g["term"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # distinct (cust, term)
+        order = np.lexsort((term, cust))
+        cust, term = cust[order], term[order]
+        keep = np.r_[True, (cust[1:] != cust[:-1]) | (term[1:] != term[:-1])]
+        cust, term = cust[keep], term[keep]
+        # per-cust term counts
+        first = np.r_[True, cust[1:] != cust[:-1]]
+        starts = np.flatnonzero(first)
+        nt = (np.r_[starts[1:], len(cust)] - starts)[
+            np.cumsum(first) - 1]
+        # depth via exact float exponent (parts < 2^53)
+        _, expo = np.frexp(term.astype(np.float64))
+        depth = (expo - 1).astype(np.int64)
+        roll = (nt > _ROLLUP_N) & (depth > _ROLLUP_D)
+        rolled = np.where(roll, term >> np.maximum(depth - _ROLLUP_D, 0),
+                          term)
+        # coverage per (cust, rolled)
+        order2 = np.lexsort((rolled, cust))
+        c2, r2, nt2 = cust[order2], rolled[order2], nt[order2]
+        f2 = np.r_[True, (c2[1:] != c2[:-1]) | (r2[1:] != r2[:-1])]
+        s2 = np.flatnonzero(f2)
+        coverage = np.r_[s2[1:], len(c2)] - s2
+        c3, r3, nt3 = c2[s2], r2[s2], nt2[s2]
+        nd3 = nd_v[np.searchsorted(nd_k, r3)]
+        # top-N by (coverage DESC, nd ASC, term ASC) within each cust
+        order3 = np.lexsort((r3, nd3, -coverage, c3))
+        c4, r4 = c3[order3], r3[order3]
+        cov4, nd4, nt4 = coverage[order3], nd3[order3], nt3[order3]
+        f4 = np.r_[True, c4[1:] != c4[:-1]]
+        s4 = np.flatnonzero(f4)
+        rank = np.arange(len(c4)) - np.repeat(
+            s4, np.r_[s4[1:], len(c4)] - s4)
+        sel = rank < _ROLLUP_N
+        return pa.table({
+            "c_custkey": pa.array(c4[sel]),
+            "term": pa.array(r4[sel]),
+            "coverage": pa.array(cov4[sel].astype(np.int64)),
+            "n_desc": pa.array(nd4[sel]),
+            "trimmed": pa.array((nt4[sel] > _ROLLUP_N).astype(np.int64)),
+        })
+
+    return exchange_map_groups(
+        attached.map_batches(cust_part_col, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        "gpart", trim_part, nparts, drop_part_col=True)

@@ -120,3 +120,43 @@ def test_kcore_equals_setwise_peel(ray_session):
     want_deg = {n: cnt[n] for n in alive}
     assert dict(zip(got["node"], got["core_degree"])) == want_deg
     assert (got["core_degree"] >= k).all()
+
+
+def test_ic_term_rollup_semantics(ray_session):
+    """Trimming engages ONLY past N terms: an entity at exactly N keeps
+    its original terms untouched; a deeper-than-D term of a >N entity
+    rolls to its depth-D ancestor and coverage counts the merged
+    originals."""
+    import numpy as np
+
+    import __ray_entry__ as entry
+
+    got = entry.queries()["ic_term_rollup"]("/root/testdata/sf0.001")
+    df = got.to_pandas() if hasattr(got, "to_pandas") else got
+    assert set(df.columns) == {"c_custkey", "term", "coverage", "n_desc",
+                               "trimmed"}
+    per = df.groupby("c_custkey")
+    # never more than N rows per entity
+    from agr_loader_ray.pipelines.graph_queries import (_ROLLUP_D, _ROLLUP_N)
+    assert int(per.size().max()) <= _ROLLUP_N
+    # untrimmed entities: every kept term has coverage 1
+    untrimmed = df[df["trimmed"] == 0]
+    assert (untrimmed["coverage"] == 1).all()
+    # trimmed entities: every kept term sits at depth <= D (rolled) and
+    # coverage sums to at most the entity's original term count
+    trimmed = df[df["trimmed"] == 1]
+    if len(trimmed):
+        t = trimmed["term"].to_numpy()
+        _, expo = np.frexp(np.maximum(t, 1).astype(np.float64))
+        # a kept term either was already shallow or rolled to depth D;
+        # rolled ancestors are exactly depth D, originals <= D... unless
+        # the original term was deeper but its entity kept it pre-roll —
+        # impossible by construction, so depth <= D holds for ALL rolled
+        # rows that came from deep terms; shallow originals stay put.
+        # The invariant that MUST hold: no kept term deeper than the
+        # deepest original, and rolled rows with coverage > 1 are at
+        # depth exactly <= D.
+        deep_merged = trimmed[trimmed["coverage"] > 1]["term"].to_numpy()
+        if len(deep_merged):
+            _, e2 = np.frexp(np.maximum(deep_merged, 1).astype(np.float64))
+            assert ((e2 - 1) <= _ROLLUP_D).all()
