@@ -125,10 +125,14 @@ def conversation_text(lake_root: str, epoch: int | None = None,
         agg["n_turns"] = agg["n_turns"].astype(np.int64)
         return agg[["conv_id", "n_turns", "dialogue"]]
 
-    return ds.map_batches(
-        lambda t: str_key_part_col(t, "conv_id", nparts),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).groupby("gpart").map_groups(assemble_part, batch_format="pandas")
+    from ..stages.exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        ds.map_batches(
+            lambda t: str_key_part_col(t, "conv_id", nparts),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", lambda g: assemble_part(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 def topic_descriptions(lake_root: str, epoch: int | None = None,
@@ -253,17 +257,17 @@ def topic_descriptions(lake_root: str, epoch: int | None = None,
                          "description": desc,
                          "n_terms": pa.array(n_terms, pa.int64())})
 
-    sal = (
+    from ..stages.exchange import exchange_map_groups
+
+    sal = exchange_map_groups(
         live.map_batches(pair_partial, batch_format="pyarrow",
-                         zero_copy_batch=True)
-        .groupby("tpart").map_groups(salience_part, batch_format="pyarrow")
-    )
-    return (
+                         zero_copy_batch=True),
+        "tpart", salience_part, nparts, drop_part_col=True)
+    return exchange_map_groups(
         sal.map_batches(
             lambda t: str_key_part_col(t, "conv_id", nparts),
-            batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart").map_groups(describe_part, batch_format="pyarrow")
-    )
+            batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", describe_part, nparts, drop_part_col=True)
 
 
 def conversation_descriptions(lake_root: str, epoch: int | None = None,

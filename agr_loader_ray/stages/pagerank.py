@@ -73,9 +73,13 @@ def pagerank_integer(
                 "size").astype(np.int64)
             return g
 
-        edges = (edges.map_batches(prep, batch_format="pyarrow",
-                                   zero_copy_batch=True)
-                 .groupby("gpart").map_groups(kern, batch_format="pandas"))
+        from .exchange import exchange_map_groups
+
+        edges = exchange_map_groups(
+            edges.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True),
+            "gpart", lambda g: kern(g.to_pandas()), dedup_parts,
+            drop_part_col=True)
 
     edges = edges.materialize()  # streamed 1 + iterations times, never shuffled
 
