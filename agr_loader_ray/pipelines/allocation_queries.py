@@ -165,7 +165,11 @@ def prorate_totalprice_lineitems(sf_dir: str):
     # kernel emits exactly the final projection — no trailing select (an
     # all-orphan partition emits a typed empty frame; a schema-less Ray
     # empty block would break any downstream column reference)
-    return j.groupby("gpart").map_groups(alloc_kernel, batch_format="pandas")
+    from ..stages.exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        j, "gpart", lambda g: alloc_kernel(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------

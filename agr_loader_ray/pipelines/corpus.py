@@ -113,11 +113,12 @@ def build_clean_corpus(sf_dir: str, out_dir: str, min_tokens: int = 10,
         first = np.concatenate([[True], (hs[1:] != hs[:-1]) | (ns[1:] != ns[:-1])])
         return g.take(pa.array(order[first])).drop_columns(["part"])
 
-    exact_unique = (
+    from ..stages.exchange import exchange_map_groups
+
+    exact_unique = exchange_map_groups(
         lang_kept.map_batches(add_hash, batch_format="pyarrow",
-                              zero_copy_batch=True)
-        .groupby("part").map_groups(survivors_part, batch_format="pyarrow")
-    )
+                              zero_copy_batch=True),
+        "part", survivors_part, nparts)
     # pin: reused by the near-dup pass AND the final write
     exact_unique = exact_unique.materialize()
     n_exact = exact_unique.count()

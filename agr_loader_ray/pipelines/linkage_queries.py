@@ -255,11 +255,14 @@ def _mutual_resolve(knn: "ray.data.Dataset", pack_mod: np.int64,
             "sim": pa.array(sim_m),
         })
 
-    return (knn.map_batches(pack, batch_format="pyarrow",
-                            zero_copy_batch=True)
-            .map_batches(lambda t: int_key_part_col(t, "pk", nparts),
-                         batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("gpart").map_groups(mutual_part, batch_format="pandas"))
+    from ..stages.exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        knn.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+           .map_batches(lambda t: int_key_part_col(t, "pk", nparts),
+                        batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", lambda g: mutual_part(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------
@@ -424,9 +427,12 @@ def golden_record_attrs(sf_dir: str):
             "n_types": pa.array(n_types.astype(np.int64)),
         })
 
-    return (ds.map_batches(prep, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby("gpart").map_groups(golden_part, batch_format="pandas"))
+    from ..stages.exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", lambda g: golden_part(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------
@@ -520,11 +526,13 @@ def ppjoin_pairs(sf_dir: str, threshold: float = 0.8, k: int = 5,
         return pa.table({"h": pa.array(uniq, pa.uint64()),
                          "df": pa.array(cnt.astype(np.int64))})
 
-    df_ds = (sh.map_batches(
-        lambda t: _hash_part_col(t.select(["h"]), "h", nparts),
-        batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("part").map_groups(df_part, batch_format="pyarrow")
-    ).materialize()
+    from ..stages.exchange import exchange_map_groups as _exg
+
+    df_ds = _exg(
+        sh.map_batches(
+            lambda t: _hash_part_col(t.select(["h"]), "h", nparts),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "part", df_part, nparts, drop_part_col=True).materialize()
 
     if df_ds.count() == 0:  # no doc long enough to shingle
         return ray.data.from_arrow(pa.table({

@@ -675,10 +675,14 @@ def topk_orders_per_customer(sf_dir: str):
             "price_c": (g["o_totalprice"] * 100).round().astype(np.int64),
         })
 
-    return ds.map_batches(
-        lambda t: int_key_part_col(t, "o_custkey", nparts),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).groupby("gpart").map_groups(top3_part, batch_format="pandas")
+    from ..stages.exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        ds.map_batches(
+            lambda t: int_key_part_col(t, "o_custkey", nparts),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", lambda g: top3_part(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------
@@ -753,10 +757,14 @@ def sessionize_events(sf_dir: str):
         res["n_events"] = res["n_events"].astype(np.int64)
         return res
 
-    return ds.map_batches(
-        lambda t: int_key_part_col(t, "user_id", nparts),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).groupby("gpart").map_groups(sessions_part, batch_format="pandas")
+    from ..stages.exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        ds.map_batches(
+            lambda t: int_key_part_col(t, "user_id", nparts),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", lambda g: sessions_part(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1038,10 +1046,14 @@ def asof_join_purchase_view(sf_dir: str):
         out["view_ts"] = out["view_ts"].astype("datetime64[us]")
         return out
 
-    return ds.map_batches(
-        lambda t: int_key_part_col(t, "user_id", nparts),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).groupby("gpart").map_groups(asof_part, batch_format="pandas")
+    from ..stages.exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        ds.map_batches(
+            lambda t: int_key_part_col(t, "user_id", nparts),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", lambda g: asof_part(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1126,10 +1138,14 @@ def running_value_per_user(sf_dir: str):
             "cum_value_c": cents.groupby(g["user_id"].to_numpy()).cumsum(),
         })
 
-    return ds.map_batches(
-        lambda t: int_key_part_col(t, "user_id", nparts),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).groupby("gpart").map_groups(cumsum_part, batch_format="pandas")
+    from ..stages.exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        ds.map_batches(
+            lambda t: int_key_part_col(t, "user_id", nparts),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", lambda g: cumsum_part(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1748,10 +1764,14 @@ def rolling_sum4_per_user(sf_dir: str):
         return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
                              "win_sum_c": win})
 
-    return ds.map_batches(
-        lambda t: int_key_part_col(t, "user_id", nparts),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).groupby("gpart").map_groups(roll_part, batch_format="pandas")
+    from ..stages.exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        ds.map_batches(
+            lambda t: int_key_part_col(t, "user_id", nparts),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", lambda g: roll_part(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1899,6 +1919,10 @@ def event_transition_counts(sf_dir: str):
     nparts = _join_parts()
 
     def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"prev_type": pd.Series([], dtype=str),
+                                 "next_type": pd.Series([], dtype=str),
+                                 "n_trans": pd.Series([], dtype=np.int64)})
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         et = g["event_type"].to_numpy()
         uid = g["user_id"].to_numpy()
@@ -1912,12 +1936,25 @@ def event_transition_counts(sf_dir: str):
         out["n_trans"] = out["n_trans"].astype(np.int64)
         return out
 
-    partials = ds.map_batches(
-        lambda t: int_key_part_col(t, "user_id", nparts),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).groupby("gpart").map_groups(pairs_part, batch_format="pandas")
-    return (partials.groupby(["prev_type", "next_type"])
-            .aggregate(Sum("n_trans", alias_name="n_trans")))
+    from ..stages.exchange import exchange_map_groups
+    from ..stages.quantiles import _collect_tree
+
+    partials = exchange_map_groups(
+        ds.map_batches(
+            lambda t: int_key_part_col(t, "user_id", nparts),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", lambda g: pairs_part(g.to_pandas()), nparts,
+        drop_part_col=True)
+
+    def trans_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["prev_type", "next_type"]).aggregate(
+            [("n_trans", "sum")])
+        return pa.table({"prev_type": g["prev_type"],
+                         "next_type": g["next_type"],
+                         "n_trans": g["n_trans_sum"].cast(pa.int64())})
+
+    return _collect_tree(partials, trans_combine).to_pandas() \
+        .sort_values(["prev_type", "next_type"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1967,9 +2004,12 @@ def funnel_view_purchase(sf_dir: str):
         return pd.DataFrame({"n_viewed": pd.array([len(j)], dtype="int64"),
                              "n_converted": pd.array([conv], dtype="int64")})
 
-    partials = ds.map_batches(
-        prune, batch_format="pyarrow", zero_copy_batch=True,
-    ).groupby("gpart").map_groups(fold_part, batch_format="pandas")
+    from ..stages.exchange import exchange_map_groups
+
+    partials = exchange_map_groups(
+        ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", lambda g: fold_part(g.to_pandas()), nparts,
+        drop_part_col=True)
     agg = partials.aggregate(Sum("n_viewed", alias_name="n_viewed"),
                              Sum("n_converted", alias_name="n_converted"))
     return pd.DataFrame({"n_viewed": pd.array([agg["n_viewed"]], dtype="int64"),
@@ -2132,10 +2172,14 @@ def close_pairs_per_user(sf_dir: str):
                .groupby("user_id", as_index=False)["n_pairs"].sum())
         return out[out["n_pairs"] > 0]
 
-    return ds.map_batches(
-        lambda t: int_key_part_col(t, "user_id", nparts),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).groupby("gpart").map_groups(pairs_part, batch_format="pandas")
+    from ..stages.exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        ds.map_batches(
+            lambda t: int_key_part_col(t, "user_id", nparts),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", lambda g: pairs_part(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------
@@ -2170,10 +2214,14 @@ def user_event_signature(sf_dir: str):
         agg["n_events"] = agg["n_events"].astype(np.int64)
         return agg
 
-    return ds.map_batches(
-        lambda t: int_key_part_col(t, "user_id", nparts),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).groupby("gpart").map_groups(sig_part, batch_format="pandas")
+    from ..stages.exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        ds.map_batches(
+            lambda t: int_key_part_col(t, "user_id", nparts),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", lambda g: sig_part(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------
@@ -2213,10 +2261,14 @@ def ntile_quartile_events(sf_dir: str):
         return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
                              "tile": tile.astype(np.int64)})
 
-    return ds.map_batches(
-        lambda t: int_key_part_col(t, "user_id", nparts),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).groupby("gpart").map_groups(tile_part, batch_format="pandas")
+    from ..stages.exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        ds.map_batches(
+            lambda t: int_key_part_col(t, "user_id", nparts),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", lambda g: tile_part(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------
@@ -2470,9 +2522,13 @@ def retention_by_epoch(sf_dir: str):
         out = pd.DataFrame(rows)
         return out[out["n_active"] > 0]
 
-    partials = ds.map_batches(dedup_partial, batch_format="pyarrow",
-                              zero_copy_batch=True).groupby("gpart").map_groups(
-        fold_part, batch_format="pandas")
+    from ..stages.exchange import exchange_map_groups
+
+    partials = exchange_map_groups(
+        ds.map_batches(dedup_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "gpart", lambda g: fold_part(g.to_pandas()), nparts,
+        drop_part_col=True)
     return (partials.groupby("epoch")
             .aggregate(Sum("n_active", alias_name="n_active"),
                        Sum("n_retained", alias_name="n_retained")))
@@ -2578,10 +2634,14 @@ def percent_rank_events(sf_dir: str):
         pr = np.where(n > 1, (rank - 1.0) / np.maximum(n - 1.0, 1.0), 0.0)
         return pd.DataFrame({"event_id": g["event_id"].to_numpy(), "pr": pr})
 
-    return ds.map_batches(
-        lambda t: int_key_part_col(t, "user_id", nparts),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).groupby("gpart").map_groups(pr_part, batch_format="pandas")
+    from ..stages.exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        ds.map_batches(
+            lambda t: int_key_part_col(t, "user_id", nparts),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", lambda g: pr_part(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------

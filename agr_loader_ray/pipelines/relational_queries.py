@@ -207,10 +207,14 @@ def range_window_hour_sum(sf_dir: str):
         return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
                              "hour_sum_c": out["hour_sum_c"].to_numpy()})
 
-    return ds.map_batches(
-        lambda t: int_key_part_col(t, "user_id", nparts),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).groupby("gpart").map_groups(kernel, batch_format="pandas")
+    from ..stages.exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        ds.map_batches(
+            lambda t: int_key_part_col(t, "user_id", nparts),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", lambda g: kernel(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------
@@ -458,12 +462,21 @@ def dup_cluster_sizes(sf_dir: str):
         return pd.DataFrame({"n_dup": mult.astype(np.int64),
                              "n_clusters": cnt.astype(np.int64)})
 
-    return (
-        ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart").map_groups(cluster_hist, batch_format="pandas")
-        .groupby("n_dup")
-        .aggregate(Sum("n_clusters", alias_name="n_clusters"))
-    )
+    from ..stages.exchange import exchange_map_groups
+    from ..stages.quantiles import _collect_tree
+
+    hist = exchange_map_groups(
+        ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", lambda g: cluster_hist(g.to_pandas()), nparts,
+        drop_part_col=True)
+
+    def hist_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("n_dup").aggregate([("n_clusters", "sum")])
+        return pa.table({"n_dup": g["n_dup"],
+                         "n_clusters": g["n_clusters_sum"].cast(pa.int64())})
+
+    return _collect_tree(hist, hist_combine).to_pandas() \
+        .sort_values("n_dup").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -598,10 +611,14 @@ def scd2_intervals(sf_dir: str):
             "value_c": (g["value"] * 100).round().astype(np.int64).to_numpy(),
         })
 
-    return ds.map_batches(
-        lambda t: int_key_part_col(t, "user_id", nparts),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).groupby("gpart").map_groups(kernel, batch_format="pandas")
+    from ..stages.exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        ds.map_batches(
+            lambda t: int_key_part_col(t, "user_id", nparts),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", lambda g: kernel(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------
@@ -645,10 +662,14 @@ def out_of_order_counts(sf_dir: str):
         agg["n_events"] = agg["n_events"].astype(np.int64)
         return agg
 
-    return ds.map_batches(
-        lambda t: int_key_part_col(t, "user_id", nparts),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).groupby("gpart").map_groups(kernel, batch_format="pandas")
+    from ..stages.exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        ds.map_batches(
+            lambda t: int_key_part_col(t, "user_id", nparts),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", lambda g: kernel(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------
@@ -694,10 +715,14 @@ def events_since_error(sf_dir: str):
         return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
                              "n_since": n_since.astype(np.int64)})
 
-    return ds.map_batches(
-        lambda t: int_key_part_col(t, "user_id", nparts),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).groupby("gpart").map_groups(kernel, batch_format="pandas")
+    from ..stages.exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        ds.map_batches(
+            lambda t: int_key_part_col(t, "user_id", nparts),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", lambda g: kernel(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------

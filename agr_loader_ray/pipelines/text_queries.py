@@ -1493,10 +1493,14 @@ def repeat_turn_counts(sf_dir: str):
         out["n_repeats"] = out["n_repeats"].astype(np.int64)
         return out
 
-    return ds.map_batches(
-        lambda t: int_key_part_col(t, "user_id", nparts),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).groupby("gpart").map_groups(repeats_part, batch_format="pandas")
+    from ..stages.exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        ds.map_batches(
+            lambda t: int_key_part_col(t, "user_id", nparts),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", lambda g: repeats_part(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------

@@ -145,7 +145,10 @@ def _dedup_pairs(cand: "ray.data.Dataset", extra_cols: list[str] = []) -> "ray.d
 
     def distinct_part(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
-            return g.drop_columns(["ppart"])
+            # a globally-empty candidate set reaches the reduce as a
+            # schema-less zero-column block — nothing to drop there
+            return (g.drop_columns(["ppart"])
+                    if "ppart" in g.column_names else g)
         a = g["id_a"].to_numpy(zero_copy_only=False)
         b = g["id_b"].to_numpy(zero_copy_only=False)
         order = np.lexsort((b, a))
@@ -154,10 +157,12 @@ def _dedup_pairs(cand: "ray.data.Dataset", extra_cols: list[str] = []) -> "ray.d
             [[True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])])
         return g.take(pa.array(order[first])).drop_columns(["ppart"])
 
-    return (
-        cand.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("ppart").map_groups(distinct_part, batch_format="pyarrow")
-    )
+    from .exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        cand.map_batches(add_part, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        "ppart", distinct_part, nparts)
 
 
 def minhash_lsh_candidates(ds: "ray.data.Dataset", num_perm: int = 64, bands: int = 16,
