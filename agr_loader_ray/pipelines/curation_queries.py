@@ -132,9 +132,14 @@ def ngram_novelty_scores(sf_dir: str):
                                  pc.cast(n_tri, pa.float64())),
         })
 
+    from ..stages.exchange import exchange_map_groups
+
     return (
-        ds.map_batches(tri_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart").map_groups(novel_kernel, batch_format="pandas")
+        exchange_map_groups(
+            ds.map_batches(tri_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            "gpart", lambda g: novel_kernel(g.to_pandas()), nparts,
+            drop_part_col=True)
         .groupby("doc_id").sum(["one", "novel"])
         .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
     )
@@ -171,11 +176,13 @@ def user_journey_paths(sf_dir: str):
             "n_events": pa.array(n.to_numpy(np.int64)),
         })
 
-    return (
+    from ..stages.exchange import exchange_map_groups
+
+    return exchange_map_groups(
         ds.map_batches(lambda t: int_key_part_col(t, "user_id", nparts),
-                       batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart").map_groups(kern, batch_format="pandas")
-    )
+                       batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", lambda g: kern(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------

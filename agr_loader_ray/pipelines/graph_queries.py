@@ -78,12 +78,14 @@ def _edges(sf_dir: str):
                          "a": pa.array(pk // K_NODES),
                          "b": pa.array(pk % K_NODES)})
 
-    return (
+    from ..stages.exchange import exchange_map_groups
+
+    return exchange_map_groups(
         li.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(lambda t: int_key_part_col(t, "pk", nparts),
-                     batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart").map_groups(distinct_part, batch_format="pandas")
-    )
+          .map_batches(lambda t: int_key_part_col(t, "pk", nparts),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", lambda g: distinct_part(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------

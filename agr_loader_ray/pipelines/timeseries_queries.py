@@ -2852,9 +2852,12 @@ def covered_time_per_user(sf_dir: str):
             "covered_us": covered.astype(np.int64),
         })
 
-    return (ds.map_batches(prep, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby("gpart").map_groups(union_part, batch_format="pandas"))
+    from ..stages.exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", lambda g: union_part(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------

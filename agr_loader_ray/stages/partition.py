@@ -164,7 +164,13 @@ def salted_topk_per_key(ds, key: str, sort_cols: list[str], ascending: list[bool
         return (g.groupby(key, sort=False).head(k)
                 .drop(columns=["_salt", "gpart"]))
 
+    from .exchange import exchange_map_groups
+
     salted = ds.map_batches(task_stage(Salt, hot_ref),
                             batch_format="pyarrow", zero_copy_batch=True)
-    pre = salted.groupby("gpart").map_groups(local_topk_part, batch_format="pandas")
-    return pre.groupby("gpart").map_groups(final_topk_part, batch_format="pandas")
+    # local_topk rewrites gpart (salt removed) for the second exchange,
+    # so the first exchange must keep the column (no drop_part_col)
+    pre = exchange_map_groups(
+        salted, "gpart", lambda g: local_topk_part(g.to_pandas()), nparts)
+    return exchange_map_groups(
+        pre, "gpart", lambda g: final_topk_part(g.to_pandas()), nparts)
