@@ -415,7 +415,12 @@ def verify_pairs_jaccard(
         # measured bottleneck of ppjoin's verify stage at sf0.1 (4.5 s
         # of a 6.7 s query; re-sliced it spreads across the task pool).
         # distinct=False additionally deduped pair_tbl driver-side above.
-        step = 8192
+        # slice count targets ~4 tasks per CPU: full task-pool
+        # parallelism (the 8-block input capped the scan at 8-way,
+        # measured 4.5 s of ppjoin's 6.7 s) with bounded per-task
+        # launch overhead at any pair count
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        step = max(4096, -(-pair_tbl.num_rows // (4 * ncpu)))
         slices = [pair_tbl.slice(i, step)
                   for i in range(0, max(pair_tbl.num_rows, 1), step)]
         pairs = ray.data.from_arrow(slices)
