@@ -320,40 +320,35 @@ def pmi_bigrams_top(sf_dir: str, min_count: int = 5, topk: int = 50):
         part = pairs.group_by(["w1", "w2"]).aggregate([("c_xy", "sum")])
         return part.rename_columns(["w1", "w2", "c_xy"])
 
-    c = (
+    # distinct-bigram table is vocabulary²-bounded (asserted): ONE
+    # combine tree replaces the former three sort shuffles (pair
+    # groupby + two marginal groupbys); marginals, PMI scores and the
+    # top-k all run on the driver-held bounded table
+    from ..functions.bounds import assert_bounded
+    from ..stages.quantiles import _collect_tree
+
+    def bg_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["w1", "w2"]).aggregate([("c_xy", "sum")])
+        return pa.table({"w1": g["w1"], "w2": g["w2"],
+                         "c_xy": g["c_xy_sum"].cast(pa.int64())})
+
+    c = _collect_tree(
         ds.map_batches(bigram_partials, batch_format="pyarrow",
-                       zero_copy_batch=True)
-        .groupby(["w1", "w2"])
-        .aggregate(Sum("c_xy", alias_name="c_xy"))
-        .materialize()  # distinct-bigram table: reused for marginals
-    )
-
-    cx_df = (c.groupby("w1").aggregate(Sum("c_xy", alias_name="c_x"))
-             ).to_pandas()
-    cy_df = (c.groupby("w2").aggregate(Sum("c_xy", alias_name="c_y"))
-             ).to_pandas()
-    n_total = int(cx_df["c_x"].sum())
-    cx_ref = ray.put(dict(zip(cx_df["w1"], cx_df["c_x"].astype(int))))
-    cy_ref = ray.put(dict(zip(cy_df["w2"], cy_df["c_y"].astype(int))))
-
-    def score(t: pa.Table) -> pa.Table:
-        keep = pc.greater_equal(t["c_xy"], min_count)
-        t = t.filter(keep)
-        cx, cy = ray.get(cx_ref), ray.get(cy_ref)
-        c_x = np.array([cx[w] for w in t["w1"].to_pylist()], np.int64)
-        c_y = np.array([cy[w] for w in t["w2"].to_pylist()], np.int64)
-        c_xy = t["c_xy"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "w1": t["w1"], "w2": t["w2"], "c_xy": t["c_xy"],
-            "c_x": pa.array(c_x), "c_y": pa.array(c_y),
-            "n_total": pa.array(np.full(len(c_x), n_total, np.int64)),
-            "score": pa.array((c_xy * n_total).astype(np.float64)
-                              / (c_x * c_y).astype(np.float64)),
-        })
-
-    out = c.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
-    return out.sort(["score", "w1", "w2"],
-                    descending=[True, False, False]).limit(topk)
+                       zero_copy_batch=True),
+        bg_combine).to_pandas()
+    assert_bounded(len(c), "pmi distinct-bigram table")
+    cx = c.groupby("w1")["c_xy"].sum()
+    cy = c.groupby("w2")["c_xy"].sum()
+    n_total = int(c["c_xy"].sum())
+    c = c[c["c_xy"] >= min_count].copy()
+    c["c_x"] = cx.reindex(c["w1"]).to_numpy().astype(np.int64)
+    c["c_y"] = cy.reindex(c["w2"]).to_numpy().astype(np.int64)
+    c["n_total"] = np.int64(n_total)
+    c["score"] = (c["c_xy"].to_numpy() * n_total).astype(np.float64) \
+        / (c["c_x"].to_numpy() * c["c_y"].to_numpy()).astype(np.float64)
+    return c.sort_values(["score", "w1", "w2"],
+                         ascending=[False, True, True],
+                         kind="mergesort").head(topk).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

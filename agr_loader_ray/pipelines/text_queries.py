@@ -545,19 +545,30 @@ def tumbling_window_counts(sf_dir: str):
             [("value_c", "count"), ("value_c", "sum")]
         )
 
-    agg = (
+    # user-keyed bucketing exchange (same shape as hopping_window_counts)
+    # instead of a composite-key sort shuffle; the kernel emits the
+    # final us-unit timestamps (driver hash is unit-sensitive — the
+    # oracle's date_trunc is timestamp[us])
+    from ..stages.exchange import exchange_map_groups
+    from ..stages.partition import int_key_part_col
+
+    nparts = _join_parts()
+
+    def sum_part(g: pa.Table) -> pa.Table:
+        gg = g.group_by(["user_id", "hour"]).aggregate(
+            [("value_c_count", "sum"), ("value_c_sum", "sum")])
+        return pa.table({
+            "user_id": gg["user_id"],
+            "hour": gg["hour"].cast(pa.timestamp("us")),
+            "n_events": gg["value_c_count_sum"].cast(pa.int64()),
+            "value_c": gg["value_c_sum_sum"].cast(pa.int64()),
+        })
+
+    return exchange_map_groups(
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "hour"])
-        .aggregate(_Sum("value_c_count", alias_name="n_events"),
-                   _Sum("value_c_sum", alias_name="value_c"))
-    )
-    # floor_temporal→groupby leaves hour at timestamp[s]; driver hash is
-    # unit-sensitive, oracle's date_trunc is timestamp[us]
-    return agg.map_batches(
-        lambda t: t.set_column(t.schema.get_field_index("hour"), "hour",
-                               pc.cast(t["hour"], pa.timestamp("us"))),
-        batch_format="pyarrow",
-    )
+          .map_batches(lambda t: int_key_part_col(t, "user_id", nparts),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", sum_part, nparts, drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------
