@@ -786,15 +786,32 @@ def jaro_winkler_pairs(sf_dir: str):
         return (pa.table({"ent": ent, "blk": blk})
                 .group_by(["ent", "blk"]).aggregate([]))
 
-    def block_kernel(g: pd.DataFrame) -> pd.DataFrame:
-        ents = np.sort(g["ent"].to_numpy().astype(object))
-        return _jw_pairs_kernel(ents)
+    # ONE blk-keyed exchange replaces the former global distinct + per-
+    # block groupby (two sort shuffles): all copies of an (ent, blk) pair
+    # co-locate under hash(blk), so the in-partition dedup IS the global
+    # distinct, and the kernel loops the partition's blocks (first-token
+    # vocabulary-bounded) around the vectorized pair kernel.
+    from ..stages.exchange import exchange_map_groups
+    from ..stages.partition import str_key_part_col
 
-    return (
-        ds.map_batches(ent_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["ent", "blk"]).count()
-        .drop_columns(["count()"])
-        .groupby("blk")
-        .map_groups(block_kernel, batch_format="pandas")
-        .sort(["ent_a", "ent_b"])
-    )
+    nparts = _join_parts()
+
+    def blk_part(g: pa.Table) -> pd.DataFrame:
+        df = g.to_pandas().drop_duplicates(["ent", "blk"])
+        outs = [
+            _jw_pairs_kernel(np.sort(sub["ent"].to_numpy().astype(object)))
+            for _, sub in df.groupby("blk", sort=False)
+        ]
+        if not outs:
+            return pd.DataFrame({"ent_a": pd.Series([], dtype=str),
+                                 "ent_b": pd.Series([], dtype=str),
+                                 "jw": pd.Series([], dtype=np.float64)})
+        return pd.concat(outs, ignore_index=True)
+
+    return exchange_map_groups(
+        ds.map_batches(ent_rows, batch_format="pyarrow",
+                       zero_copy_batch=True)
+          .map_batches(lambda t: str_key_part_col(t, "blk", nparts),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        "gpart", blk_part, nparts, drop_part_col=True,
+    ).sort(["ent_a", "ent_b"])
