@@ -868,9 +868,10 @@ def substring_containment_pairs(sf_dir: str, mode: str = "auto"):
         return pa.table({"contained_id": pa.array(contained[keep]),
                          "container_id": pa.array(container[keep])})
 
-    cand = (windows.union(firsts)
-            .groupby("hpart")
-            .map_groups(pair_kernel, batch_format="pyarrow")).materialize()
+    from ..stages.exchange import exchange_map_groups
+
+    cand = exchange_map_groups(
+        windows.union(firsts), "hpart", pair_kernel, nparts).materialize()
 
     def _verify_rows(ta, tb, la, lb, ca, cb) -> np.ndarray:
         inside = np.fromiter((a in b for a, b in zip(ta, tb)), bool, len(ta))
