@@ -270,11 +270,13 @@ def entropy_event_mix_per_user(sf_dir: str):
                              "n_events": n.astype(np.int64),
                              "entropy": round_half_away(0.0 - acc, 6)})
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(kernel, batch_format="pandas")
-    )
+    from ..stages.exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "gpart", lambda g: kernel(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------
@@ -672,11 +674,13 @@ def activity_islands_per_user(sf_dir: str):
             "longest": longest.astype(np.int64),
             "n_active_days": active.astype(np.int64)})
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(kernel, batch_format="pandas")
-    )
+    from ..stages.exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "gpart", lambda g: kernel(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------
@@ -790,11 +794,13 @@ def dense_topk_orders(sf_dir: str):
             "price_c": g["price_c"].to_numpy()[keep],
             "drank": dr[keep]})
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(kernel, batch_format="pandas")
-    )
+    from ..stages.exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "gpart", lambda g: kernel(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------
@@ -882,11 +888,13 @@ def ohlc_hourly_per_user(sf_dir: str):
             "close_v": closes["close_v"].to_numpy(),
             "n_events": agg["n_events"].to_numpy().astype(np.int64)})
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(merge, batch_format="pandas")
-    )
+    from ..stages.exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "gpart", lambda g: merge(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1044,11 +1052,13 @@ def funnel3_within_window(sf_dir: str):
             "user_id": counts.index.to_numpy(),
             "n_funnels": counts.to_numpy().astype(np.int64)})
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(kernel, batch_format="pandas")
-    )
+    from ..stages.exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "gpart", lambda g: kernel(g.to_pandas()), nparts,
+        drop_part_col=True)
 
 
 # ---------------------------------------------------------------------------

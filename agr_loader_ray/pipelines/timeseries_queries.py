@@ -3012,6 +3012,10 @@ def running_balance_floor_per_user(sf_dir: str):
         return int_key_part_col(out, "user_id", nparts)
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "event_id": pd.Series([], dtype=np.int64),
+                                 "balance_c": pd.Series([], dtype=np.int64)})
         g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
         uid = g["user_id"].to_numpy()
         amt = g["amt"].to_numpy()
@@ -3038,8 +3042,10 @@ def running_balance_floor_per_user(sf_dir: str):
         return pd.DataFrame({"user_id": uid, "event_id": g["event_id"].to_numpy(),
                              "balance_c": bal.astype(np.int64)})
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(kernel, batch_format="pandas")
-    )
+    from ..stages.exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "gpart", lambda g: kernel(g.to_pandas()), nparts,
+        drop_part_col=True)
