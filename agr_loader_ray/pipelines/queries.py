@@ -415,6 +415,11 @@ def hash_join_priority_revenue(sf_dir: str):
                               attach_key="c_custkey", nparts=_join_parts())
 
     def seg_agg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # all-empty stream: Ray hands a 0-col batch
+            return pa.table({"c_mktsegment": pa.array([], pa.string()),
+                             "o_orderpriority": pa.array([], pa.string()),
+                             "rev_e4": pa.array([], pa.int64()),
+                             "n_items": pa.array([], pa.int64())})
         g = pa.table(
             {
                 "c_mktsegment": t["c_mktsegment"],
@@ -441,10 +446,14 @@ def hash_join_priority_revenue(sf_dir: str):
     # (segment × priority) is ≤ 25 rows — combine tree, not a shuffle
     from ..stages.quantiles import _collect_tree
 
+    seg_empty = pa.table({"c_mktsegment": pa.array([], pa.string()),
+                          "o_orderpriority": pa.array([], pa.string()),
+                          "rev_e4": pa.array([], pa.int64()),
+                          "n_items": pa.array([], pa.int64())})
     return _collect_tree(
         joined2.map_batches(seg_agg, batch_format="pyarrow",
                             zero_copy_batch=True),
-        seg_combine).to_pandas().sort_values(
+        seg_combine, empty=seg_empty).to_pandas().sort_values(
         ["c_mktsegment", "o_orderpriority"]).reset_index(drop=True)
 
 
@@ -478,6 +487,10 @@ def semi_join_open_orders(sf_dir: str):
                          keys_key="o_orderkey", nparts=_join_parts())
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"l_returnflag": pa.array([], pa.string()),
+                             "sum_qty_c": pa.array([], pa.int64()),
+                             "n_items": pa.array([], pa.int64())})
         t2 = pa.table({"l_returnflag": t["l_returnflag"], "qty_c": _cents(t["l_quantity"])})
         g = t2.group_by("l_returnflag").aggregate([("qty_c", "sum"), ("qty_c", "count")])
         return pa.table({"l_returnflag": g["l_returnflag"],
@@ -491,9 +504,13 @@ def semi_join_open_orders(sf_dir: str):
                          "sum_qty_c": g["sum_qty_c_sum"].cast(pa.int64()),
                          "n_items": g["n_items_sum"].cast(pa.int64())})
 
+    semi_empty = pa.table({"l_returnflag": pa.array([], pa.string()),
+                           "sum_qty_c": pa.array([], pa.int64()),
+                           "n_items": pa.array([], pa.int64())})
     return _collect_tree(
         kept.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
-        combine).to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+        combine, empty=semi_empty).to_pandas() \
+        .sort_values("l_returnflag").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

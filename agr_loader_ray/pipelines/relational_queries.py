@@ -28,6 +28,7 @@ from ..functions.pools import join_parts as _join_parts
 from ..functions.pools import pool as _pool
 from ..functions.pools import task_stage
 from ..functions.tables import read_small, read_table
+from ..stages.exchange import exchange_map_groups as _exg
 from ..stages.partition import int_key_part_col
 from .queries import _cents, query
 
@@ -160,7 +161,12 @@ def multiway_join_region_revenue(sf_dir: str):
             "rev_e4": t["rev_e4_sum"].cast(pa.int64()),
             "n_items": t["n_items_sum"].cast(pa.int64())}),
             batch_format="pyarrow", zero_copy_batch=True)
-    return _collect_tree(enriched, enrich_combine).to_pandas() \
+    enrich_empty = pa.table({"r_name": pa.array([], pa.string()),
+                             "n_name": pa.array([], pa.string()),
+                             "rev_e4": pa.array([], pa.int64()),
+                             "n_items": pa.array([], pa.int64())})
+    return _collect_tree(enriched, enrich_combine,
+                         empty=enrich_empty).to_pandas() \
         .sort_values(["r_name", "n_name"]).reset_index(drop=True)
 
 
@@ -1044,9 +1050,10 @@ def linenumber_gap_audit(sf_dir: str):
         return out.groupby("n_lines", as_index=False).sum()
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(kernel, batch_format="pandas")
+        _exg(ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: kernel(g.to_pandas()), nparts,
+             drop_part_col=True)
         .groupby("n_lines")
         .aggregate(Sum("n_orders", alias_name="n_orders"),
                    Sum("n_gapped", alias_name="n_gapped"))
@@ -1221,9 +1228,10 @@ def cusum_alarm_counts(sf_dir: str):
         })
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(kernel, batch_format="pandas")
+        _exg(ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: kernel(g.to_pandas()), nparts,
+             drop_part_col=True)
         .sort("user_id")
     )
 
@@ -1329,9 +1337,10 @@ def event_trigram_topk(sf_dir: str):
                              "n": counts.astype(np.int64)})
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(kernel, batch_format="pandas")
+        _exg(ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: kernel(g.to_pandas()), nparts,
+             drop_part_col=True)
         .groupby("trigram")
         .aggregate(Sum("n", alias_name="n"))
         .sort(["n", "trigram"], descending=[True, False])
@@ -1486,9 +1495,10 @@ def debounce_dedup_events(sf_dir: str):
         return out.groupby("event_type", as_index=False).sum()
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(kernel, batch_format="pandas")
+        _exg(ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: kernel(g.to_pandas()), nparts,
+             drop_part_col=True)
         .groupby("event_type")
         .aggregate(Sum("n_events", alias_name="n_events"),
                    Sum("n_debounced", alias_name="n_debounced"))
@@ -1718,6 +1728,9 @@ def frequent_part_pairs(sf_dir: str):
         return int_key_part_col(t, "l_orderkey", nparts)
 
     def pair_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"key": np.array([], np.int64),
+                                 "n_orders": np.array([], np.int64)})
         g = g.drop_duplicates(["l_orderkey", "l_partkey"]) \
             .sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
         ok = g["l_orderkey"].to_numpy()
@@ -1757,6 +1770,10 @@ def frequent_part_pairs(sf_dir: str):
         return pd.DataFrame({"key": uk, "n_orders": cnt.astype(np.int64)})
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "key" not in g.columns:
+            return pd.DataFrame({"part_a": pd.Series([], dtype=np.int64),
+                                 "part_b": pd.Series([], dtype=np.int64),
+                                 "n_orders": pd.Series([], dtype=np.int64)})
         g = g.groupby("key", as_index=False)["n_orders"].sum()
         g = g[g["n_orders"] >= _FPP_SUPPORT]
         g["part_a"] = (g["key"].to_numpy() >> 31).astype(np.int64)
@@ -1770,6 +1787,10 @@ def frequent_part_pairs(sf_dir: str):
     # but the same PAIR may occur under orders in different partitions —
     # final bounded merge on the pair key
     def key_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # all-empty stream: Ray hands a 0-col batch
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64()),
+                             "gpart": pa.array([], pa.int32())})
         return int_key_part_col(t, "key", nparts)
 
     def local_top(g: pd.DataFrame) -> pd.DataFrame:
@@ -1781,9 +1802,10 @@ def frequent_part_pairs(sf_dir: str):
                              kind="mergesort").head(_FPP_TOPK)
 
     parts = (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(pair_kernel, batch_format="pandas")
+        _exg(ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: pair_kernel(g.to_pandas()), nparts,
+             drop_part_col=True)
         .map_batches(key_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("gpart")
         .map_groups(local_top, batch_format="pandas")
@@ -1856,9 +1878,10 @@ def association_rules(sf_dir: str):
     # measured 16x-slower aggregate path (28.8 s vs 1.8 s on arrow
     # blocks at sf0.1; driver fold 0.02 s).
     agg = (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(singles_kernel, batch_format="pandas")
+        _exg(ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: singles_kernel(g.to_pandas()), nparts,
+             drop_part_col=True)
     ).to_pandas().groupby("l_partkey", as_index=False) \
         [["n_one", "n_orders_part"]].sum()
     n_orders = int(agg["n_orders_part"].sum())

@@ -32,6 +32,7 @@ from ray.data.aggregate import Sum
 from ..functions.pools import pool as _pool
 from ..functions.tables import read_table
 from ..stages.partition import int_key_part_col
+from ..stages.exchange import exchange_map_groups as _exg
 from .queries import query
 
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -651,6 +652,12 @@ def activity_islands_per_user(sf_dir: str):
         return int_key_part_col(distinct, "user_id", nparts)
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "n_islands": pd.Series([], dtype=np.int64),
+                "longest": pd.Series([], dtype=np.int64),
+                "n_active_days": pd.Series([], dtype=np.int64)})
         # re-distinct across batches, then islands per user
         gg = g.drop_duplicates(["user_id", "day"])
         uid = gg["user_id"].to_numpy()
@@ -725,9 +732,10 @@ def type_cooccurrence_matrix(sf_dir: str):
                              "n": hist.astype(np.int64)})
 
     hist = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(mask_hist, batch_format="pandas")
+        _exg(ds.map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: mask_hist(g.to_pandas()), nparts,
+             drop_part_col=True)
         .groupby("mask")
         .aggregate(Sum("n", alias_name="n"))
     )
@@ -1351,9 +1359,10 @@ def frequency_moments_users(sf_dir: str):
         })
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(per_part, batch_format="pandas")
+        _exg(ds.map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: per_part(g.to_pandas()), nparts,
+             drop_part_col=True)
         .repartition(1)
         .map_batches(finish, batch_format="pyarrow")
     )

@@ -25,6 +25,7 @@ from ray.data.aggregate import Sum
 
 from ..functions.pools import join_parts as _join_parts
 from ..stages.partition import int_key_part_col
+from ..stages.exchange import exchange_map_groups as _exg
 from .queries import _cents, query
 
 _HOUR_US = 3_600_000_000
@@ -133,9 +134,10 @@ def gap_fill_hourly(sf_dir: str):
         })
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(densify, batch_format="pandas")
+        _exg(ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: densify(g.to_pandas()), nparts,
+             drop_part_col=True)
         .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
     )
 
@@ -288,9 +290,10 @@ def rolling_zscore_outliers(sf_dir: str):
         return res.groupby("user_id", as_index=False).sum()
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(kernel, batch_format="pandas")
+        _exg(ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: kernel(g.to_pandas()), nparts,
+             drop_part_col=True)
         .sort("user_id")
     )
 
@@ -357,9 +360,10 @@ def last_touch_attribution(sf_dir: str):
         return res
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(kernel, batch_format="pandas")
+        _exg(ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: kernel(g.to_pandas()), nparts,
+             drop_part_col=True)
         .groupby("attributed_type")
         .aggregate(Sum("n_purchases", alias_name="n_purchases"))
         .sort("attributed_type")
@@ -554,9 +558,10 @@ def time_to_conversion(sf_dir: str):
         })
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(kernel, batch_format="pandas")
+        _exg(ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: kernel(g.to_pandas()), nparts,
+             drop_part_col=True)
         .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
         .sort("user_id")
     )
@@ -651,9 +656,10 @@ def ma_crossover_signals(sf_dir: str):
         return res.groupby("user_id", as_index=False).sum()
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(kernel, batch_format="pandas")
+        _exg(ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: kernel(g.to_pandas()), nparts,
+             drop_part_col=True)
         .sort("user_id")
     )
 
@@ -941,9 +947,10 @@ def cep_pattern_counts(sf_dir: str):
         })
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(kernel, batch_format="pandas")
+        _exg(ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: kernel(g.to_pandas()), nparts,
+             drop_part_col=True)
         .sort("user_id")
     )
 
@@ -1017,9 +1024,10 @@ def sliding_distinct_types(sf_dir: str):
         return res.groupby("user_id", as_index=False).sum()
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(kernel, batch_format="pandas")
+        _exg(ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: kernel(g.to_pandas()), nparts,
+             drop_part_col=True)
         .sort("user_id")
     )
 
@@ -1096,9 +1104,10 @@ def rolling_median9_per_user(sf_dir: str):
         return out
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(kernel, batch_format="pandas")
+        _exg(ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: kernel(g.to_pandas()), nparts,
+             drop_part_col=True)
         .sort("user_id")
     )
 
@@ -1280,9 +1289,10 @@ def lag1_autocorrelation(sf_dir: str):
         })
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(kernel, batch_format="pandas")
+        _exg(ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: kernel(g.to_pandas()), nparts,
+             drop_part_col=True)
         .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
         .sort("user_id")
     )
@@ -1388,9 +1398,10 @@ def churn_labels_weekly(sf_dir: str):
         })
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(kernel, batch_format="pandas")
+        _exg(ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: kernel(g.to_pandas()), nparts,
+             drop_part_col=True)
         .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
         .sort(["user_id", "week"])
     )
@@ -1512,9 +1523,10 @@ def bounce_rate_daily(sf_dir: str):
         })
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(kernel, batch_format="pandas")
+        _exg(ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: kernel(g.to_pandas()), nparts,
+             drop_part_col=True)
         .groupby("day")
         .aggregate(Sum("n_sessions", alias_name="n_sessions"),
                    Sum("n_bounces", alias_name="n_bounces"))
@@ -1582,9 +1594,10 @@ def top_journey_prefixes(sf_dir: str):
         return out
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(kernel, batch_format="pandas")
+        _exg(ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: kernel(g.to_pandas()), nparts,
+             drop_part_col=True)
         .groupby("journey")
         .aggregate(Sum("n_users", alias_name="n_users"))
         .sort([("n_users"), ("journey")], descending=[True, False])
@@ -1641,9 +1654,10 @@ def new_vs_returning_daily(sf_dir: str):
         return out.groupby("day", as_index=False).sum()
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(kernel, batch_format="pandas")
+        _exg(ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: kernel(g.to_pandas()), nparts,
+             drop_part_col=True)
         .groupby("day")
         .aggregate(Sum("n_active", alias_name="n_active"),
                    Sum("n_new", alias_name="n_new"),
@@ -1908,9 +1922,10 @@ def kaplan_meier_risk_table(sf_dir: str):
         return g[["t_us", "deaths", "n_at_risk"]].reset_index(drop=True)
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(kernel, batch_format="pandas")
+        _exg(ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: kernel(g.to_pandas()), nparts,
+             drop_part_col=True)
         .repartition(1)  # bounded by distinct durations (output-sized);
         # the two-pass global-rank pattern takes over at larger scales
         .map_batches(risk, batch_format="pandas", batch_size=None)
@@ -2048,9 +2063,10 @@ def purchase_streaks(sf_dir: str):
         return out
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(kernel, batch_format="pandas")
+        _exg(ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: kernel(g.to_pandas()), nparts,
+             drop_part_col=True)
         .sort("user_id")
     )
 
@@ -2105,9 +2121,10 @@ def data_mix_quota_sample(sf_dir: str):
         return out
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(kernel, batch_format="pandas")
+        _exg(ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: kernel(g.to_pandas()), nparts,
+             drop_part_col=True)
         .sort("source")
     )
 
@@ -2419,9 +2436,10 @@ def cohort_ltv_matrix(sf_dir: str):
                            as_index=False).sum()
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(kernel, batch_format="pandas")
+        _exg(ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: kernel(g.to_pandas()), nparts,
+             drop_part_col=True)
         .groupby(["cohort_week", "age_weeks"])
         .aggregate(Sum("n_users", alias_name="n_users"),
                    Sum("cents", alias_name="cents"))
@@ -2507,9 +2525,10 @@ def funnel_steps_table(sf_dir: str):
         return g.sort_values("ord").drop(columns="ord").reset_index(drop=True)
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(kernel, batch_format="pandas")
+        _exg(ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: kernel(g.to_pandas()), nparts,
+             drop_part_col=True)
         .repartition(1)  # bounded: 4 rows per partition
         .map_batches(finish, batch_format="pandas", batch_size=None)
     )
@@ -2683,9 +2702,10 @@ def inter_event_gap_quantiles(sf_dir: str):
         })
 
     gap_ds = (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(gaps, batch_format="pandas")
+        _exg(ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: gaps(g.to_pandas()), nparts,
+             drop_part_col=True)
         .map_batches(lambda t: t.select(["event_type", "gap_us"]),
                      batch_format="pyarrow")
         .materialize()  # two consumers: refine rounds re-scan it
@@ -2753,9 +2773,10 @@ def hhi_supplier_concentration(sf_dir: str):
         return out
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(kernel, batch_format="pandas")
+        _exg(ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: kernel(g.to_pandas()), nparts,
+             drop_part_col=True)
         .sort("l_partkey")
     )
 
@@ -2816,6 +2837,10 @@ def covered_time_per_user(sf_dir: str):
         return int_key_part_col(out, "user_id", nparts)
 
     def union_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "n_islands": pd.Series([], dtype=np.int64),
+                                 "covered_us": pd.Series([], dtype=np.int64)})
         uid = g["user_id"].to_numpy().astype(np.int64)
         s = g["s_us"].to_numpy().astype(np.int64)
         e = g["e_us"].to_numpy().astype(np.int64)
@@ -2948,9 +2973,10 @@ def twap_value_per_user(sf_dir: str):
         })
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gpart")
-        .map_groups(kernel, batch_format="pandas")
+        _exg(ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True),
+             "gpart", lambda g: kernel(g.to_pandas()), nparts,
+             drop_part_col=True)
         .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
         .sort("user_id")
     )

@@ -44,6 +44,26 @@ def _arrow_type(t) -> pa.DataType:
     return pa.from_numpy_dtype(np.dtype(t))
 
 
+def _names_types(ds) -> tuple[list, list]:
+    """(names, types) of a Dataset — robust to the Ray artifact where
+    ``schema()`` returns None for a pipeline whose every block is a
+    typed EMPTY table (map stages drop empty blocks' schema): peek the
+    first materialized block's Arrow schema instead."""
+    import ray as _ray
+
+    s = ds.schema()
+    if s is not None:
+        return list(s.names), list(s.types)
+    mat = ds.materialize()
+    for b in mat.iter_internal_ref_bundles():
+        for r in b.block_refs:
+            t = _ray.get(r)
+            if not isinstance(t, pa.Table):
+                t = pa.Table.from_pandas(t, preserve_index=False)
+            return list(t.schema.names), list(t.schema.types)
+    raise ValueError("exchange over a zero-block dataset")
+
+
 def _part_of(col: pa.ChunkedArray, nparts: int) -> np.ndarray:
     """Vectorized partition id of a key column (string or integer)."""
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
@@ -64,15 +84,15 @@ def exchange_attach(rows: "ray.data.Dataset", attach: "ray.data.Dataset",
     ``rows[key_col] == attach[attach_key]``, via ONE hash exchange."""
     attach_key = key_col if attach_key is None else attach_key
 
-    rows_schema = rows.schema()
-    att_schema = attach.schema()
-    row_cols = list(rows_schema.names)
-    payload = [c for c in att_schema.names if c != attach_key]
+    row_names, row_tps = _names_types(rows)
+    att_names, att_tps = _names_types(attach)
+    row_cols = list(row_names)
+    payload = [c for c in att_names if c != attach_key]
     clash = set(payload) & set(row_cols)
     if clash:
         raise ValueError(f"attach payload columns collide with rows: {sorted(clash)}")
-    att_types = {n: _arrow_type(t) for n, t in zip(att_schema.names, att_schema.types)}
-    row_types = {n: _arrow_type(t) for n, t in zip(rows_schema.names, rows_schema.types)}
+    att_types = {n: _arrow_type(t) for n, t in zip(att_names, att_tps)}
+    row_types = {n: _arrow_type(t) for n, t in zip(row_names, row_tps)}
     out_cols = row_cols + payload
 
     def tag_rows(t: pa.Table) -> pa.Table:
@@ -151,9 +171,9 @@ def exchange_semi(rows: "ray.data.Dataset", keys: "ray.data.Dataset",
     on the >broadcast-bound scale paths (same per-row-Python-hash crawl
     and empty-side crash as the inner join)."""
     keys_key = key_col if keys_key is None else keys_key
-    rows_schema = rows.schema()
-    row_cols = list(rows_schema.names)
-    row_types = {n: _arrow_type(t) for n, t in zip(rows_schema.names, rows_schema.types)}
+    row_names, row_tps = _names_types(rows)
+    row_cols = list(row_names)
+    row_types = {n: _arrow_type(t) for n, t in zip(row_names, row_tps)}
     empty_schema = pa.schema([pa.field(c, row_types[c]) for c in row_cols])
 
     def tag_rows(t: pa.Table) -> pa.Table:

@@ -82,7 +82,17 @@ def _reduce_kernel(kernel, part_col: str | None, *slices: pa.Table) -> pa.Table:
     t = pa.concat_tables(tabs).combine_chunks()
     if part_col is not None and part_col in t.column_names:
         t = t.drop_columns([part_col])
-    out = kernel(t)
+    if t.num_rows == 0:
+        # parity with Ray's groupby (which never materializes empty
+        # groups): prefer the kernel's own typed empty, but degrade to
+        # the 0-column empty Ray itself emits for empty streams when a
+        # kernel assumes non-empty input
+        try:
+            out = kernel(t)
+        except Exception:
+            return pa.table({})
+    else:
+        out = kernel(t)
     if isinstance(out, pd.DataFrame):
         out = pa.Table.from_pandas(out, preserve_index=False)
     return out

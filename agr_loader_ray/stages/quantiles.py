@@ -37,7 +37,8 @@ _BOUNDARY_LIMIT = 262_144
 _TREE_FANIN = 65_536
 
 
-def _collect_tree(parts, combine, fanin_rows: int = _TREE_FANIN) -> pa.Table:
+def _collect_tree(parts, combine, fanin_rows: int = _TREE_FANIN,
+                  empty: "pa.Table | None" = None) -> pa.Table:
     """Collapse a dataset of small partial-aggregate rows to one driver
     table WITHOUT an all-to-all exchange.
 
@@ -59,7 +60,21 @@ def _collect_tree(parts, combine, fanin_rows: int = _TREE_FANIN) -> pa.Table:
     folded = parts.map_batches(combine, batch_format="pyarrow",
                                batch_size=fanin_rows, zero_copy_batch=True)
     all_tbls = ray.get(folded.to_arrow_refs())
-    tbls = [t for t in all_tbls if t.num_rows] or all_tbls[:1]
+    tbls = [t for t in all_tbls if t.num_rows]
+    if not tbls:
+        # Ray SKIPS map fns on empty input blocks and substitutes
+        # zero-COLUMN empties, so an all-empty stream reaches here
+        # schema-less; prefer any typed block, else the caller-supplied
+        # typed empty (states the combine's output schema), else fail
+        # loudly rather than crash inside combine
+        typed = [t for t in all_tbls if t.num_columns]
+        if typed:
+            return combine(typed[0])
+        if empty is not None:
+            return empty
+        raise ValueError(
+            "_collect_tree: all-empty schema-less input — pass a typed "
+            "`empty` table for streams that can be globally empty")
     return combine(pa.concat_tables(tbls, promote_options="default"))
 
 
