@@ -63,7 +63,16 @@ def orders_lineitem(draw):
 
 
 def _typed_hash(df: pd.DataFrame):
-    df = df[sorted(df.columns)]
+    df = df[sorted(df.columns)].copy()
+    # value semantics for signed zeros: the random harness hits exact
+    # epsilon ties where one engine's float path lands on -0.0 and the
+    # other's on +0.0 (equal values, different bit patterns — pandas
+    # hashes bits); the driver's fixture SFs never produce such ties
+    import numpy as _np
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            v = df[c].to_numpy()
+            df[c] = _np.where(v == 0, 0.0, v)
     df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
     return (tuple(str(df[c].dtype) for c in df.columns),
             int(pd.util.hash_pandas_object(df, index=False).sum()))
